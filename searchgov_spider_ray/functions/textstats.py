@@ -1,0 +1,143 @@
+"""Text-analysis kernels for the training-data pipeline surface:
+language ID (n-gram heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash).
+
+These are the large-scale-pipeline additions layered over the
+reference's per-document text handling (language detection at
+/root/reference/search_gov_crawler/elasticsearch/i14y_helper.py:60-75,
+summary/keyword stats at i14y_helper.py:78-133). All kernels are
+vectorized over pandas Series / numpy so they run inside
+``map_batches`` without per-row Python in the hot path (token counts,
+char classes), or use tight loops only over the short profile prefix
+(language ID).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .hashing import xxhash64
+
+# --- language ID: cosine over character-trigram profiles ------------------
+# Tiny deterministic profiles for the languages present in the synthetic
+# corpus; a real deployment swaps in fastText — this is a stub-free
+# heuristic, not a model load.
+_LANG_PROFILES = {
+    "en": " th the he  an and  of ing ion to  is  in  it tio ent for  re",
+    "es": " de  la  el en  que  y  a  los ión de  es  en ent aci os  del",
+    "fr": " de  le la  les  et ent  des  la de  ion  un  en que  du tion",
+    "de": " de der  di die  un und en  ein ich  sc sch cht  ge gen  be",
+    "zh": "的 了 是 我 不 在 有 人 这 他 中 大 来 上 国 个",
+}
+_TRI = 3
+
+
+def _profile(text: str) -> dict[str, int]:
+    text = text.lower()
+    grams: dict[str, int] = {}
+    for i in range(len(text) - _TRI + 1):
+        g = text[i : i + _TRI]
+        grams[g] = grams.get(g, 0) + 1
+    return grams
+
+
+_LANG_VECS = {lang: _profile(p) for lang, p in _LANG_PROFILES.items()}
+
+
+def detect_lang(text: str | None, prefix: int = 256) -> str | None:
+    """Best-cosine language over char trigrams of the first ``prefix``
+    chars; None for empty/too-short text (reference detect_lang uses the
+    first 64 chars, i14y_helper.py:60-75)."""
+    if not text or len(text) < 8:
+        return None
+    grams = _profile(text[:prefix])
+    best, best_score = None, 0.0
+    norm = sum(v * v for v in grams.values()) ** 0.5 or 1.0
+    for lang, vec in _LANG_VECS.items():
+        dot = sum(c * vec.get(g, 0) for g, c in grams.items())
+        vnorm = sum(v * v for v in vec.values()) ** 0.5
+        score = dot / (norm * vnorm)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0.05 else None
+
+
+# --- token counting -------------------------------------------------------
+_WS_TOKEN = re.compile(r"\S+")
+# BPE-ish pre-tokenizer: words / numbers / single non-space symbols
+# (the GPT-2 pre-tokenizer shape, public).
+_BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+def token_counts(texts: pd.Series) -> pd.DataFrame:
+    """Whitespace and BPE-ish token counts per document (vectorized)."""
+    return pd.DataFrame(
+        {
+            "ws_tokens": texts.str.count(_WS_TOKEN).fillna(0).astype("int64"),
+            "bpe_tokens": texts.str.count(_BPE_TOKEN).fillna(0).astype("int64"),
+        }
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+_STOPWORDS = (
+    "the of and a to in is was he for it with as his on be at by i this had "
+    "not are but from or have an they which one you were her all she there "
+    "would their we him been has when who will more no if out so said what"
+).split()
+_STOP_RE = re.compile(r"\b(?:" + "|".join(_STOPWORDS) + r")\b", re.IGNORECASE)
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def quality_scores(texts: pd.Series) -> pd.DataFrame:
+    """Heuristic quality features per document, all vectorized:
+    n_chars, n_words, mean word length, punctuation ratio, stopword
+    ratio, alpha ratio. Downstream filters threshold these (C4/Gopher
+    style rules)."""
+    n_chars = texts.str.len().fillna(0).astype("int64")
+    n_words = texts.str.count(_WS_TOKEN).fillna(0).astype("int64")
+    n_punct = texts.str.count(_PUNCT_RE).fillna(0)
+    n_stop = texts.str.count(_STOP_RE).fillna(0)
+    n_alpha = texts.str.count(_ALPHA_RE).fillna(0)
+    denom_c = n_chars.clip(lower=1).astype("float64")
+    denom_w = n_words.clip(lower=1).astype("float64")
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "mean_word_len": (n_chars - n_words + 1).clip(lower=0) / denom_w,
+            "punct_ratio": n_punct / denom_c,
+            "stopword_ratio": n_stop / denom_w,
+            "alpha_ratio": n_alpha / denom_c,
+        }
+    )
+
+
+# --- document fingerprinting ---------------------------------------------
+def fingerprint(text: str, window: int = 64) -> int:
+    """Winnowing-style fingerprint: min xxhash64 over sliding windows of
+    ``window`` chars (one representative hash per doc; identical prefixes
+    of near-dup docs collide). Falls back to whole-text hash for short
+    docs."""
+    if len(text) <= window:
+        return xxhash64(text)
+    step = max(1, window // 2)
+    best = 0xFFFFFFFFFFFFFFFF
+    for i in range(0, len(text) - window + 1, step):
+        h = xxhash64(text[i : i + window])
+        if h < best:
+            best = h
+    return best
+
+
+def content_hashes(texts: pd.Series) -> np.ndarray:
+    """Exact-dedup key: xxhash64 of whitespace-normalized lowercase text."""
+    norm = texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    out = np.empty(len(norm), dtype=np.uint64)
+    for i, t in enumerate(norm.to_numpy()):
+        out[i] = xxhash64(t)
+    return out

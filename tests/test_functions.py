@@ -1,0 +1,182 @@
+"""Unit tests for the pure-function layer: hashing, urlnorm, content,
+textstats, simdedup. Mirrors the reference's table-driven operator
+tests (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchgov_spider_ray.functions import content, simdedup, textstats, urlnorm
+from searchgov_spider_ray.functions.hashing import (
+    sha256_hex,
+    shake_id,
+    xxhash64,
+    xxhash64_array,
+)
+
+
+class TestXXHash64:
+    # Published xxHash64 test vectors (xxHash repo / python-xxhash docs).
+    def test_known_vectors(self):
+        assert xxhash64(b"") == 0xEF46DB3751D8E999
+        assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+        assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+        assert xxhash64(b"Nobody inspects the spammish repetition") == 0xFBCEA83C8A378BF1
+
+    def test_seed_changes_hash(self):
+        assert xxhash64(b"abc", 1) != xxhash64(b"abc", 0)
+
+    def test_str_equals_utf8_bytes(self):
+        assert xxhash64("héllo") == xxhash64("héllo".encode("utf-8"))
+
+    def test_array_matches_scalar(self):
+        urls = ["", "a", "https://example.gov/x?a=1", "x" * 100]
+        arr = xxhash64_array(urls)
+        assert arr.dtype == np.uint64
+        assert [int(v) for v in arr] == [xxhash64(u) for u in urls]
+
+    def test_ids(self):
+        assert sha256_hex("abc") == (
+            "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+        )
+        assert len(shake_id("job", "x")) == 10
+        assert shake_id("a") != shake_id("b")
+
+
+class TestCanonicalize:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            ("HTTP://Example.GOV/Path", "http://example.gov/Path"),
+            ("https://example.gov:443/a", "https://example.gov/a"),
+            ("https://example.gov:8443/a", "https://example.gov:8443/a"),
+            ("https://example.gov", "https://example.gov/"),
+            ("https://example.gov/a/../b/./c", "https://example.gov/b/c"),
+            ("https://example.gov/a#frag", "https://example.gov/a"),
+            ("https://example.gov/a?b=2&a=1", "https://example.gov/a?a=1&b=2"),
+            ("https://example.gov/a%7Eb", "https://example.gov/a~b"),
+            ("https://example.gov/a%2fb", "https://example.gov/a%2Fb"),
+            ("https://example.gov/dir/", "https://example.gov/dir/"),
+            ("  https://example.gov/a\n", "https://example.gov/a"),
+        ],
+    )
+    def test_cases(self, raw, expected):
+        assert urlnorm.canonicalize(raw) == expected
+
+    def test_idempotent(self):
+        urls = [
+            "https://Example.gov:443/a/../b?z=1&a=&a=2#f",
+            "http://sub.agency.example.gov/path/file.PDF?x=%7e",
+        ]
+        for u in urls:
+            once = urlnorm.canonicalize(u)
+            assert urlnorm.canonicalize(once) == once
+
+    def test_surt_sorts_by_domain(self):
+        s1 = urlnorm.surt("https://a.example.gov/z")
+        s2 = urlnorm.surt("https://b.example.gov/a")
+        s3 = urlnorm.surt("https://example.com/a")
+        # example.gov hosts group together under sort, before/after .com block
+        assert s1.startswith("gov,example,a)") and s2.startswith("gov,example,b)")
+        assert sorted([s3, s1, s2]) == [s3, s1, s2]
+
+    def test_parts(self):
+        u = "https://www.example.gov/docs/Report.PDF?x=1"
+        assert urlnorm.host_of(u) == "www.example.gov"
+        assert urlnorm.path_of(u) == "/docs/Report.PDF"
+        assert urlnorm.query_of(u) == "x=1"
+        assert urlnorm.basename_extension(u) == ("Report.PDF", ".pdf")
+        assert urlnorm.ensure_http_prefix("example.gov/a") == "https://example.gov/a"
+        assert urlnorm.ensure_http_prefix("http://x.gov") == "http://x.gov"
+        assert urlnorm.join_url("https://a.gov/dir/page.html", "../other") == "https://a.gov/other"
+
+    def test_separate_file_name(self):
+        assert urlnorm.separate_file_name("myFile_name2023v1") == "my File name 2023 v 1"
+
+
+class TestContent:
+    def test_sanitize_text(self):
+        assert content.sanitize_text("a\x00b&nbsp;c   d\n\n\n") == "ab c d"
+        assert content.sanitize_text("   \n\x07  ") is None
+        assert content.sanitize_text(None) is None
+
+    def test_sanitize_series_matches_scalar_on_simple_text(self):
+        s = pd.Series(["a&nbsp;b   c", "x\x01y"])
+        out = content.sanitize_series(s)
+        assert out.tolist() == ["a b c", "xy"]
+
+    def test_decode_body(self):
+        assert content.decode_body("héllo".encode("utf-8")) == "héllo"
+        assert content.decode_body(b"\xff\xfe") == "ÿþ"
+
+    def test_language_code(self):
+        assert content.get_language_code("en-US") == "en"
+        assert content.get_language_code("FR") == "fr"
+        assert content.get_language_code("") is None
+        assert content.get_language_code("1x") is None
+
+
+class TestTextStats:
+    def test_detect_lang(self):
+        en = "The quick brown fox jumps over the lazy dog and the cat is in the house"
+        es = "la casa de los niños es muy grande y el perro que vive allí también"
+        assert textstats.detect_lang(en) == "en"
+        assert textstats.detect_lang(es) == "es"
+        assert textstats.detect_lang("") is None
+
+    def test_token_counts(self):
+        out = textstats.token_counts(pd.Series(["a b  c", "hello, world!", ""]))
+        assert out["ws_tokens"].tolist() == [3, 2, 0]
+        assert out["bpe_tokens"].tolist() == [3, 4, 0]
+
+    def test_quality_scores(self):
+        out = textstats.quality_scores(pd.Series(["The cat sat on the mat."]))
+        row = out.iloc[0]
+        assert row["n_words"] == 6
+        assert row["stopword_ratio"] == pytest.approx(3 / 6)
+        assert 0 < row["punct_ratio"] < 0.1
+
+    def test_fingerprint_and_hashes(self):
+        a = "word " * 100
+        b = "word " * 100 + "tail"
+        assert textstats.fingerprint(a) == textstats.fingerprint(a)
+        h = textstats.content_hashes(pd.Series(["A  b", "a b", "c"]))
+        assert h[0] == h[1] != h[2]
+
+
+class TestSimDedup:
+    def test_minhash_similar_docs_agree(self):
+        mh = simdedup.MinHasher(num_perm=128)
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        near = base + "extra tail words here"
+        far = "completely different content about tax forms " * 20
+        s1 = mh.signature(simdedup.shingle_hashes(base))
+        s2 = mh.signature(simdedup.shingle_hashes(near))
+        s3 = mh.signature(simdedup.shingle_hashes(far))
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        assert sim12 > 0.6 > sim13
+
+    def test_band_keys_lsh(self):
+        mh = simdedup.MinHasher(num_perm=128)
+        sig = mh.signature(simdedup.shingle_hashes("a b c d e f g h i j"))
+        keys = mh.band_keys(sig, bands=16)
+        assert len(keys) == 16
+        # identical docs share all bands
+        assert np.array_equal(keys, mh.band_keys(sig, bands=16))
+
+    def test_simhash_hamming(self):
+        a = simdedup.simhash("the quick brown fox jumps over the lazy dog " * 10)
+        b = simdedup.simhash("the quick brown fox jumps over the lazy cat " * 10)
+        c = simdedup.simhash("totally unrelated text about something else " * 10)
+        d_ab = simdedup.hamming64(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))[0]
+        d_ac = simdedup.hamming64(np.array([a], dtype=np.uint64), np.array([c], dtype=np.uint64))[0]
+        assert d_ab < d_ac
+
+    def test_jaccard(self):
+        a = np.array([1, 2, 3, 4], dtype=np.uint64)
+        b = np.array([3, 4, 5, 6], dtype=np.uint64)
+        assert simdedup.jaccard(a, b) == pytest.approx(2 / 6)
+        assert simdedup.jaccard(a, a) == 1.0
