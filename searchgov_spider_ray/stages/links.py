@@ -1,0 +1,87 @@
+"""Link extraction: HTML body → ordered, per-page-unique outlinks.
+
+Reference: scrapy ``LinkExtractor`` configured with tags
+``a, area, va-link``, ``unique=True``, deny regexes and the extension
+deny list (/root/reference/search_gov_crawler/search_gov_spiders/
+spiders/domain_spider.py:79-91, helpers/domain_spider.py:54).
+
+This is a flat_map-shaped ``map_batches`` stage: one Arrow batch of
+fetched pages in, an exploded Arrow batch of
+``(parent_url, parent_seq, url, link_seq)`` rows out. ``link_seq`` is
+the 0-based ordinal of the link among the page's unique links in
+document order — the deterministic ordering atom the frontier's
+``(depth, seq)`` ranking is built from (SURVEY.md §3.1/§7.5).
+
+Extraction itself is a compiled-regex scan per document (C regex
+engine; an lxml parse would also be per-row — there is no vectorized
+HTML parser). Canonicalization and scope filtering of the extracted
+children happen in the frontier pipeline, not here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.content import decode_body
+from ..functions.urlnorm import join_url
+
+# href of an <a>/<area>/<va-link> tag, single/double/no quotes.
+_HREF_RE = re.compile(
+    r"<(?:a|area|va-link)\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE | re.DOTALL,
+)
+_SKIP_SCHEMES = re.compile(r"^(?:javascript|mailto|tel|data|ftp|file):", re.IGNORECASE)
+
+
+def extract_links(page_url: str, body: bytes | str) -> list[str]:
+    """Ordered unique absolute outlinks of one HTML document."""
+    html = decode_body(body) if isinstance(body, (bytes, bytearray)) else body
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html):
+        href = next(g for g in m.groups() if g is not None).strip()
+        if not href or href.startswith("#") or _SKIP_SCHEMES.match(href):
+            continue
+        absolute = join_url(page_url, href)
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out
+
+
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: fetched pages → exploded child-link rows.
+
+    Input columns: ``url`` (string), ``seq`` (int64), ``body`` (binary),
+    ``content_type`` (string). Only ``text/html`` pages yield links
+    (the reference extracts links from HTML responses only — CrawlSpider
+    rules run on HtmlResponse).
+    """
+    urls = batch["url"].to_pylist()
+    seqs = batch["seq"].to_pylist()
+    bodies = batch["body"].to_pylist()
+    ctypes = batch["content_type"].to_pylist()
+
+    parent_urls: list[str] = []
+    parent_seqs: list[int] = []
+    child_urls: list[str] = []
+    link_seqs: list[int] = []
+    for url, seq, body, ctype in zip(urls, seqs, bodies, ctypes):
+        if body is None or not (ctype or "").startswith("text/html"):
+            continue
+        for i, child in enumerate(extract_links(url, body)):
+            parent_urls.append(url)
+            parent_seqs.append(seq)
+            child_urls.append(child)
+            link_seqs.append(i)
+    return pa.table(
+        {
+            "parent_url": pa.array(parent_urls, type=pa.string()),
+            "parent_seq": pa.array(np.asarray(parent_seqs, dtype=np.int64)),
+            "url": pa.array(child_urls, type=pa.string()),
+            "link_seq": pa.array(np.asarray(link_seqs, dtype=np.int64)),
+        }
+    )
