@@ -1,0 +1,575 @@
+"""The Ray-Data-native crawl frontier: BSP rounds over Dataset stages.
+
+This is the engine's flagship pipeline — the from-scratch replacement
+for the reference's Scrapy event loop (SURVEY.md §3.1). Each round:
+
+    frontier_k ──groupby(domain)──▶ politeness grant/carry        (shuffle: domain)
+      granted ──map_batches(CorpusFetcher actors)──▶ fetched      (hash join vs corpus)
+      fetched ──▶ order lineage ∥ emit rows ∥ link extraction
+      emit(w/ image) ──ImageAttach──▶ DecodePHash──▶ corpus sink  (actor pools)
+      links ──canonicalize+scope+robots──▶ denied ∥ candidates
+      candidates ──groupby(url_hash)──▶ intra-round first-wins    (shuffle: url_hash)
+                 ──DedupRouter(shard actors)──▶ novel mask        (URL-seen membership)
+                 ──groupby(parent)──▶ sibling rank + seq assign   (shuffle: parent)
+      frontier_{k+1} = carry ∪ novel  ──▶ checkpoint (frontier, shards, manifest)
+
+Ordering equivalence with the single-threaded simulator
+(pipelines/simulator.py — the pinned semantics) comes from explicit
+(depth, seq) keys, NOT serialized execution: fetch order is
+(round, depth, seq); children get seq from per-depth counters laid out
+in (parent_depth, parent_seq, link_seq) order via per-parent offsets
+(a small driver-side cumsum over one row per fetched page — the
+distributed-prefix-sum upgrade path is block-level sums, SURVEY.md §3.1).
+
+Scale notes (the 100 TB story):
+* Per-round frontier state lives in parquet/object store, streamed
+  through map_batches; nothing materializes the corpus.
+* The corpus table is ``ray.put`` ONCE; fetch/attach actors read it
+  zero-copy from the object store and join on precomputed uint64 url
+  hashes (searchsorted over an Arrow-backed numpy view — no python
+  strings in the hot path).
+* Mutating stages (DedupRouter) are materialized exactly once per
+  round; shard actors memoize (round, batch-digest) → mask so Ray task
+  retries replay instead of double-admitting.
+* Hot-domain skew: politeness bounds per-domain FETCH by design; the
+  CPU-heavy stages after fetch (decode, link parse, dedup) are keyed
+  by url_hash / parent, which salt across the cluster regardless of
+  domain skew.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.hashing import sha256_hex, xxhash64, xxhash64_array
+from ..functions.urlnorm import canonicalize, host_of
+from ..sources.crawl_sites import CrawlSite
+from ..stages.dedup import DedupRouter, dump_shards, make_shard_pool, restore_shards
+from ..stages.decode import DecodePHash
+from ..stages.fetch import CorpusFetcher, ImageAttach
+from ..stages.links import extract_links_batch
+from ..stages.politeness import PolitenessSelect, RobotsRules, robots_reason
+from ..stages.scope import DENY_DUPLICATE, DENY_ROBOTS, KEEP, JobScope, content_type_mask
+from ..state.checkpoint import CheckpointStore
+
+FRONTIER_COLUMNS = ["depth", "seq", "url", "domain", "url_hash"]
+
+_FRONTIER_SCHEMA = pa.schema(
+    [
+        ("depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("url", pa.string()),
+        ("domain", pa.string()),
+        ("url_hash", pa.uint64()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    round_seconds: float = 30.0
+    num_shards: int = 4
+    shard_capacity: int = 1 << 16
+    fetch_max_parallelism: int = 64
+    fetch_batch_size: int = 512
+    decode_batch_size: int = 64
+    link_batch_size: int = 512
+    max_rounds: int = 2000
+
+
+@dataclass
+class CrawlRunResult:
+    job_id: str
+    rounds: int
+    fetched: int
+    seen: int
+    out_dir: str
+    ckpt_dir: str
+    per_round_fetched: list[int] = field(default_factory=list)
+
+
+class _CanonScope:
+    """map_batches kernel: extracted links → canonical child rows with
+    deny reasons (scope order pinned in stages/scope.py) + robots."""
+
+    def __init__(self, scope: JobScope, robots: RobotsRules):
+        self.scope = scope
+        self.robots = robots
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = batch["url"].to_pylist()
+        canon = [canonicalize(u) for u in raw]
+        child_depth = pc.add(batch["parent_depth"], 1).cast(pa.int32())
+        s = pd.Series(canon, dtype="object")
+        reason = self.scope.evaluate(s, child_depth.to_numpy()).to_numpy(dtype=object)
+        keep = reason == KEEP
+        if keep.any():
+            robots_bad = robots_reason(s[keep], self.robots)
+            kidx = np.where(keep)[0]
+            reason[kidx[robots_bad]] = DENY_ROBOTS
+        domains = [host_of(u) for u in canon]
+        out = batch.drop_columns(["url"])
+        out = out.append_column("url", pa.array(canon, type=pa.string()))
+        out = out.append_column("depth", child_depth)
+        out = out.append_column("domain", pa.array(domains, type=pa.string()))
+        out = out.append_column("url_hash", pa.array(xxhash64_array(canon), type=pa.uint64()))
+        out = out.append_column("reason", pa.array(reason.astype(str), type=pa.string()))
+        return out
+
+
+def _mark_first_by_parent_order(group: pd.DataFrame) -> pd.DataFrame:
+    """Intra-round dedup: among same-url_hash candidates the one
+    admitted first under (parent_depth, parent_seq, link_seq) wins;
+    losers are flagged so they land in the denied(duplicate) lineage
+    exactly like the simulator records them."""
+    group = group.sort_values(["parent_depth", "parent_seq", "link_seq"], kind="mergesort")
+    flag = np.zeros(len(group), dtype=bool)
+    flag[:1] = True
+    return group.assign(intra_first=flag)
+
+
+def _sibling_rank(group: pd.DataFrame) -> pd.DataFrame:
+    """Within-parent rank of surviving candidates, in link order."""
+    group = group.sort_values("link_seq", kind="mergesort")
+    return group.assign(sib_rank=np.arange(len(group), dtype=np.int64))
+
+
+class _AssignSeq:
+    """seq = depth-counter offset of the parent + sibling rank. A plain
+    callable instance (task-based map_batches); the offsets dict is one
+    entry per page fetched this round — politeness-bounded, small."""
+
+    def __init__(self, offsets: dict):
+        self.offsets = offsets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pd_arr = batch["parent_depth"].to_numpy()
+        ps_arr = batch["parent_seq"].to_numpy()
+        sib = batch["sib_rank"].to_numpy()
+        base = np.fromiter(
+            (self.offsets[(int(d), int(s))] for d, s in zip(pd_arr, ps_arr)),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        out = batch.append_column("seq", pa.array(base + sib, type=pa.int64()))
+        return out.select(FRONTIER_COLUMNS)
+
+
+class _EmitKernel:
+    """Fetched pages → emitted item rows (reference parse_item,
+    spiders/domain_spider.py:136-155 + DeDeuplicator is subsumed by
+    frontier dedup — each URL is fetched at most once)."""
+
+    def __init__(self, output_target: str):
+        self.output_target = output_target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = pc.equal(batch["status"], pa.scalar(200, type=pa.int16())).to_numpy(zero_copy_only=False)
+        ct = pd.Series(batch["content_type"].to_pylist(), dtype="object")
+        allowed = content_type_mask(ct, self.output_target)
+        batch = batch.filter(pa.array(ok & allowed))
+        urls = batch["url"].to_pylist()
+        doc_ids = [sha256_hex(u) for u in urls]
+        out = batch.select(["depth", "seq", "url", "content_type", "content_language", "image_id"])
+        return out.append_column("doc_id", pa.array(doc_ids, type=pa.string()))
+
+
+def _write_round(ds: rd.Dataset, base: Path, round_id: int) -> None:
+    # "round-" (not hive-style "round=") so readers don't collide the
+    # directory partition with the materialized "round" column.
+    out = base / f"round-{round_id:04d}"
+    ds.write_parquet(str(out))
+
+
+def _add_round(t: pa.Table, k: int) -> pa.Table:
+    return t.append_column("round", pa.array(np.full(len(t), k, dtype=np.int32)))
+
+
+class _RoundStamp:
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return _add_round(t, self.k)
+
+
+class _DeniedKernel:
+    def __init__(self, k: int, keep_side: bool):
+        self.k = k
+        self.keep_side = keep_side
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["reason"], KEEP)
+        if not self.keep_side:
+            sub = t.filter(pc.invert(mask)).select(["url", "reason"])
+            return _add_round(sub, self.k)
+        return t.filter(mask).drop_columns(["reason"])
+
+
+class _DupDeniedKernel:
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.invert(t["novel"])).select(["url"])
+        sub = sub.append_column("reason", pa.array([DENY_DUPLICATE] * len(sub), type=pa.string()))
+        return _add_round(sub, self.k)
+
+
+class _IntraDupKernel:
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.invert(t["intra_first"])).select(["url"])
+        sub = sub.append_column("reason", pa.array([DENY_DUPLICATE] * len(sub), type=pa.string()))
+        return _add_round(sub, self.k)
+
+
+def _empty_frontier() -> pa.Table:
+    return _FRONTIER_SCHEMA.empty_table()
+
+
+class CrawlJobRunner:
+    """Runs one crawl job (one CrawlSite) over a corpus directory.
+
+    Owns the per-job mutable state: URL-seen shard actors, per-depth
+    seq counters, checkpoint store. Ray must already be initialized by
+    the caller (driver contract) — this class never calls ray.init.
+    """
+
+    def __init__(
+        self,
+        site: CrawlSite,
+        corpus_dir: str | Path,
+        out_dir: str | Path,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.site = site
+        self.cfg = cfg or CrawlConfig()
+        self.corpus_dir = Path(corpus_dir)
+        self.out_dir = Path(out_dir)
+        self.ckpt = CheckpointStore(self.out_dir / "checkpoint")
+        self.scope = JobScope(
+            allowed_domains=site.allowed_domains,
+            deny_paths=site.deny_paths,
+            allow_query_string=site.allow_query_string,
+            depth_limit=site.depth_limit,
+        )
+        robots_path = self.corpus_dir / "robots.parquet"
+        self.robots = (
+            RobotsRules.from_table(pq.read_table(robots_path))
+            if robots_path.exists()
+            else RobotsRules()
+        )
+        # Corpus into the object store ONCE (zero-copy for all actors);
+        # pre-sorted by url_hash so actor init is O(1).
+        pages = pq.read_table(self.corpus_dir / "corpus_pages.parquet").drop_columns(["links"])
+        pages = pages.take(pc.sort_indices(pages["url_hash"]))
+        self.corpus_ref = ray.put(pages)
+        images_path = self.corpus_dir / "corpus_images.parquet"
+        if images_path.exists():
+            images = pq.read_table(images_path)
+            id_hash = xxhash64_array(images["image_id"].to_pylist())
+            images = images.append_column("id_hash", pa.array(id_hash, type=pa.uint64()))
+            images = images.take(pc.sort_indices(images["id_hash"]))
+            self.images_ref = ray.put(images)
+        else:
+            self.images_ref = None
+        self.shards = make_shard_pool(self.cfg.num_shards, self.cfg.shard_capacity)
+        self.depth_counters: dict[int, int] = {}
+
+    # --- seed admission (round 0 bootstrap; tiny, driver-side) ----------
+    def _admit_seeds(self) -> tuple[pa.Table, list[dict]]:
+        urls = [canonicalize(u) for u in self.site.starting_urls]
+        denied: list[dict] = []
+        rows = []
+        for i, url in enumerate(urls):
+            reason = self.scope.evaluate(pd.Series([url]), np.array([0])).iloc[0]
+            if reason == KEEP and not self.robots.allowed(url):
+                reason = DENY_ROBOTS
+            if reason != KEEP:
+                denied.append({"url": url, "reason": reason, "round": -1})
+                continue
+            rows.append(url)
+        hashes = xxhash64_array(rows)
+        shard_of = hashes % np.uint64(max(1, self.cfg.num_shards))
+        novel = np.zeros(len(rows), dtype=bool)
+        for s in np.unique(shard_of):
+            idx = np.where(shard_of == s)[0]
+            sub = hashes[idx]
+            digest = int(xxhash64(sub.tobytes()))
+            novel[idx] = ray.get(self.shards[int(s)].test_and_add.remote(-1, digest, sub))
+        frontier_rows = {k: [] for k in FRONTIER_COLUMNS}
+        seq = 0
+        for i, url in enumerate(rows):
+            if not novel[i]:
+                denied.append({"url": url, "reason": DENY_DUPLICATE, "round": -1})
+                continue
+            frontier_rows["depth"].append(0)
+            frontier_rows["seq"].append(seq)
+            frontier_rows["url"].append(url)
+            frontier_rows["domain"].append(host_of(url))
+            frontier_rows["url_hash"].append(int(hashes[i]))
+            seq += 1
+        self.depth_counters = {0: seq}
+        return pa.table(frontier_rows, schema=_FRONTIER_SCHEMA), denied
+
+    def _write_checkpoint(self, k: int, frontier: rd.Dataset | pa.Table, manifest_extra: dict) -> int:
+        fdir = self.ckpt.frontier_dir(k)
+        fdir.mkdir(parents=True, exist_ok=True)
+        if isinstance(frontier, pa.Table):
+            pq.write_table(frontier, fdir / "frontier_0000.parquet")
+            n_rows = frontier.num_rows
+        else:
+            frontier.write_parquet(str(fdir))
+            n_rows = frontier.count()
+        shard_sizes = ray.get([s.size.remote() for s in self.shards])
+        dump_shards(self.shards, self.ckpt.shards_dir(k))
+        manifest = {
+            "round": k,
+            "job_id": self.site.job_id,
+            "frontier_rows": int(n_rows),
+            "shard_sizes": [int(x) for x in shard_sizes],
+            "depth_counters": {str(d): int(c) for d, c in self.depth_counters.items()},
+            **manifest_extra,
+        }
+        self.ckpt.write_manifest(k, manifest)
+        return int(n_rows)
+
+    def _clean_outputs_from(self, k: int) -> None:
+        for sub in ("order", "emitted", "corpus", "denied"):
+            base = self.out_dir / sub
+            if not base.exists():
+                continue
+            for d in base.glob("**/round-*"):
+                tail = d.name.split("-", 1)[1]
+                if tail.isdigit() and int(tail) >= k:
+                    shutil.rmtree(d)
+
+    def resume_point(self) -> int | None:
+        return self.ckpt.latest_complete_round()
+
+    def run(self, resume: bool = False) -> CrawlRunResult:
+        cfg = self.cfg
+        if resume and (k0 := self.resume_point()) is not None:
+            manifest = self.ckpt.read_manifest(k0)
+            self.depth_counters = {int(d): int(c) for d, c in manifest["depth_counters"].items()}
+            restore_shards(self.shards, self.ckpt.shards_dir(k0))
+            self.ckpt.drop_rounds_from(k0 + 1)
+            self._clean_outputs_from(k0)
+            start_round = k0
+        else:
+            if self.out_dir.exists():
+                shutil.rmtree(self.out_dir)
+            self.ckpt = CheckpointStore(self.out_dir / "checkpoint")
+            seeds_frontier, seed_denied = self._admit_seeds()
+            if seed_denied:
+                dtab = pa.table(
+                    {
+                        "url": [d["url"] for d in seed_denied],
+                        "reason": [d["reason"] for d in seed_denied],
+                        "round": pa.array([d["round"] for d in seed_denied], type=pa.int32()),
+                    }
+                )
+                seed_dir = self.out_dir / "denied" / "round-seed"
+                seed_dir.mkdir(parents=True, exist_ok=True)
+                pq.write_table(dtab, seed_dir / "denied_seed.parquet")
+            self._write_checkpoint(0, seeds_frontier, {"granted": {}, "phase": "seeded"})
+            start_round = 0
+
+        total_fetched = 0
+        per_round: list[int] = []
+        k = start_round
+        while k < cfg.max_rounds:
+            manifest = self.ckpt.read_manifest(k)
+            if manifest is None or manifest["frontier_rows"] == 0:
+                break
+            fetched_count = self._run_round(k)
+            per_round.append(fetched_count)
+            total_fetched += fetched_count
+            ray.get([s.end_round.remote(k) for s in self.shards])
+            k += 1
+        seen_total = int(sum(ray.get([s.size.remote() for s in self.shards])))
+        return CrawlRunResult(
+            job_id=self.site.job_id,
+            rounds=k - start_round,
+            fetched=total_fetched,
+            seen=seen_total,
+            out_dir=str(self.out_dir),
+            ckpt_dir=str(self.ckpt.root),
+            per_round_fetched=per_round,
+        )
+
+    # --- one BSP round ---------------------------------------------------
+    def _run_round(self, k: int) -> int:
+        cfg = self.cfg
+        frontier = rd.read_parquet(str(self.ckpt.frontier_dir(k)))
+
+        # 1. politeness grant (shuffle by domain), exactly one execution
+        sel = PolitenessSelect(self.robots, cfg.round_seconds)
+
+        def politeness_grant(group: pd.DataFrame) -> pd.DataFrame:
+            return sel(group)
+
+        marked = frontier.groupby("domain").map_groups(
+            politeness_grant, batch_format="pandas"
+        ).materialize()
+        granted = marked.map_batches(
+            lambda t: t.filter(t["granted"]).drop_columns(["granted"]),
+            batch_format="pyarrow",
+        )
+        carry = marked.map_batches(
+            lambda t: t.filter(pc.invert(t["granted"])).drop_columns(["granted"]),
+            batch_format="pyarrow",
+        )
+
+        # 2. fetch (task-based hash join vs the broadcast corpus; block
+        # count = fetch parallelism, so split wide rounds first)
+        rows_in = self.ckpt.read_manifest(k)["frontier_rows"]
+        if rows_in > 4 * cfg.fetch_batch_size:
+            granted = granted.repartition(
+                min(rows_in // cfg.fetch_batch_size + 1, cfg.fetch_max_parallelism)
+            )
+        fetched = granted.map_batches(
+            CorpusFetcher(self.corpus_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+        ).materialize()
+        n_fetched = fetched.count()
+
+        # 3. order/lineage sink (fetch order = (round, depth, seq))
+        order = fetched.drop_columns(["body"]).map_batches(
+            _RoundStamp(k), batch_format="pyarrow"
+        )
+        _write_round(order, self.out_dir / "order", k)
+
+        # spent-per-domain lineage (small aggregate)
+        spent_df = (
+            fetched.groupby("domain").count().to_pandas()
+            if n_fetched
+            else pd.DataFrame({"domain": [], "count()": []})
+        )
+        spent = {str(r["domain"]): int(r["count()"]) for _, r in spent_df.iterrows()}
+
+        # 4. emit + image payload landing
+        emit = fetched.map_batches(
+            _EmitKernel(self.site.output_target), batch_format="pyarrow"
+        ).map_batches(_RoundStamp(k), batch_format="pyarrow").materialize()
+        _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
+        if self.images_ref is not None and emit.count() > 0:
+            image_rows = emit.map_batches(
+                ImageAttach(self.images_ref),
+                batch_format="pyarrow",
+                batch_size=cfg.decode_batch_size,
+            ).map_batches(
+                DecodePHash(),
+                batch_format="pyarrow",
+                batch_size=cfg.decode_batch_size,
+            )
+            _write_round(image_rows, self.out_dir / "corpus", k)
+
+        # 5. link extraction → canonicalize → scope/robots
+        # (only 200-status pages parse — non-200 responses yield neither
+        # items nor links, reference CrawlSpider semantics)
+        links = fetched.map_batches(
+            lambda t: t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16()))),
+            batch_format="pyarrow",
+        ).map_batches(
+            extract_links_batch, batch_format="pyarrow", batch_size=cfg.link_batch_size
+        )
+        scoped = links.map_batches(
+            _CanonScope(self.scope, self.robots), batch_format="pyarrow"
+        ).materialize()
+
+        denied = scoped.map_batches(_DeniedKernel(k, keep_side=False), batch_format="pyarrow")
+        _write_round(denied, self.out_dir / "denied", k)
+
+        cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
+        if cands.count() == 0:
+            next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
+            self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
+            return n_fetched
+
+        # 6. intra-round first-wins dedup (shuffle by url_hash)
+        grouped = cands.groupby("url_hash").map_groups(
+            _mark_first_by_parent_order, batch_format="pandas"
+        ).materialize()
+        intra_dups = grouped.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
+        _write_round(intra_dups, self.out_dir / "denied" / "intra", k)
+        cands = grouped.map_batches(
+            lambda t: t.filter(t["intra_first"]).drop_columns(["intra_first"]),
+            batch_format="pyarrow",
+        )
+
+        # 7. URL-seen membership (mutating — materialize exactly once)
+        cands = cands.map_batches(
+            DedupRouter(self.shards, k), batch_format="pyarrow", batch_size=cfg.link_batch_size
+        ).materialize()
+        dup_denied = cands.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")
+        _write_round(dup_denied, self.out_dir / "denied" / "dups", k)
+        novel = cands.map_batches(
+            lambda t: t.filter(t["novel"]).drop_columns(["novel"]), batch_format="pyarrow"
+        )
+
+        # 8. sibling rank (shuffle by parent) + per-parent offsets
+        ranked = novel.groupby(["parent_depth", "parent_seq"]).map_groups(
+            _sibling_rank, batch_format="pandas"
+        ).materialize()
+        if ranked.count() == 0:
+            next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
+            self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
+            return n_fetched
+        counts = ranked.groupby(["parent_depth", "parent_seq"]).count().to_pandas()
+        counts = counts.sort_values(["parent_depth", "parent_seq"], kind="mergesort")
+        offsets: dict[tuple[int, int], int] = {}
+        for _, row in counts.iterrows():
+            d = int(row["parent_depth"]) + 1
+            offsets[(int(row["parent_depth"]), int(row["parent_seq"]))] = self.depth_counters.get(d, 0)
+            self.depth_counters[d] = self.depth_counters.get(d, 0) + int(row["count()"])
+        new_frontier = ranked.map_batches(_AssignSeq(offsets), batch_format="pyarrow")
+
+        next_frontier = carry.map_batches(
+            lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow"
+        ).union(new_frontier)
+        self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
+        return n_fetched
+
+
+def read_order(out_dir: str | Path) -> pd.DataFrame:
+    """Golden-order view: all fetched URLs in global fetch order."""
+    df = pq.read_table(str(Path(out_dir) / "order")).to_pandas()
+    df = df.sort_values(["round", "depth", "seq"], kind="mergesort").reset_index(drop=True)
+    df["rank"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+def read_denied(out_dir: str | Path) -> set[tuple[str, str]]:
+    base = Path(out_dir) / "denied"
+    if not base.exists():
+        return set()
+    tab = pq.read_table(str(base))
+    return set(zip(tab["url"].to_pylist(), tab["reason"].to_pylist()))
+
+
+def read_seen(runner: CrawlJobRunner) -> set[int]:
+    """URL-seen parity view: union of shard audit sets (hash space)."""
+    import ray as _ray
+
+    dumps = _ray.get([s.dump.remote() for s in runner.shards])
+    from ..state.cuckoo import UrlSeenShard
+
+    seen: set[int] = set()
+    for blob in dumps:
+        seen |= UrlSeenShard.load(blob).exact
+    return seen

@@ -165,6 +165,7 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
 
     pages_schema = pa.schema(
         [
+            ("url_hash", pa.uint64()),  # xxhash64(url): the fetch-join key
             ("url", pa.string()),
             ("domain", pa.string()),
             ("status", pa.int16()),
@@ -195,6 +196,7 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
                 img = image_id_for(d, j)
                 if img is not None:
                     image_ids.append(img)
+                rows["url_hash"].append(xxhash64(url))
                 rows["url"].append(url)
                 rows["domain"].append(domain)
                 rows["status"].append(page_status(j))
@@ -212,6 +214,7 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
             for t in range(10):
                 url = f"https://{domain}/tag/t{t}.html"
                 body = render_body(url, f"Tag {t}", [page_url(domain, t)])
+                rows["url_hash"].append(xxhash64(url))
                 rows["url"].append(url)
                 rows["domain"].append(domain)
                 rows["status"].append(200)

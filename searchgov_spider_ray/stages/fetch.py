@@ -1,0 +1,132 @@
+"""Fetch stage: resolve frontier URLs to responses.
+
+The production implementation is an HTTP actor pool (connection pools
+per actor, 15 s timeout, 15 MB cap, no retries — reference
+settings.py:38-50). This sandbox has no network, so the SAME stage
+interface is backed by the synthetic corpus: a hash join of frontier
+URLs against the corpus table (SURVEY.md §2.1 S3/S8 — the reference's
+own e2e test replays a committed HTTP cache the same way,
+tests/search_gov_spiders/test_full_crawl.py:32-39).
+
+Broadcast, not shuffle: the driver ``ray.put``s the corpus Arrow table
+ONCE, pre-sorted by its uint64 ``url_hash`` column; stage callables
+``ray.get`` it lazily (zero-copy from the local object store — N
+workers share one physical copy) and join each batch with a vectorized
+``np.searchsorted`` over the Arrow-backed hash column. No Python
+strings in the probe path; matched rows string-confirm to rule out
+hash collisions. A fetch miss models a dead link: status 0, no body,
+never retried (RETRY_ENABLED=False parity).
+
+These callables are deliberately TASK-based (instances, not actor
+pools): their only state is the read-only broadcast table, and lazy
+zero-copy attach per task beats paying actor-pool spin-up every BSP
+round. The genuinely mutable stages (URL-seen shards, politeness) are
+the actor-held state. A real HTTP fetcher would flip back to an actor
+pool via ``map_batches(HttpFetcher, concurrency=N)`` with this same
+batch contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _hash_probe(sorted_hashes: np.ndarray, probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, found-mask) of ``probe`` in the sorted hash column."""
+    if len(sorted_hashes) == 0:
+        return np.zeros(len(probe), dtype=np.int64), np.zeros(len(probe), dtype=bool)
+    pos = np.searchsorted(sorted_hashes, probe)
+    pos = np.minimum(pos, len(sorted_hashes) - 1)
+    return pos, sorted_hashes[pos] == probe
+
+
+class CorpusFetcher:
+    """map_batches callable: frontier rows (url, url_hash, depth, seq,
+    domain) → + (status, content_type, content_language, body,
+    image_id)."""
+
+    def __init__(self, corpus_ref):
+        self.corpus_ref = corpus_ref
+        self._hashes: np.ndarray | None = None
+        self._table: pa.Table | None = None
+
+    def _ensure(self) -> None:
+        if self._table is None:
+            self._table = ray.get(self.corpus_ref)  # zero-copy, sorted by url_hash
+            self._hashes = self._table["url_hash"].to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
+        probe = batch["url_hash"].to_numpy().astype(np.uint64)
+        pos, found = _hash_probe(self._hashes, probe)
+        rows = self._table.take(pa.array(pos[found], type=pa.int64()))
+        # hash-collision guard: confirm url strings on matches only
+        if len(rows):
+            batch_urls = np.asarray(batch["url"].to_pylist(), dtype=object)[found]
+            corpus_urls = np.asarray(rows["url"].to_pylist(), dtype=object)
+            confirm = batch_urls == corpus_urls
+            if not confirm.all():
+                fidx = np.where(found)[0]
+                found[fidx[~confirm]] = False
+                rows = rows.filter(pa.array(confirm))
+
+        n = len(batch)
+        status = np.zeros(n, dtype=np.int16)
+        ctype = np.full(n, "", dtype=object)
+        lang = np.full(n, None, dtype=object)
+        body: list = [None] * n
+        image_id = np.full(n, None, dtype=object)
+        fidx = np.where(found)[0]
+        st = rows["status"].to_numpy()
+        ct = rows["content_type"].to_pylist()
+        lg = rows["content_language"].to_pylist()
+        bd = rows["body"].to_pylist()
+        im = rows["image_id"].to_pylist()
+        for k, i in enumerate(fidx):
+            status[i] = st[k]
+            ctype[i] = ct[k]
+            lang[i] = lg[k]
+            body[i] = bd[k]
+            image_id[i] = im[k]
+        out = batch
+        out = out.append_column("status", pa.array(status, type=pa.int16()))
+        out = out.append_column("content_type", pa.array(ctype, type=pa.string()))
+        out = out.append_column("content_language", pa.array(lang, type=pa.string()))
+        out = out.append_column("body", pa.array(body, type=pa.binary()))
+        out = out.append_column("image_id", pa.array(image_id, type=pa.string()))
+        return out
+
+
+class ImageAttach:
+    """map_batches callable: emitted rows with ``image_id`` → full
+    image+caption corpus rows (image_id, bytes, w, h, fmt, caption,
+    phash — the Lance row shape of BASELINE.json input_hint). Rows
+    without an image are dropped (they emit to the URL-list sink
+    instead). Join key: uint64 ``id_hash`` precomputed by the driver."""
+
+    def __init__(self, images_ref):
+        self.images_ref = images_ref
+        self._hashes: np.ndarray | None = None
+        self._table: pa.Table | None = None
+
+    def _ensure(self) -> None:
+        if self._table is None:
+            self._table = ray.get(self.images_ref)  # sorted by id_hash
+            self._hashes = self._table["id_hash"].to_numpy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import xxhash64_array
+
+        self._ensure()
+        batch = batch.filter(batch["image_id"].is_valid())
+        ids = batch["image_id"].to_pylist()
+        probe = xxhash64_array(ids)
+        pos, found = _hash_probe(self._hashes, probe)
+        batch = batch.filter(pa.array(found))
+        rows = self._table.take(pa.array(pos[found], type=pa.int64()))
+        out = batch.drop_columns(["image_id"])
+        for name in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+            out = out.append_column(name, rows[name])
+        return out

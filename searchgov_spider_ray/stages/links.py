@@ -56,31 +56,36 @@ def extract_links_batch(batch: pa.Table) -> pa.Table:
     """map_batches kernel: fetched pages → exploded child-link rows.
 
     Input columns: ``url`` (string), ``seq`` (int64), ``body`` (binary),
-    ``content_type`` (string). Only ``text/html`` pages yield links
-    (the reference extracts links from HTML responses only — CrawlSpider
-    rules run on HtmlResponse).
+    ``content_type`` (string), optional ``depth`` (int32, passed through
+    as ``parent_depth``; 0 when absent). Only ``text/html`` pages yield
+    links (the reference extracts links from HTML responses only —
+    CrawlSpider rules run on HtmlResponse).
     """
     urls = batch["url"].to_pylist()
     seqs = batch["seq"].to_pylist()
     bodies = batch["body"].to_pylist()
     ctypes = batch["content_type"].to_pylist()
+    depths = batch["depth"].to_pylist() if "depth" in batch.column_names else [0] * len(batch)
 
     parent_urls: list[str] = []
     parent_seqs: list[int] = []
+    parent_depths: list[int] = []
     child_urls: list[str] = []
     link_seqs: list[int] = []
-    for url, seq, body, ctype in zip(urls, seqs, bodies, ctypes):
+    for url, seq, depth, body, ctype in zip(urls, seqs, depths, bodies, ctypes):
         if body is None or not (ctype or "").startswith("text/html"):
             continue
         for i, child in enumerate(extract_links(url, body)):
             parent_urls.append(url)
             parent_seqs.append(seq)
+            parent_depths.append(depth)
             child_urls.append(child)
             link_seqs.append(i)
     return pa.table(
         {
             "parent_url": pa.array(parent_urls, type=pa.string()),
             "parent_seq": pa.array(np.asarray(parent_seqs, dtype=np.int64)),
+            "parent_depth": pa.array(np.asarray(parent_depths, dtype=np.int32)),
             "url": pa.array(child_urls, type=pa.string()),
             "link_seq": pa.array(np.asarray(link_seqs, dtype=np.int64)),
         }

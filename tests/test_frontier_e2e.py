@@ -1,0 +1,169 @@
+"""End-to-end frontier-pipeline tests: ordering equivalence vs the
+reference simulator, URL-seen parity, denial parity, emitted/image
+payload parity (PSNR + caption), robots compliance, and
+resume-from-checkpoint. The Ray analog of the reference's golden
+cached crawl (test_full_crawl.py:122-171)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from searchgov_spider_ray.functions.hashing import xxhash64
+from searchgov_spider_ray.pipelines.frontier import (
+    CrawlConfig,
+    CrawlJobRunner,
+    read_denied,
+    read_order,
+    read_seen,
+)
+from searchgov_spider_ray.pipelines.simulator import (
+    RobotsRules,
+    load_corpus_dict,
+    simulate_crawl,
+)
+from searchgov_spider_ray.sources.corpusgen import CorpusSpec, generate_corpus
+from searchgov_spider_ray.sources.crawl_sites import CrawlSites
+
+ROUND_SECONDS = 10.0
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("e2e_corpus")
+    generate_corpus(out, CorpusSpec(seed=42, n_domains=3, pages_per_domain=40))
+    return out
+
+
+@pytest.fixture(scope="module")
+def sim_env(corpus_dir):
+    corpus = load_corpus_dict(pq.read_table(corpus_dir / "corpus_pages.parquet"))
+    robots = RobotsRules.from_table(pq.read_table(corpus_dir / "robots.parquet"))
+    sites = {s.name: s for s in CrawlSites.from_file(corpus_dir / "seeds.json").sites}
+    images = pq.read_table(corpus_dir / "corpus_images.parquet").to_pylist()
+    captions = {r["image_id"]: r["caption"] for r in images}
+    return corpus, robots, sites, captions
+
+
+def _run(site, corpus_dir, out_dir, **cfg_kwargs):
+    cfg = CrawlConfig(round_seconds=ROUND_SECONDS, num_shards=4, **cfg_kwargs)
+    runner = CrawlJobRunner(site, corpus_dir, out_dir, cfg)
+    res = runner.run()
+    return runner, res
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOrderingAndParity:
+    @pytest.fixture(scope="class")
+    def plain_run(self, corpus_dir, sim_env, tmp_path_factory):
+        corpus, robots, sites, captions = sim_env
+        out = tmp_path_factory.mktemp("plain_out")
+        runner, res = _run(sites["plain"], corpus_dir, out)
+        sim = simulate_crawl(sites["plain"], corpus, robots, captions, round_seconds=ROUND_SECONDS)
+        return runner, res, sim, out
+
+    def test_fetch_order_equivalence(self, plain_run):
+        runner, res, sim, out = plain_run
+        order = read_order(out)
+        assert order["url"].tolist() == [u for _, u, _ in sim.order]
+        assert order["depth"].tolist() == [d for _, _, d in sim.order]
+
+    def test_url_seen_parity(self, plain_run):
+        runner, res, sim, out = plain_run
+        assert read_seen(runner) == {xxhash64(u) for u in sim.seen}
+        assert res.seen == len(sim.seen)
+
+    def test_denied_parity(self, plain_run):
+        runner, res, sim, out = plain_run
+        assert read_denied(out) == sim.denied
+
+    def test_robots_compliance(self, plain_run, sim_env):
+        _, _, _, out = plain_run
+        _, robots, _, _ = sim_env
+        for url in read_order(out)["url"]:
+            assert robots.allowed(url), f"fetched robots-disallowed {url}"
+
+    def test_emitted_parity(self, plain_run):
+        runner, res, sim, out = plain_run
+        emitted = pq.read_table(str(out / "emitted")).to_pandas()
+        emitted = emitted.sort_values(["round", "depth", "seq"], kind="mergesort")
+        assert emitted["url"].tolist() == [e["url"] for e in sim.emitted]
+        assert emitted["doc_id"].tolist() == [e["doc_id"] for e in sim.emitted]
+
+    def test_image_payloads(self, plain_run, sim_env):
+        runner, res, sim, out = plain_run
+        corpus_out = pq.read_table(str(out / "corpus")).to_pandas()
+        sim_images = {e["image_id"]: e["caption"] for e in sim.emitted if e["image_id"]}
+        assert set(corpus_out["image_id"]) == set(sim_images)
+        assert corpus_out["phash_match"].all()
+        assert corpus_out["dims_match"].all()
+        assert corpus_out["decode_ok"].all()
+        for _, row in corpus_out.iterrows():
+            assert row["caption"] == sim_images[row["image_id"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultiDomain:
+    def test_deep_job_parity(self, corpus_dir, sim_env, tmp_path_factory):
+        corpus, robots, sites, captions = sim_env
+        site = sites["deep all domains"]
+        out = tmp_path_factory.mktemp("deep_out")
+        runner, res = _run(site, corpus_dir, out)
+        sim = simulate_crawl(site, corpus, robots, captions, round_seconds=ROUND_SECONDS)
+        assert read_order(out)["url"].tolist() == [u for _, u, _ in sim.order]
+        assert read_seen(runner) == {xxhash64(u) for u in sim.seen}
+        assert read_denied(out) == sim.denied
+        # multi-domain: politeness budgets differ per domain (robots
+        # crawl_delay 1.0 / 0.5 / 2.0) — parity proves the grant logic
+        domains = {u.split("/")[2] for u in read_order(out)["url"]}
+        assert len(domains) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def test_resume_from_checkpoint_matches_uninterrupted(
+        self, corpus_dir, sim_env, tmp_path_factory
+    ):
+        corpus, robots, sites, captions = sim_env
+        site = sites["plain"]
+        full_out = tmp_path_factory.mktemp("full_out")
+        _, full_res = _run(site, corpus_dir, full_out)
+        full_order = read_order(full_out)
+
+        # interrupted run: stop after 2 rounds (simulates a kill at the
+        # round barrier), then a FRESH runner resumes from checkpoint
+        part_out = tmp_path_factory.mktemp("part_out")
+        _, part_res = _run(site, corpus_dir, part_out, max_rounds=2)
+        assert part_res.rounds == 2
+        cfg = CrawlConfig(round_seconds=ROUND_SECONDS, num_shards=4)
+        resumed = CrawlJobRunner(site, corpus_dir, part_out, cfg)
+        assert resumed.resume_point() == 2
+        res2 = resumed.run(resume=True)
+
+        resumed_order = read_order(part_out)
+        assert resumed_order["url"].tolist() == full_order["url"].tolist()
+        assert read_seen(resumed) == {xxhash64(u) for u in simulate_crawl(
+            site, corpus, robots, captions, round_seconds=ROUND_SECONDS).seen}
+        # no URL fetched twice across the kill/resume boundary
+        assert resumed_order["url"].is_unique
+        assert part_res.fetched + res2.fetched == full_res.fetched
+
+    def test_mid_round_kill_replays_round(self, corpus_dir, sim_env, tmp_path_factory):
+        """A round with no manifest (killed mid-round) is discarded and
+        re-executed from its checkpointed entry state."""
+        corpus, robots, sites, captions = sim_env
+        site = sites["plain"]
+        out = tmp_path_factory.mktemp("midkill_out")
+        _, res = _run(site, corpus_dir, out, max_rounds=3)
+        # simulate mid-round-3 kill: delete round-3 manifest (partial)
+        ckpt_manifest = out / "checkpoint" / "round_0003" / "manifest.json"
+        ckpt_manifest.unlink()
+        cfg = CrawlConfig(round_seconds=ROUND_SECONDS, num_shards=4)
+        resumed = CrawlJobRunner(site, corpus_dir, out, cfg)
+        assert resumed.resume_point() == 2
+        resumed.run(resume=True)
+        sim = simulate_crawl(site, corpus, robots, captions, round_seconds=ROUND_SECONDS)
+        assert read_order(out)["url"].tolist() == [u for _, u, _ in sim.order]
+        assert read_seen(resumed) == {xxhash64(u) for u in sim.seen}
