@@ -1,44 +1,54 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke
+check, runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares
+against ``oracle_sql()[name]`` via DuckDB (row-count + schema +
+order-insensitive value-hash). Nothing here may call ray.init /
+ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query implementations live in
+``searchgov_spider_ray/pipelines/queries.py``; the crawl engine itself
+is ``searchgov_spider_ray/pipelines/frontier.py`` (see SURVEY.md §2
+for the operator inventory each entry maps to).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from searchgov_spider_ray.pipelines.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: full crawl-frontier run (canonicalize →
+    scope → dedup shards → politeness → fetch → decode/phash → Lance-
+    shaped corpus rows) on the deterministic packaged corpus, plus a
+    read of sf0.001 to prove the testdata path. Returns the fetch-order
+    table (stable schema: rank, url, depth)."""
+    import pandas as pd  # noqa: F401
+    import ray.data as rd
+
+    # prove the sf-dir read path works (driver smoke uses sf0.001)
+    _ = rd.read_parquet("/root/testdata/sf0.001/region.parquet").count()
+    from searchgov_spider_ray.pipelines.queries import crawl_order
+
+    return crawl_order("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md §2 +
+    the training-data additions (dedup / ANN / text analysis)."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; crawl /
+    MinHash / SimHash / ANN entries are deliberately omitted (stateful
+    or approximate — the driver records the weaker rows-only check, and
+    pytest pins their semantics against fixtures/simulator)."""
+    return dict(ORACLES)

@@ -360,6 +360,14 @@ class CrawlJobRunner:
     def resume_point(self) -> int | None:
         return self.ckpt.latest_complete_round()
 
+    def close(self) -> None:
+        """Kill shard actors (frees their CPU/memory reservation).
+        Call when done reading state; a new runner restores from
+        checkpoint."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
     def run(self, resume: bool = False) -> CrawlRunResult:
         cfg = self.cfg
         if resume and (k0 := self.resume_point()) is not None:

@@ -1,0 +1,565 @@
+"""Driver-contract query callables: each takes ``sf_dir`` and returns a
+Dataset / DataFrame / Table; ``ORACLES`` holds the matching DuckDB SQL
+(same column names — the driver hash-compares values).
+
+Float discipline: every float aggregate is converted to fixed-point
+PER ROW (``floor(x*scale + 0.5)`` — identical IEEE double arithmetic in
+numpy and DuckDB) and summed as int64, so sums are exact integers on
+both sides and association order can't flip a hash compare.
+
+Aggregates follow the pre-aggregation pattern: partial groupby inside
+``map_batches`` (vectorized pandas), then a small ``groupby().sum()``
+over the partials — the shuffle moves one row per (batch × key), not
+per input row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray | pd.Series) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def _micros(x: np.ndarray | pd.Series) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def _md5_series(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped anchors (vectorized agg path)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary (TPC-H Q1 shape) with fixed-point revenue."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        df = df.assign(
+            qty=df["l_quantity"].astype(np.int64),
+            base_cents=_cents(df["l_extendedprice"]),
+            disc_cents=_cents(df["l_extendedprice"] * (1.0 - df["l_discount"])),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            n_rows=("qty", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
+def top_spenders(sf_dir: str):
+    """Top-10 customers by order value (groupby + sort + limit)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(total_cents=_cents(df["o_totalprice"]))
+        return df.groupby("o_custkey", as_index=False).agg(
+            total_cents=("total_cents", "sum"), n_orders=("total_cents", "size")
+        )
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("o_custkey").aggregate(
+        Sum("total_cents", alias_name="total_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+    df = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+    return df
+
+
+def priority_by_region(sf_dir: str):
+    """orders ⨝ customer ⨝ nation ⨝ region via broadcast lookup chain
+    (small sides ray.put once; no shuffle join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat_to_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    reg_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    cust_region = {
+        int(c): reg_name[nat_to_region[int(n)]] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    ref = ray.put(cust_region)
+
+    class _Attach:
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._m is None:
+                self._m = ray.get(ref)
+            df = df.assign(r_name=df["o_custkey"].map(self._m))
+            return df.groupby(["r_name", "o_orderpriority"], as_index=False).agg(
+                n=("o_custkey", "size")
+            )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    partials = orders.map_batches(_Attach(), batch_format="pandas")
+    return partials.groupby(["r_name", "o_orderpriority"]).aggregate(Sum("n", alias_name="n"))
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (sitemap-diff pattern, SURVEY.md
+    §2.4 A5)."""
+    okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    ref = ray.put(set(int(k) for k in okeys))
+
+    class _Filter:
+        def __init__(self):
+            self._s = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._s is None:
+                self._s = ray.get(ref)
+            keys = t["c_custkey"].to_numpy()
+            mask = np.array([int(k) not in self._s for k in keys], dtype=bool)
+            return t.filter(pa.array(mask))
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(_Filter(), batch_format="pyarrow")
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    ref = ray.put(nmap)
+
+    class _Partial:
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._m is None:
+                self._m = ray.get(ref)
+            df = df.assign(n_name=df["s_nationkey"].astype(int).map(self._m), bal_cents=_cents(df["s_acctbal"]))
+            return df.groupby("n_name", as_index=False).agg(
+                sum_bal_cents=("bal_cents", "sum"), n_suppliers=("bal_cents", "size")
+            )
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    return ds.map_batches(_Partial(), batch_format="pandas").groupby("n_name").aggregate(
+        Sum("sum_bal_cents", alias_name="sum_bal_cents"),
+        Sum("n_suppliers", alias_name="n_suppliers"),
+    )
+
+
+def part_stats_small(sf_dir: str):
+    """Filter + aggregate with read-time column pruning."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["p_size"] >= 1) & (df["p_size"] <= 15)]
+        return df.groupby("p_brand", as_index=False).agg(
+            n=("p_size", "size"), sum_size=("p_size", "sum")
+        )
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("p_brand").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_size", alias_name="sum_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# events: stream-shaped windowed aggregate
+# --------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per user (stream-shaped groupby; the
+    window key is computed vectorized per batch)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            window_start=df["ts"].dt.floor("h"),
+            value_micros=_micros(df["value"]),
+        )
+        return df.groupby(["user_id", "window_start"], as_index=False).agg(
+            n_events=("value_micros", "size"), sum_value_micros=("value_micros", "sum")
+        )
+
+    return ds.map_batches(partial, batch_format="pandas").groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_micros", alias_name="sum_value_micros"),
+    )
+
+
+def users_first_seen_late(sf_dir: str):
+    """Users first seen in the second half of the event log — the
+    sitemap snapshot anti-join shape (new = current ∖ previous)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    bounds = ds.aggregate(Min("ts"))
+    tmin = pd.Timestamp(bounds["min(ts)"])
+    # max via sort would shuffle; a tiny aggregate is fine
+    from ray.data.aggregate import Max
+
+    tmax = pd.Timestamp(ds.aggregate(Max("ts"))["max(ts)"])
+    cutoff = tmin + (tmax - tmin) / 2
+    early = ds.map_batches(
+        lambda df, _c=cutoff: df[df["ts"] < _c][["user_id"]].drop_duplicates(),
+        batch_format="pandas",
+    ).unique("user_id")
+    ref = ray.put({int(u) for u in early})
+
+    class _Late:
+        def __init__(self):
+            self._s = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._s is None:
+                self._s = ray.get(ref)
+            df = df[df["ts"] >= cutoff]
+            df = df[~df["user_id"].isin(self._s)]
+            return df[["user_id"]].drop_duplicates()
+
+    late = ds.map_batches(_Late(), batch_format="pandas").unique("user_id") or set()
+    return pa.table({"user_id": pa.array(sorted(int(u) for u in late), type=pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# documents: dedup + text analysis
+# --------------------------------------------------------------------------
+
+
+def doc_dedup_summary(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": df["source"], "h": _md5_series(df["text"])})
+
+    per_hash = ds.map_batches(hashed, batch_format="pandas").groupby(["source", "h"]).aggregate(
+        Count(alias_name="dup_n")
+    )
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n_unique=("h", "size"), n_docs=("dup_n", "sum")
+        )
+
+    return per_hash.map_batches(collapse, batch_format="pandas").groupby("source").aggregate(
+        Sum("n_unique", alias_name="n_unique"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+def doc_dedup_first(sf_dir: str):
+    """First-wins exact dedup: min doc_id per content hash."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "h": _md5_series(df["text"])})
+
+    agg = ds.map_batches(hashed, batch_format="pandas").groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+    return agg.select_columns(["doc_id"])
+
+
+def doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "ws_tokens": df["text"].fillna("").str.count(r"\S+").astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def doc_char_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": t.str.len().astype(np.int64),
+                "n_alpha": t.str.count(r"[A-Za-z]").astype(np.int64),
+                "n_digit": t.str.count(r"[0-9]").astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def lang_distribution(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# --------------------------------------------------------------------------
+# non-SQL operators (rows-only driver check; exact semantics pinned by
+# pytest against small fixtures)
+# --------------------------------------------------------------------------
+
+
+def doc_minhash_near_dup(sf_dir: str):
+    from .training import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.8).map_batches(
+        lambda df: df.assign(jaccard=np.floor(df["jaccard"] * 1e6 + 0.5).astype(np.int64)).rename(
+            columns={"jaccard": "jaccard_micros"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def doc_simhash_near_dup(sf_dir: str):
+    from .training import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def doc_lang_id(sf_dir: str):
+    from .training import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def doc_fingerprints_q(sf_dir: str):
+    from .training import doc_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = doc_fingerprints(ds)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("fingerprint"),
+            "fingerprint",
+            pc.cast(pc.bit_wise_and(t["fingerprint"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ann_topk_brute(sf_dir: str):
+    from .training import ann_brute_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_brute_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.select_columns(["query_id", "neighbor_id"])
+
+
+def ann_topk_ivf(sf_dir: str):
+    from .training import ann_ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=4)
+    return out.select_columns(["query_id", "neighbor_id"])
+
+
+def embedding_near_dups(sf_dir: str):
+    from .training import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+    return df[["vec_a", "vec_b"]].astype("int64").sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# crawl-surface queries (the flagship; rows-only — no SQL equivalent)
+# --------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _crawl_corpus_dir() -> str:
+    """Deterministic cached corpus under /tmp (seed=42 convention)."""
+    import os
+
+    from ..sources.corpusgen import CorpusSpec, generate_corpus
+
+    cdir = "/tmp/searchgov_ray_querycorpus"
+    if not os.path.exists(cdir + "/seeds.json"):
+        generate_corpus(cdir, CorpusSpec(seed=42, n_domains=3, pages_per_domain=40))
+    return cdir
+
+
+def crawl_order(sf_dir: str):
+    """Full frontier pipeline on the packaged corpus → fetch order."""
+    from .frontier import CrawlConfig, CrawlJobRunner, read_order
+    from ..sources.crawl_sites import CrawlSites
+
+    cdir = _crawl_corpus_dir()
+    sites = {s.name: s for s in CrawlSites.from_file(cdir + "/seeds.json").sites}
+    out = "/tmp/searchgov_ray_query_crawl"
+    runner = CrawlJobRunner(sites["plain"], cdir, out, CrawlConfig(round_seconds=10.0, num_shards=4))
+    runner.run()
+    runner.close()
+    df = read_order(out)
+    return df[["rank", "url", "depth"]]
+
+
+def crawl_image_corpus(sf_dir: str):
+    """Image+caption payload landing with phash verification."""
+    import pyarrow.parquet as pq
+
+    from .frontier import CrawlConfig, CrawlJobRunner
+    from ..sources.crawl_sites import CrawlSites
+
+    cdir = _crawl_corpus_dir()
+    sites = {s.name: s for s in CrawlSites.from_file(cdir + "/seeds.json").sites}
+    out = "/tmp/searchgov_ray_query_crawl_img"
+    runner = CrawlJobRunner(
+        sites["deep all domains"], cdir, out, CrawlConfig(round_seconds=30.0, num_shards=4)
+    )
+    runner.run()
+    runner.close()
+    tab = pq.read_table(out + "/corpus")
+    df = tab.to_pandas()[["image_id", "w", "h", "fmt", "caption", "phash_match", "decode_ok"]]
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_spenders": top_spenders,
+    "priority_by_region": priority_by_region,
+    "customers_without_orders": customers_without_orders,
+    "supplier_balance_by_nation": supplier_balance_by_nation,
+    "part_stats_small": part_stats_small,
+    "events_hourly": events_hourly,
+    "users_first_seen_late": users_first_seen_late,
+    "doc_dedup_summary": doc_dedup_summary,
+    "doc_dedup_first": doc_dedup_first,
+    "doc_token_counts": doc_token_counts,
+    "doc_char_stats": doc_char_stats,
+    "lang_distribution": lang_distribution,
+    "doc_minhash_near_dup": doc_minhash_near_dup,
+    "doc_simhash_near_dup": doc_simhash_near_dup,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints_q,
+    "ann_topk_brute": ann_topk_brute,
+    "ann_topk_ivf": ann_topk_ivf,
+    "embedding_near_dups": embedding_near_dups,
+    "crawl_order": crawl_order,
+    "crawl_image_corpus": crawl_image_corpus,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_spenders": """
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY total_cents DESC, o_custkey
+        LIMIT 10
+    """,
+    "priority_by_region": """
+        SELECT r_name, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+    """,
+    "supplier_balance_by_nation": """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+               COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "part_stats_small": """
+        SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+        FROM part WHERE p_size BETWEEN 1 AND 15
+        GROUP BY p_brand
+    """,
+    "events_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "users_first_seen_late": """
+        WITH bounds AS (SELECT MIN(ts) AS tmin, MAX(ts) AS tmax FROM events),
+        cutoff AS (SELECT tmin + (tmax - tmin)/2 AS c FROM bounds)
+        SELECT DISTINCT user_id FROM events, cutoff
+        WHERE ts >= c
+          AND user_id NOT IN (SELECT user_id FROM events, cutoff WHERE ts < c)
+    """,
+    "doc_dedup_summary": """
+        SELECT source,
+               COUNT(*) AS n_unique,
+               CAST(SUM(dup_n) AS BIGINT) AS n_docs
+        FROM (
+            SELECT source, md5(COALESCE(text, '')) AS h, COUNT(*) AS dup_n
+            FROM documents GROUP BY source, h
+        ) GROUP BY source
+    """,
+    "doc_dedup_first": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY md5(COALESCE(text, ''))
+    """,
+    "doc_token_counts": """
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS ws_tokens
+        FROM documents
+    """,
+    "doc_char_stats": """
+        SELECT doc_id,
+               CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '[0-9]')) AS BIGINT) AS n_digit
+        FROM documents
+    """,
+    "lang_distribution": """
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    """,
+}

@@ -1,0 +1,445 @@
+"""Training-data curation operators over Ray Datasets: exact dedup,
+MinHash-LSH / SimHash near-dup, n-gram Jaccard verification,
+embedding-cosine ANN (brute-force + IVF bucketed), text analysis.
+
+These are the large-scale additions beyond the reference's operator
+set (the reference dedups exactly and only — SURVEY.md §2.4); they
+follow the public constructions (Broder MinHash, Charikar SimHash,
+LSH banding per Mining of Massive Datasets ch.3, IVF coarse
+quantization per the FAISS paper) implemented Ray-Data-first:
+vectorized per-batch kernels, explicit groupby shuffles for candidate
+buckets, broadcast (ray.put) for small sides.
+
+Scale notes: candidate verification broadcasts the text/embedding
+lookup when the table is broadcast-sized (sandbox default); at 100 TB
+the verify step becomes a hash-partitioned self-join on doc_id — the
+bucket → pair → verify dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.hashing import xxhash64_array
+from ..functions.simdedup import MinHasher, hamming64, jaccard, shingle_hashes, simhash
+from ..functions.textstats import content_hashes, detect_lang, fingerprint, quality_scores, token_counts
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def add_content_hash(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Vectorized content-hash column (whitespace/case-normalized
+    xxhash64) — the exact-dedup key."""
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["content_hash"] = content_hashes(batch[text_col])
+        return batch
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def dedup_exact_first(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """First-wins exact dedup: hash-partition by content hash, keep the
+    min-id row per group (reference A1 DeDeuplicatorPipeline semantics,
+    pipelines.py:173-188, made deterministic by min-id instead of
+    arrival order)."""
+    from ray.data.aggregate import Min
+
+    hashed = add_content_hash(ds, text_col)
+    return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# --------------------------------------------------------------------------
+
+
+class _MinHashBands:
+    """Per-batch: doc → (band_id, band_key, doc_id) exploded rows."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
+        self.mh = MinHasher(num_perm=num_perm)
+        self.bands = bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        band_ids: list[int] = []
+        band_keys: list[int] = []
+        doc_ids: list = []
+        for doc_id, text in zip(ids, texts):
+            sig = self.mh.signature(shingle_hashes(text or "", self.k))
+            for b, key in enumerate(self.mh.band_keys(sig, self.bands)):
+                band_ids.append(b)
+                band_keys.append(int(key))
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_key": pa.array(np.asarray(band_keys, dtype=np.uint64)),
+                "doc_id": pa.array(doc_ids),
+            }
+        )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (a < b), capped to guard
+    degenerate buckets (all-identical docs)."""
+    ids = sorted(group["doc_id"].tolist())
+    if len(ids) < 2 or len(ids) > 200:
+        if len(ids) > 200:
+            # degenerate bucket: pair everything to the min id (star),
+            # connected-components downstream still links the cluster
+            a = ids[0]
+            return pd.DataFrame({"doc_a": [a] * (len(ids) - 1), "doc_b": ids[1:]})
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    texts_ref=None,
+) -> rd.Dataset:
+    """MinHash → LSH band buckets → candidate pairs → exact n-gram
+    Jaccard verification ≥ threshold. ``texts_ref`` (optional
+    ``ray.put`` of {id: text}) skips re-reading texts for verification;
+    when None it is built by materializing the id/text projection
+    (broadcast-sized inputs only — see module scale note)."""
+    if texts_ref is None:
+        proj = ds.select_columns([id_col, text_col]).to_pandas()
+        texts_ref = ray.put(dict(zip(proj[id_col], proj[text_col])))
+
+    bands_ds = ds.map_batches(
+        _MinHashBands(num_perm, bands, shingle_k, text_col, id_col),
+        batch_format="pyarrow",
+    )
+    cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pandas")
+    # dedupe candidate pairs across bands
+    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    k = shingle_k
+
+    class _Verify:
+        def __init__(self, ref):
+            self.ref = ref
+            self._texts = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self._texts is None:
+                self._texts = ray.get(self.ref)
+            jac = np.empty(len(batch), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+                jac[i] = jaccard(
+                    np.sort(shingle_hashes(self._texts.get(a, "") or "", k)),
+                    np.sort(shingle_hashes(self._texts.get(b, "") or "", k)),
+                )
+            batch["jaccard"] = jac
+            return batch[batch["jaccard"] >= threshold]
+
+    return uniq.map_batches(_Verify(texts_ref), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+
+def add_simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> rd.Dataset:
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        out = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            out[i] = simhash(t or "", k)
+        return batch.select([id_col]).append_column("simhash", pa.array(out, type=pa.uint64()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> rd.Dataset:
+    """SimHash near-dup: band the 64-bit hash into 4×16-bit chunks
+    (pigeonhole: any pair within Hamming ≤ 3 shares ≥1 exact chunk),
+    bucket-group, verify Hamming distance."""
+    sh = add_simhash(ds, id_col, text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_pylist()
+        rows_band, rows_key, rows_id, rows_hash = [], [], [], []
+        for b in range(4):
+            chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            rows_band.extend([b] * len(h))
+            rows_key.extend(int(c) for c in chunk)
+            rows_id.extend(ids)
+            rows_hash.extend(int(x) for x in h)
+        return pa.table(
+            {
+                "band_id": pa.array(rows_band, type=pa.int32()),
+                "band_key": pa.array(rows_key, type=pa.int32()),
+                "doc_id": pa.array(rows_id),
+                "simhash": pa.array(np.asarray(rows_hash, dtype=np.uint64)),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2 or len(ids) > 200:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            d = hamming64(np.full(len(ids) - i - 1, hs[i], dtype=np.uint64), hs[i + 1 :])
+            for j, dist in enumerate(d, start=i + 1):
+                if dist <= max_hamming:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_h.append(int(dist))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    cand = sh.map_batches(explode, batch_format="pyarrow").groupby(["band_id", "band_key"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# embedding ANN
+# --------------------------------------------------------------------------
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+class _BruteTopK:
+    """Per-batch partial top-k: cosine of the batch's vectors against
+    the broadcast query matrix (numpy matmul — the vectorized path)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        self.queries_ref = queries_ref
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._q = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._q is None:
+            qids, qmat = ray.get(self.queries_ref)
+            qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            self._q = (qids, qn)
+        qids, qn = self._q
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = _as_matrix(batch[self.vec_col].to_pylist())
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = qn @ mat.T  # (n_queries, batch)
+        # k+1 so a self-match in the batch can't evict a real neighbor
+        k = min(self.k + 1, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, k - 1)[:k]
+            for j in top:
+                if ids[j] == qids[qi]:
+                    continue
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return merge
+
+
+def ann_brute_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Brute-force cosine top-k: per-batch partial top-k against the
+    broadcast queries, then a tiny groupby(query) merge. Ties broken by
+    neighbor_id ascending (determinism)."""
+    qtab = ds.filter(lambda r: r[id_col] in set(query_ids))
+    qdf = qtab.select_columns([id_col, vec_col]).to_pandas()
+    qref = ray.put((qdf[id_col].to_numpy(), _as_matrix(qdf[vec_col])))
+    partial = ds.map_batches(_BruteTopK(qref, k, id_col, vec_col), batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
+
+
+def ann_ivf_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """IVF-bucketed ANN (the scale path): coarse-quantize vectors to
+    the nearest of ``n_centroids`` centroids (deterministic: the first
+    n_centroids vectors by id), probe the ``n_probe`` closest centroid
+    buckets per query, brute-force only within those buckets.
+    Approximate by construction — recall vs brute force is asserted in
+    tests, not exactness."""
+    cdf = ds.sort(id_col).limit(n_centroids).select_columns([id_col, vec_col]).to_pandas()
+    cents = _as_matrix(cdf[vec_col])
+    cents = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    cref = ray.put(cents)
+
+    class _Assign:
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._c is None:
+                self._c = ray.get(cref)
+            mat = _as_matrix(batch[vec_col].to_pylist())
+            mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            cent = np.argmax(mat @ self._c.T, axis=1).astype(np.int32)
+            return batch.append_column("centroid", pa.array(cent))
+
+    assigned = ds.map_batches(_Assign(), batch_format="pyarrow")
+
+    qdf = ds.filter(lambda r: r[id_col] in set(query_ids)).select_columns([id_col, vec_col]).to_pandas()
+    qmat = _as_matrix(qdf[vec_col])
+    qn = qmat / np.clip(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12, None)
+    probes = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :n_probe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    sub = assigned.filter(lambda r: r["centroid"] in set(wanted))
+    qref = ray.put((qdf[id_col].to_numpy(), qmat))
+    partial = sub.map_batches(_BruteTopK(qref, k, id_col, vec_col), batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
+
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    exact cosine verification within buckets."""
+    sample = ds.limit(1).select_columns([vec_col]).to_pandas()
+    dim = len(sample[vec_col].iloc[0])
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    pref = ray.put(planes)
+
+    class _Bucket:
+        def __init__(self):
+            self._p = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._p is None:
+                self._p = ray.get(pref)
+            mat = _as_matrix(batch[vec_col].to_pylist())
+            bits = (mat @ self._p.T) > 0
+            keys = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+            return batch.select([id_col, vec_col]).append_column(
+                "bucket", pa.array(keys, type=pa.uint64())
+            )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2 or len(group) > 500:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].tolist()
+        mat = _as_matrix(g[vec_col])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = mat @ mat.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "vec_a": [ids[i] for i in ii],
+                "vec_b": [ids[j] for j in jj],
+                "cosine": [float(sims[i, j]) for i, j in zip(ii, jj)],
+            }
+        )
+
+    bucketed = ds.map_batches(_Bucket(), batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# text analysis stages
+# --------------------------------------------------------------------------
+
+
+def text_stats(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Per-doc integer text statistics (token counts, char classes) —
+    all vectorized pandas str kernels."""
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = token_counts(batch[text_col])
+        q = quality_scores(batch[text_col])
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "ws_tokens": toks["ws_tokens"],
+                "bpe_tokens": toks["bpe_tokens"],
+                "n_chars": q["n_chars"],
+                "n_words": q["n_words"],
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+class LangIdStage:
+    """Actor-shaped language-ID stage (profiles built once per worker;
+    here the 'model' is the trigram profile table)."""
+
+    def __init__(self):
+        from ..functions import textstats as _ts
+
+        self._detect = _ts.detect_lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["lang_pred"] = [self._detect(t) for t in batch["text"]]
+        return batch
+
+
+def doc_fingerprints(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        fps = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            fps[i] = fingerprint(t or "")
+        return batch.select([id_col]).append_column("fingerprint", pa.array(fps, type=pa.uint64()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

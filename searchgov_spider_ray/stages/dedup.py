@@ -28,9 +28,13 @@ from ..functions.hashing import xxhash64
 from ..state.cuckoo import UrlSeenShard
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class DedupShardActor:
-    """One URL-seen shard. Long-lived across rounds within a job."""
+    """One URL-seen shard. Long-lived across rounds within a job.
+
+    num_cpus=0.25: the shard does short vectorized membership ops per
+    call, not sustained compute — a full-CPU reservation per shard
+    would starve the task pool (S shards × jobs would eat the node)."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16):
         self.shard_id = shard_id

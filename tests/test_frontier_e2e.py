@@ -62,7 +62,8 @@ class TestOrderingAndParity:
         out = tmp_path_factory.mktemp("plain_out")
         runner, res = _run(sites["plain"], corpus_dir, out)
         sim = simulate_crawl(sites["plain"], corpus, robots, captions, round_seconds=ROUND_SECONDS)
-        return runner, res, sim, out
+        yield runner, res, sim, out
+        runner.close()
 
     def test_fetch_order_equivalence(self, plain_run):
         runner, res, sim, out = plain_run
@@ -115,6 +116,7 @@ class TestMultiDomain:
         assert read_order(out)["url"].tolist() == [u for _, u, _ in sim.order]
         assert read_seen(runner) == {xxhash64(u) for u in sim.seen}
         assert read_denied(out) == sim.denied
+        runner.close()
         # multi-domain: politeness budgets differ per domain (robots
         # crawl_delay 1.0 / 0.5 / 2.0) — parity proves the grant logic
         domains = {u.split("/")[2] for u in read_order(out)["url"]}
@@ -129,13 +131,15 @@ class TestResume:
         corpus, robots, sites, captions = sim_env
         site = sites["plain"]
         full_out = tmp_path_factory.mktemp("full_out")
-        _, full_res = _run(site, corpus_dir, full_out)
+        full_runner, full_res = _run(site, corpus_dir, full_out)
+        full_runner.close()
         full_order = read_order(full_out)
 
         # interrupted run: stop after 2 rounds (simulates a kill at the
         # round barrier), then a FRESH runner resumes from checkpoint
         part_out = tmp_path_factory.mktemp("part_out")
-        _, part_res = _run(site, corpus_dir, part_out, max_rounds=2)
+        part_runner, part_res = _run(site, corpus_dir, part_out, max_rounds=2)
+        part_runner.close()
         assert part_res.rounds == 2
         cfg = CrawlConfig(round_seconds=ROUND_SECONDS, num_shards=4)
         resumed = CrawlJobRunner(site, corpus_dir, part_out, cfg)
@@ -149,6 +153,7 @@ class TestResume:
         # no URL fetched twice across the kill/resume boundary
         assert resumed_order["url"].is_unique
         assert part_res.fetched + res2.fetched == full_res.fetched
+        resumed.close()
 
     def test_mid_round_kill_replays_round(self, corpus_dir, sim_env, tmp_path_factory):
         """A round with no manifest (killed mid-round) is discarded and
@@ -156,7 +161,8 @@ class TestResume:
         corpus, robots, sites, captions = sim_env
         site = sites["plain"]
         out = tmp_path_factory.mktemp("midkill_out")
-        _, res = _run(site, corpus_dir, out, max_rounds=3)
+        killed_runner, res = _run(site, corpus_dir, out, max_rounds=3)
+        killed_runner.close()
         # simulate mid-round-3 kill: delete round-3 manifest (partial)
         ckpt_manifest = out / "checkpoint" / "round_0003" / "manifest.json"
         ckpt_manifest.unlink()
@@ -167,3 +173,4 @@ class TestResume:
         sim = simulate_crawl(site, corpus, robots, captions, round_seconds=ROUND_SECONDS)
         assert read_order(out)["url"].tolist() == [u for _, u, _ in sim.order]
         assert read_seen(resumed) == {xxhash64(u) for u in sim.seen}
+        resumed.close()

@@ -1,0 +1,128 @@
+"""Training-data operator tests: exact dedup, MinHash-LSH, SimHash,
+ANN (brute + IVF recall), embedding near-dup, text stats — semantics
+pinned on planted fixtures; the driver's rows-only checks lean on
+these."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data as rd
+
+from searchgov_spider_ray.pipelines import training
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"unique document number {i} about topic {i*7} " * 10})
+    # planted near-dup cluster: 20/21/22 nearly identical
+    rows.append({"doc_id": 20, "text": base * 8})
+    rows.append({"doc_id": 21, "text": base * 8 + "with a tiny tail"})
+    rows.append({"doc_id": 22, "text": base * 8 + "with another small suffix here"})
+    # planted exact dup of doc 5
+    rows.append({"doc_id": 23, "text": f"unique document number 5 about topic 35 " * 10})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    vecs[50] = vecs[10] + rng.randn(16).astype(np.float32) * 0.01  # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs)})
+    return rd.from_pandas(df)
+
+
+class TestExactDedup:
+    def test_first_wins(self, docs_ds):
+        out = training.dedup_exact_first(docs_ds).to_pandas()
+        ids = set(out["doc_id"])
+        assert 5 in ids and 23 not in ids  # min-id wins
+        assert len(ids) == 23  # 24 docs, one exact dup collapsed
+
+    def test_case_whitespace_normalized(self, ray_session):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["A  b C", "a b c"]}))
+        out = training.dedup_exact_first(ds).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+
+
+class TestMinHashLSH:
+    def test_finds_planted_cluster(self, docs_ds):
+        pairs = training.minhash_lsh_pairs(docs_ds, threshold=0.6).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert (20, 21) in got and (20, 22) in got
+        # no false positives among the unique docs
+        assert not any(a < 20 and b < 20 and a != 5 and b != 23 for a, b in got)
+        assert (pairs["jaccard"] >= 0.6).all()
+
+
+class TestSimHash:
+    def test_finds_planted_cluster(self, docs_ds):
+        pairs = training.simhash_pairs(docs_ds, max_hamming=6).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert (20, 21) in got or (20, 22) in got or (21, 22) in got
+        assert (5, 23) in got  # exact dup → hamming 0
+
+
+class TestANN:
+    def test_brute_matches_numpy(self, emb_ds):
+        out = training.ann_brute_topk(emb_ds, query_ids=[10], k=5).to_pandas()
+        df = emb_ds.to_pandas()
+        mat = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ matn[10]
+        sims[10] = -np.inf
+        expect = set(np.argsort(-sims, kind="stable")[:5].tolist())
+        assert set(out["neighbor_id"]) == expect
+        assert 50 in expect  # the planted near-dup is the top neighbor
+
+    def test_ivf_recall(self, emb_ds):
+        brute = training.ann_brute_topk(emb_ds, query_ids=[1, 2, 3], k=10).to_pandas()
+        ivf = training.ann_ivf_topk(emb_ds, query_ids=[1, 2, 3], k=10, n_centroids=8, n_probe=4).to_pandas()
+        recall = 0.0
+        for q in (1, 2, 3):
+            b = set(brute[brute["query_id"] == q]["neighbor_id"])
+            v = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+            recall += len(b & v) / len(b)
+        assert recall / 3 >= 0.5  # probing half the centroids
+
+    def test_embedding_near_dup(self, emb_ds):
+        pairs = training.embedding_near_dup_pairs(emb_ds, threshold=0.99).to_pandas()
+        got = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+        assert (10, 50) in got
+
+
+class TestTextStages:
+    def test_text_stats(self, docs_ds):
+        out = training.text_stats(docs_ds).to_pandas()
+        assert len(out) == 24
+        assert (out["ws_tokens"] > 0).all()
+        assert (out["n_chars"] >= out["n_words"]).all()
+
+    def test_lang_id_stage(self, ray_session):
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "the cat is in the house and the dog is near the door of the barn",
+                        "la casa de los niños es muy grande y el perro vive en el jardín",
+                    ],
+                }
+            )
+        )
+        out = ds.map_batches(training.LangIdStage, batch_format="pandas", concurrency=1).to_pandas()
+        assert out.sort_values("doc_id")["lang_pred"].tolist() == ["en", "es"]
+
+    def test_fingerprints_deterministic(self, docs_ds):
+        a = training.doc_fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+        b = training.doc_fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+        assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+        # exact dup docs share fingerprints
+        f = dict(zip(a["doc_id"], a["fingerprint"]))
+        assert f[5] == f[23]
