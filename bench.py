@@ -1,0 +1,195 @@
+"""Bench harness: headline crawl-frontier throughput + representative
+operator pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ...}
+
+--scaling: run bench.py twice in fresh processes at num_cpus=8 and 32
+on the same inputs, print throughputs + scaling efficiency
+(BASELINE.md records the result — the sandbox evidence for the N vs 4N
+cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/searchgov_ray_bench_corpus")
+
+# bench corpus: ~1M pages across 400 domains (hot domain 3×), 6 KB HTML
+# bodies, ~100k images at 96-144 px — realistic per-URL weight so the
+# measurement is compute + shuffle, not orchestration floor.
+BENCH_SPEC = dict(
+    seed=42,
+    n_domains=400,
+    pages_per_domain=2500,
+    branching=8,
+    hot_domain_factor=3,
+    body_filler=6000,
+    image_rate_mod=10,
+    max_image_side=144,
+)
+
+
+def ensure_bench_corpus() -> str:
+    from searchgov_spider_ray.sources.corpusgen import CorpusSpec, generate_corpus
+
+    marker = Path(BENCH_CORPUS) / "seeds.json"
+    if not marker.exists():
+        generate_corpus(BENCH_CORPUS, CorpusSpec(**BENCH_SPEC))
+    return BENCH_CORPUS
+
+
+def run_crawl_bench() -> tuple[float, int]:
+    """Headline: URLs fetched+deduped/sec on the synthetic frontier over
+    the image+caption corpus (all domains, politeness 1 h virtual
+    rounds → few, wide BSP rounds)."""
+    import shutil
+
+    from searchgov_spider_ray.pipelines.frontier import CrawlConfig, CrawlJobRunner
+    from searchgov_spider_ray.sources.corpusgen import page_url
+    from searchgov_spider_ray.sources.crawl_sites import CrawlSite
+
+    cdir = ensure_bench_corpus()
+    domains = [f"site{i}.example.gov" for i in range(BENCH_SPEC["n_domains"])]
+    site = CrawlSite(
+        name="bench crawl",
+        allowed_domains=domains,
+        starting_urls=[page_url(d, 0) for d in domains],
+        depth_limit=30,
+        output_target="elasticsearch",
+    )
+    out = "/tmp/searchgov_ray_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        round_seconds=3600.0,
+        num_shards=8,
+        shard_capacity=1 << 19,
+        fetch_batch_size=2048,
+        link_batch_size=4096,
+        decode_batch_size=256,
+        fetch_max_parallelism=max(8, NUM_CPUS * 2),
+    )
+    runner = CrawlJobRunner(site, cdir, out, cfg)
+    t0 = time.time()
+    res = runner.run()
+    wall = time.time() - t0
+    runner.close()
+    return wall, res.fetched
+
+
+def run_query_bench() -> dict[str, float]:
+    from searchgov_spider_ray.pipelines import queries as q
+
+    timings: dict[str, float] = {}
+    bench_queries = [
+        "q1_pricing_summary",
+        "events_hourly",
+        "top_spenders",
+        "priority_by_region",
+        "doc_dedup_summary",
+        "doc_token_counts",
+        "doc_minhash_near_dup",
+        "ann_topk_brute",
+        "ann_topk_ivf",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        result = q.QUERIES[name](SF_DIR)
+        # consume lazily-built datasets fully
+        import ray.data as rd
+
+        if isinstance(result, rd.Dataset):
+            result.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    # warm the page cache: one untimed read of the sf tables
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events", "documents", "embeddings", "orders"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    crawl_wall, crawl_fetched = run_crawl_bench()
+    timings = run_query_bench()
+    timings["crawl_frontier"] = round(crawl_wall, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "URLs fetched+deduped/sec on the synthetic frontier over the image+caption corpus; plus operator pipeline wall times",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "crawl_urls_per_sec": round(crawl_fetched / crawl_wall, 1),
+                "crawl_fetched": crawl_fetched,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_bench_corpus()  # build once, outside timing
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    crawl_eff = (lo["queries"]["crawl_frontier"] / hi["queries"]["crawl_frontier"]) / 4
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "scaling_efficiency": round(eff, 3),
+                "crawl_urls_per_sec_8": lo["crawl_urls_per_sec"],
+                "crawl_urls_per_sec_32": hi["crawl_urls_per_sec"],
+                "crawl_scaling_efficiency": round(crawl_eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

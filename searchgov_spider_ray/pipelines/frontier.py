@@ -127,42 +127,55 @@ class _CanonScope:
         return out
 
 
-def _mark_first_by_parent_order(group: pd.DataFrame) -> pd.DataFrame:
-    """Intra-round dedup: among same-url_hash candidates the one
-    admitted first under (parent_depth, parent_seq, link_seq) wins;
-    losers are flagged so they land in the denied(duplicate) lineage
-    exactly like the simulator records them."""
-    group = group.sort_values(["parent_depth", "parent_seq", "link_seq"], kind="mergesort")
-    flag = np.zeros(len(group), dtype=bool)
-    flag[:1] = True
-    return group.assign(intra_first=flag)
+def _intra_dedup_kernel(batch: pa.Table) -> pa.Table:
+    """Single-pass vectorized intra-round dedup: sort the round's
+    candidate table by admission order (parent_depth, parent_seq,
+    link_seq), keep the FIRST occurrence of each url_hash, flag losers.
+
+    Runs over the whole round's candidate table as one block
+    (repartition(1) upstream — candidates are narrow metadata rows;
+    ~60 MB per 350 k rows). At 10^9-candidate rounds this becomes a
+    distributed ``sort(url_hash, admission_key)`` plus a per-block
+    first-wins with a boundary fix-up pass — same semantics, pinned by
+    the same simulator goldens. A per-group ``map_groups`` here costs
+    one Python call per distinct URL and is the difference between
+    35 and 3000 URLs/s (measured)."""
+    if len(batch) == 0:
+        return batch.append_column("intra_first", pa.array([], type=pa.bool_()))
+    d = batch["parent_depth"].to_numpy().astype(np.int64)
+    s = batch["parent_seq"].to_numpy().astype(np.int64)
+    l = batch["link_seq"].to_numpy().astype(np.int64)
+    h = batch["url_hash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((l, s, d))  # admission order
+    h_ord = h[order]
+    _, first_pos = np.unique(h_ord, return_index=True)
+    winners = order[first_pos]
+    flag = np.zeros(len(batch), dtype=bool)
+    flag[winners] = True
+    return batch.append_column("intra_first", pa.array(flag))
 
 
-def _sibling_rank(group: pd.DataFrame) -> pd.DataFrame:
-    """Within-parent rank of surviving candidates, in link order."""
-    group = group.sort_values("link_seq", kind="mergesort")
-    return group.assign(sib_rank=np.arange(len(group), dtype=np.int64))
-
-
-class _AssignSeq:
-    """seq = depth-counter offset of the parent + sibling rank. A plain
-    callable instance (task-based map_batches); the offsets dict is one
-    entry per page fetched this round — politeness-bounded, small."""
-
-    def __init__(self, offsets: dict):
-        self.offsets = offsets
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        pd_arr = batch["parent_depth"].to_numpy()
-        ps_arr = batch["parent_seq"].to_numpy()
-        sib = batch["sib_rank"].to_numpy()
-        base = np.fromiter(
-            (self.offsets[(int(d), int(s))] for d, s in zip(pd_arr, ps_arr)),
-            dtype=np.int64,
-            count=len(batch),
-        )
-        out = batch.append_column("seq", pa.array(base + sib, type=pa.int64()))
-        return out.select(FRONTIER_COLUMNS)
+def _assign_seq_kernel(batch: pa.Table, depth_counters: dict[int, int]) -> pa.Table:
+    """Vectorized seq assignment over the round's NOVEL candidates (one
+    block): admission-order sort, then per-child-depth dense rank +
+    the per-depth counter base. Reproduces FIFO enqueue order without
+    serialized execution (SURVEY.md §7.5.1)."""
+    if len(batch) == 0:
+        return pa.table({c: pa.array([], type=_FRONTIER_SCHEMA.field(c).type) for c in FRONTIER_COLUMNS})
+    d = batch["parent_depth"].to_numpy().astype(np.int64)
+    s = batch["parent_seq"].to_numpy().astype(np.int64)
+    l = batch["link_seq"].to_numpy().astype(np.int64)
+    order = np.lexsort((l, s, d))
+    child_depth = d[order] + 1  # == batch["depth"] (set by _CanonScope)
+    # dense rank within each child depth in admission order
+    seq = np.empty(len(order), dtype=np.int64)
+    for depth in np.unique(child_depth):
+        sel = child_depth == depth
+        base = depth_counters.get(int(depth), 0)
+        seq[sel] = base + np.arange(sel.sum(), dtype=np.int64)
+    out = batch.take(pa.array(order, type=pa.int64()))
+    out = out.append_column("seq", pa.array(seq, type=pa.int64()))
+    return out.select(FRONTIER_COLUMNS)
 
 
 class _EmitKernel:
@@ -462,13 +475,12 @@ class CrawlJobRunner:
         )
         _write_round(order, self.out_dir / "order", k)
 
-        # spent-per-domain lineage (small aggregate)
-        spent_df = (
-            fetched.groupby("domain").count().to_pandas()
-            if n_fetched
-            else pd.DataFrame({"domain": [], "count()": []})
-        )
-        spent = {str(r["domain"]): int(r["count()"]) for _, r in spent_df.iterrows()}
+        # spent-per-domain lineage: read back from the order parquet we
+        # just wrote (driver-side value_counts on one small column — no
+        # extra Ray execution)
+        spent_tab = pq.read_table(self.out_dir / "order" / f"round-{k:04d}", columns=["domain"])
+        vc = pc.value_counts(spent_tab["domain"].combine_chunks())
+        spent = {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
 
         # 4. emit + image payload landing
         emit = fetched.map_batches(
@@ -501,51 +513,51 @@ class CrawlJobRunner:
         ).materialize()
 
         denied = scoped.map_batches(_DeniedKernel(k, keep_side=False), batch_format="pyarrow")
-        _write_round(denied, self.out_dir / "denied", k)
-
         cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
         if cands.count() == 0:
+            _write_round(denied, self.out_dir / "denied", k)
             next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
             self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
             return n_fetched
 
-        # 6. intra-round first-wins dedup (shuffle by url_hash)
-        grouped = cands.groupby("url_hash").map_groups(
-            _mark_first_by_parent_order, batch_format="pandas"
+        # 6. intra-round first-wins dedup — one vectorized pass over the
+        # round's candidate metadata (see _intra_dedup_kernel docstring
+        # for the 10^9-rows scale path)
+        grouped = cands.repartition(1).map_batches(
+            _intra_dedup_kernel, batch_format="pyarrow", batch_size=None
         ).materialize()
         intra_dups = grouped.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
-        _write_round(intra_dups, self.out_dir / "denied" / "intra", k)
-        cands = grouped.map_batches(
+        winners = grouped.map_batches(
             lambda t: t.filter(t["intra_first"]).drop_columns(["intra_first"]),
             batch_format="pyarrow",
         )
 
-        # 7. URL-seen membership (mutating — materialize exactly once)
-        cands = cands.map_batches(
+        # 7. URL-seen membership (mutating — materialize exactly once).
+        # Repartition for shard-call parallelism; arrival order no
+        # longer matters because intra-round dups are already resolved.
+        marked2 = winners.repartition(min(8, cfg.fetch_max_parallelism)).map_batches(
             DedupRouter(self.shards, k), batch_format="pyarrow", batch_size=cfg.link_batch_size
         ).materialize()
-        dup_denied = cands.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")
-        _write_round(dup_denied, self.out_dir / "denied" / "dups", k)
-        novel = cands.map_batches(
+        dup_denied = marked2.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")
+        # one denial-lineage write per round: scope/robots ∪ intra-round
+        # dups ∪ cross-round dups (same schema, single sink execution)
+        _write_round(denied.union(intra_dups, dup_denied), self.out_dir / "denied", k)
+        novel = marked2.map_batches(
             lambda t: t.filter(t["novel"]).drop_columns(["novel"]), batch_format="pyarrow"
         )
 
-        # 8. sibling rank (shuffle by parent) + per-parent offsets
-        ranked = novel.groupby(["parent_depth", "parent_seq"]).map_groups(
-            _sibling_rank, batch_format="pandas"
+        # 8. admission-order seq assignment (vectorized, one block)
+        counters = dict(self.depth_counters)
+        new_frontier = novel.repartition(1).map_batches(
+            lambda t, _c=counters: _assign_seq_kernel(t, _c),
+            batch_format="pyarrow",
+            batch_size=None,
         ).materialize()
-        if ranked.count() == 0:
-            next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
-            self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
-            return n_fetched
-        counts = ranked.groupby(["parent_depth", "parent_seq"]).count().to_pandas()
-        counts = counts.sort_values(["parent_depth", "parent_seq"], kind="mergesort")
-        offsets: dict[tuple[int, int], int] = {}
-        for _, row in counts.iterrows():
-            d = int(row["parent_depth"]) + 1
-            offsets[(int(row["parent_depth"]), int(row["parent_seq"]))] = self.depth_counters.get(d, 0)
-            self.depth_counters[d] = self.depth_counters.get(d, 0) + int(row["count()"])
-        new_frontier = ranked.map_batches(_AssignSeq(offsets), batch_format="pyarrow")
+        if new_frontier.count() > 0:
+            per_depth = new_frontier.groupby("depth").count().to_pandas()
+            for _, r in per_depth.iterrows():
+                dd = int(r["depth"])
+                self.depth_counters[dd] = self.depth_counters.get(dd, 0) + int(r["count()"])
 
         next_frontier = carry.map_batches(
             lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow"

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.hashing import xxhash64
-from .lance_io import write_table
+from .lance_io import HAVE_LANCE
 from ..stages.decode import fake_decode, fake_encode, phash64
 
 
@@ -150,8 +150,8 @@ def caption_for(spec: CorpusSpec, image_id: str) -> str:
     return f"{subjects[h64 % len(subjects)]} {image_id} v{h64 % 97}"
 
 
-def image_id_for(d: int, j: int) -> str | None:
-    return f"img-{d}-{j}" if j % 3 == 0 else None
+def image_id_for(d: int, j: int, mod: int = 3) -> str | None:
+    return f"img-{d}-{j}" if j % mod == 0 else None
 
 
 def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: int = 50_000) -> dict:
@@ -193,7 +193,7 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
                     body = b"%PDF-1.4 fake " + f"doc {d}-{j}".encode()
                 else:
                     body = b"\x89PNG fake"
-                img = image_id_for(d, j)
+                img = image_id_for(d, j, spec.image_rate_mod)
                 if img is not None:
                     image_ids.append(img)
                 rows["url_hash"].append(xxhash64(url))
@@ -241,22 +241,37 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
             ("phash", pa.int64()),
         ]
     )
+    iwriter = pq.ParquetWriter(out / "corpus_images.parquet", img_schema)
     irows: dict[str, list] = {k: [] for k in img_schema.names}
-    for image_id in image_ids:
-        pixels, w, h, fmt = pixels_for(spec, image_id)
-        data = fake_encode(pixels, fmt)
-        decoded, *_ = fake_decode(data)
-        irows["image_id"].append(image_id)
-        irows["bytes"].append(data)
-        irows["w"].append(w)
-        irows["h"].append(h)
-        irows["fmt"].append(fmt)
-        irows["caption"].append(caption_for(spec, image_id))
-        # golden phash of the DECODED pixels (lossy loss included),
-        # stored as int64 per input_hint (two's-complement of uint64).
-        irows["phash"].append(np.uint64(phash64(decoded)).astype(np.int64).item())
-    images = pa.table(irows, schema=img_schema)
-    write_table(images, out / "corpus_images")
+    try:
+        for image_id in image_ids:
+            pixels, w, h, fmt = pixels_for(spec, image_id)
+            data = fake_encode(pixels, fmt)
+            decoded, *_ = fake_decode(data)
+            irows["image_id"].append(image_id)
+            irows["bytes"].append(data)
+            irows["w"].append(w)
+            irows["h"].append(h)
+            irows["fmt"].append(fmt)
+            irows["caption"].append(caption_for(spec, image_id))
+            # golden phash of the DECODED pixels (lossy loss included),
+            # stored as int64 per input_hint (two's-complement of uint64).
+            irows["phash"].append(np.uint64(phash64(decoded)).astype(np.int64).item())
+            if len(irows["image_id"]) >= 10_000:
+                iwriter.write_table(pa.table(irows, schema=img_schema))
+                irows = {k: [] for k in img_schema.names}
+        if irows["image_id"]:
+            iwriter.write_table(pa.table(irows, schema=img_schema))
+    finally:
+        iwriter.close()
+    if HAVE_LANCE:  # pragma: no cover - lance absent in this container
+        import lance
+
+        lance.write_dataset(
+            pq.read_table(out / "corpus_images.parquet"),
+            str(out / "corpus_images.lance"),
+            mode="overwrite",
+        )
 
     robots = pa.table(
         {

@@ -65,6 +65,16 @@ class DedupShardActor:
     def dump(self) -> bytes:
         return self.shard.dump()
 
+    def dump_to(self, path: str) -> int:
+        """Write this shard's checkpoint file from inside the actor —
+        all shards dump concurrently instead of shipping bytes through
+        the driver (multi-node: path is on shared/job storage)."""
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        tmp = Path(path).with_suffix(".tmp")
+        tmp.write_bytes(self.shard.dump())
+        tmp.rename(path)
+        return len(self.shard)
+
     def restore(self, data: bytes) -> int:
         self.shard = UrlSeenShard.load(data)
         return len(self.shard)
@@ -103,15 +113,12 @@ class DedupRouter:
 
 
 def dump_shards(shard_handles: list, out_dir: str | Path) -> list[str]:
-    """Checkpoint every shard's filter+audit state (K6 analog)."""
+    """Checkpoint every shard's filter+audit state (K6 analog) — the
+    actors write their own files concurrently."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    blobs = ray.get([s.dump.remote() for s in shard_handles])
-    paths = []
-    for i, blob in enumerate(blobs):
-        p = out / f"shard_{i:04d}.npz"
-        p.write_bytes(blob)
-        paths.append(str(p))
+    paths = [str(out / f"shard_{i:04d}.npz") for i in range(len(shard_handles))]
+    ray.get([s.dump_to.remote(p) for s, p in zip(shard_handles, paths)])
     return paths
 
 
