@@ -1,0 +1,143 @@
+"""Job scheduler: fan out crawl jobs with a concurrency cap, a pending
+queue, and rerun-pending-on-restart semantics.
+
+Reference: APScheduler + Redis jobstore spawning one subprocess per
+crawl with ThreadPoolExecutor(max_workers=5); jobs submitted while the
+pool is full sit in a Redis "pending" set and are re-fired on restart
+with a "Rerun::" prefix (/root/reference/search_gov_crawler/
+scrapy_scheduler.py:111-171, scheduling/schedulers.py:32-99,
+scheduling/jobstores.py:9-70).
+
+Ray re-expression (SURVEY.md §3.2): each job is one CrawlJobRunner
+pipeline; the cap is enforced by the driver loop; the pending set and
+per-job status live in a JSON manifest on disk (the Redis analog), so
+a killed scheduler restart re-runs jobs that were mid-flight —
+resuming each from its own crawl checkpoint, which is what makes the
+rerun cheap and fetch-once. Cron *timing* is control-plane and out of
+data-plane scope; ``parse_cron_field`` validates the config format the
+reference accepts.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from ..sources.crawl_sites import CrawlSite, CrawlSites
+from .frontier import CrawlConfig, CrawlJobRunner, CrawlRunResult
+
+DEFAULT_MAX_WORKERS = 5  # reference: SPIDER_SCRAPY_MAX_WORKERS default
+
+_CRON_FIELD = re.compile(r"^(\*|\d+(-\d+)?)(/\d+)?(,(\*|\d+(-\d+)?)(/\d+)?)*$")
+
+
+def validate_cron(expr: str | None) -> bool:
+    """5-field cron shape check (the reference validates schedules at
+    config load, crawl_sites.py:84-101)."""
+    if expr is None:
+        return True
+    parts = expr.split()
+    return len(parts) == 5 and all(_CRON_FIELD.match(p) for p in parts)
+
+
+@dataclass
+class JobState:
+    job_id: str
+    status: str = "pending"  # pending | running | finished | failed
+    started_at: float | None = None
+    finished_at: float | None = None
+    fetched: int = 0
+    error: str | None = None
+
+
+@dataclass
+class SchedulerManifest:
+    """The on-disk job-state store (Redis jobstore analog)."""
+
+    path: Path
+    jobs: dict[str, JobState] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path: str | Path) -> "SchedulerManifest":
+        p = Path(path)
+        m = cls(path=p)
+        if p.exists():
+            data = json.loads(p.read_text())
+            m.jobs = {k: JobState(**v) for k, v in data.items()}
+        return m
+
+    def save(self) -> None:
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({k: vars(v) for k, v in self.jobs.items()}, indent=2))
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp.rename(self.path)
+
+    def pending_or_interrupted(self) -> list[str]:
+        """Jobs to (re)run on restart: never-finished ones. A job that
+        was 'running' when the scheduler died reruns with resume=True
+        (reference re-adds pending jobs with a Rerun:: prefix,
+        scheduling/schedulers.py:75-99)."""
+        return [j for j, s in self.jobs.items() if s.status in ("pending", "running")]
+
+
+class JobScheduler:
+    """Run a CrawlSites config's jobs under a concurrency cap.
+
+    In this single-node sandbox jobs execute sequentially (one Ray
+    session; each job internally saturates the node); the cap +
+    pending-set semantics are exercised the same way — on a cluster
+    each slot becomes a ``ray job submit``.
+    """
+
+    def __init__(
+        self,
+        sites: CrawlSites,
+        corpus_dir: str | Path,
+        work_dir: str | Path,
+        cfg: CrawlConfig | None = None,
+        max_workers: int = DEFAULT_MAX_WORKERS,
+    ):
+        self.sites = {s.job_id: s for s in sites.sites}
+        for s in sites.sites:
+            if not validate_cron(s.schedule):
+                raise ValueError(f"{s.job_id}: invalid cron {s.schedule!r}")
+        self.corpus_dir = Path(corpus_dir)
+        self.work_dir = Path(work_dir)
+        self.cfg = cfg or CrawlConfig()
+        self.max_workers = max_workers
+        self.manifest = SchedulerManifest.load(self.work_dir / "scheduler_manifest.json")
+        for job_id in self.sites:
+            self.manifest.jobs.setdefault(job_id, JobState(job_id=job_id))
+
+    def run_pending(self, limit: int | None = None) -> list[CrawlRunResult]:
+        """Execute pending/interrupted jobs (≤ max_workers per wave).
+        Interrupted jobs resume from their crawl checkpoint — no
+        re-fetch across the scheduler restart."""
+        todo = self.manifest.pending_or_interrupted()[: limit or self.max_workers]
+        results: list[CrawlRunResult] = []
+        for job_id in todo:
+            site = self.sites.get(job_id)
+            if site is None:
+                continue
+            state = self.manifest.jobs[job_id]
+            resume = state.status == "running"  # died mid-flight → Rerun::
+            state.status = "running"
+            state.started_at = time.time()
+            self.manifest.save()
+            runner = CrawlJobRunner(site, self.corpus_dir, self.work_dir / job_id, self.cfg)
+            try:
+                res = runner.run(resume=resume)
+                state.status = "finished"
+                state.fetched = res.fetched
+                results.append(res)
+            except Exception as e:  # job-level failure is recorded, not fatal
+                state.status = "failed"
+                state.error = f"{type(e).__name__}: {e}"
+            finally:
+                state.finished_at = time.time()
+                runner.close()
+                self.manifest.save()
+        return results

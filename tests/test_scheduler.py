@@ -1,0 +1,104 @@
+"""Job scheduler tests: pending-set semantics, restart-rerun with
+resume, cron validation, failure isolation (reference:
+tests/scheduling/*, SURVEY.md §5.5-6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchgov_spider_ray.pipelines.frontier import CrawlConfig
+from searchgov_spider_ray.pipelines.scheduler import (
+    JobScheduler,
+    SchedulerManifest,
+    validate_cron,
+)
+from searchgov_spider_ray.sources.corpusgen import CorpusSpec, generate_corpus
+from searchgov_spider_ray.sources.crawl_sites import CrawlSites
+
+
+@pytest.fixture(scope="module")
+def sched_corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sched_corpus")
+    generate_corpus(out, CorpusSpec(seed=42, n_domains=2, pages_per_domain=20))
+    return out
+
+
+class TestCron:
+    def test_validate(self):
+        assert validate_cron(None)
+        assert validate_cron("0 3 * * *")
+        assert validate_cron("*/5 0-12 1,15 * 1-5")
+        assert not validate_cron("not cron")
+        assert not validate_cron("0 3 * *")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScheduler:
+    def _sites(self, corpus):
+        return CrawlSites.from_records(
+            [
+                {"name": "job a", "allowed_domains": "site0.example.gov",
+                 "starting_urls": "https://site0.example.gov/p0.html", "depth_limit": 2,
+                 "schedule": "0 3 * * *"},
+                {"name": "job b", "allowed_domains": "site1.example.gov",
+                 "starting_urls": "https://site1.example.gov/p0.html", "depth_limit": 2,
+                 "output_target": "endpoint"},
+            ]
+        )
+
+    def test_runs_all_and_records(self, sched_corpus, tmp_path):
+        sched = JobScheduler(
+            self._sites(sched_corpus), sched_corpus, tmp_path,
+            CrawlConfig(round_seconds=100.0, num_shards=2),
+        )
+        results = sched.run_pending()
+        assert len(results) == 2
+        m = SchedulerManifest.load(tmp_path / "scheduler_manifest.json")
+        assert all(s.status == "finished" for s in m.jobs.values())
+        assert all(s.fetched > 0 for s in m.jobs.values())
+
+    def test_restart_reruns_interrupted_with_resume(self, sched_corpus, tmp_path):
+        sites = self._sites(sched_corpus)
+        cfg = CrawlConfig(round_seconds=100.0, num_shards=2)
+        sched = JobScheduler(sites, sched_corpus, tmp_path, cfg)
+        # simulate a scheduler killed mid-job-a: mark it running
+        sched.manifest.jobs["job-a"].status = "running"
+        sched.manifest.save()
+        sched2 = JobScheduler(sites, sched_corpus, tmp_path, cfg)
+        pend = sched2.manifest.pending_or_interrupted()
+        assert "job-a" in pend and "job-b" in pend
+        results = sched2.run_pending()
+        assert len(results) == 2
+        assert sched2.manifest.jobs["job-a"].status == "finished"
+
+    def test_invalid_cron_rejected(self, sched_corpus, tmp_path):
+        sites = CrawlSites.from_records(
+            [{"name": "bad", "allowed_domains": "a.gov", "starting_urls": "https://a.gov/",
+              "schedule": "whenever"}]
+        )
+        with pytest.raises(ValueError, match="invalid cron"):
+            JobScheduler(sites, sched_corpus, tmp_path)
+
+    def test_failed_job_is_isolated(self, sched_corpus, tmp_path, monkeypatch):
+        sites = self._sites(sched_corpus)
+        cfg = CrawlConfig(round_seconds=100.0, num_shards=2)
+        sched = JobScheduler(sites, sched_corpus, tmp_path, cfg)
+
+        from searchgov_spider_ray.pipelines import scheduler as sched_mod
+
+        real_runner = sched_mod.CrawlJobRunner
+        calls = {"n": 0}
+
+        class Flaky(real_runner):
+            def run(self, resume=False):
+                calls["n"] += 1
+                if self.site.job_id == "job-a":
+                    raise RuntimeError("boom")
+                return super().run(resume=resume)
+
+        monkeypatch.setattr(sched_mod, "CrawlJobRunner", Flaky)
+        results = sched.run_pending()
+        assert len(results) == 1  # job b still ran
+        assert sched.manifest.jobs["job-a"].status == "failed"
+        assert "boom" in sched.manifest.jobs["job-a"].error
+        assert sched.manifest.jobs["job-b"].status == "finished"
