@@ -144,7 +144,13 @@ def customers_without_orders(sf_dir: str):
             mask = np.array([int(k) not in self._s for k in keys], dtype=bool)
             return t.filter(pa.array(mask))
 
-    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(_Filter(), batch_format="pyarrow")
+    out = _read(sf_dir, "customer", ["c_custkey"]).map_batches(_Filter(), batch_format="pyarrow")
+    # Pin the schema through an empty result: an all-filtered Dataset can
+    # surface as a column-less DataFrame on the driver's to_pandas.
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df
 
 
 def supplier_balance_by_nation(sf_dir: str):
@@ -317,6 +323,132 @@ def lang_distribution(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def doc_quality_scores(sf_dir: str):
+    """C4/Gopher-style quality features per document, fixed-point micros.
+
+    Regex classes are explicit-ASCII so numpy/pandas (Python ``re``) and
+    the DuckDB oracle (RE2) count identically; ratios divide the same
+    int64 numerators/denominators in IEEE double on both sides.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    stop_re = r"\b(?:the|of|and|a|to|in|is|was|he|for|it|with|as|his|on|be|at|by|this|that|had|not|are|but|from|or|have|an|they|which|one|you|were|her|all|she|there|would|their|we|him|been|has|when|who|will|more|no|if|out|so|said|what)\b"
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        n_chars = t.str.len().astype(np.int64)
+        n_words = t.str.count(r"\S+").astype(np.int64)
+        n_punct = t.str.count(r"[^A-Za-z0-9_\s]").astype(np.int64)
+        n_stop = t.str.lower().str.count(stop_re).astype(np.int64)
+        n_alpha = t.str.count(r"[A-Za-z]").astype(np.int64)
+        dc = np.maximum(n_chars.to_numpy(), 1).astype(np.float64)
+        dw = np.maximum(n_words.to_numpy(), 1).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "punct_ratio_micros": _micros(n_punct.to_numpy() / dc),
+                "stopword_ratio_micros": _micros(n_stop.to_numpy() / dw),
+                "alpha_ratio_micros": _micros(n_alpha.to_numpy() / dc),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def doc_ngram_jaccard(sf_dir: str):
+    """Word-3-gram Jaccard near-dup pairs, blocked by ``source``.
+
+    Blocking keeps the pairwise comparison inside a ``groupby(source)``
+    → ``map_groups`` — at scale the block key bounds the O(k²) inner
+    loop to one group's docs (the same shape MinHash-LSH buckets use);
+    there is no full-corpus cross join. Docs with <3 words have an empty
+    gram set and never pair. Threshold: Jaccard ≥ 0.5.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        texts = group["text"].fillna("").to_numpy()
+        import re as _re
+
+        gram_sets: list[np.ndarray] = []
+        for t in texts:
+            ws = [w for w in _re.split(r"\s+", t.lower()) if w]
+            grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            from ..functions.hashing import xxhash64
+
+            gram_sets.append(np.sort(np.array([xxhash64(g) for g in grams], dtype=np.uint64)))
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            if gram_sets[i].size == 0:
+                continue
+            for j in range(i + 1, len(ids)):
+                if gram_sets[j].size == 0:
+                    continue
+                isect = np.intersect1d(gram_sets[i], gram_sets[j], assume_unique=True).size
+                union = gram_sets[i].size + gram_sets[j].size - isect
+                jac = float(isect) / float(union)
+                if jac >= 0.5:
+                    a, b = int(ids[i]), int(ids[j])
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(jac)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard_micros": pd.Series(_micros(np.array(out_j, dtype=np.float64)), dtype="int64"),
+            }
+        )
+
+    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+def events_sessions(sf_dir: str):
+    """Gap-based sessionization: per-user sessions split on >30 min
+    idle gaps (groupby(user) → map_groups sort + cumsum — the classic
+    streaming-window operator expressed as a keyed batch transform)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        agg = g.groupby(sid).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(g["user_id"].iloc[0], len(agg)),
+                "session_start": agg["session_start"].astype("datetime64[us]"),
+                "n_events": agg["n_events"].astype("int64"),
+                "duration_us": (
+                    agg["session_end"].astype("datetime64[us]").astype("int64")
+                    - agg["session_start"].astype("datetime64[us]").astype("int64")
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def top_parts_per_brand(sf_dir: str):
+    """Per-group top-k: 3 largest parts per brand (deterministic
+    tie-break on p_partkey) — the ROW_NUMBER()/QUALIFY operator as a
+    keyed map_groups."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["p_size", "p_partkey"], ascending=[False, True]).head(3)
+        return g[["p_brand", "p_partkey", "p_size"]]
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # non-SQL operators (rows-only driver check; exact semantics pinned by
 # pytest against small fixtures)
@@ -465,6 +597,10 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "doc_char_stats": doc_char_stats,
     "lang_distribution": lang_distribution,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
+    "events_sessions": events_sessions,
+    "top_parts_per_brand": top_parts_per_brand,
     "doc_minhash_near_dup": doc_minhash_near_dup,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_lang_id": doc_lang_id,
@@ -561,5 +697,71 @@ ORACLES = {
     """,
     "lang_distribution": """
         SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    """,
+    "doc_quality_scores": r"""
+        WITH f AS (
+            SELECT doc_id,
+                   COALESCE(text, '') AS t,
+                   CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_words
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_words,
+               CAST(FLOOR((CAST(length(regexp_extract_all(t, '[^A-Za-z0-9_\s]')) AS DOUBLE)
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS punct_ratio_micros,
+               CAST(FLOOR((CAST(length(regexp_extract_all(lower(t), '\b(?:the|of|and|a|to|in|is|was|he|for|it|with|as|his|on|be|at|by|this|that|had|not|are|but|from|or|have|an|they|which|one|you|were|her|all|she|there|would|their|we|him|been|has|when|who|will|more|no|if|out|so|said|what)\b')) AS DOUBLE)
+                    / CAST(GREATEST(n_words, 1) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS stopword_ratio_micros,
+               CAST(FLOOR((CAST(length(regexp_extract_all(t, '[A-Za-z]')) AS DOUBLE)
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS alpha_ratio_micros
+        FROM f
+    """,
+    "doc_ngram_jaccard": r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'), ' '),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, source, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 2, 0))) AS i
+            FROM toks
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+            FROM grams a JOIN grams b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR((CAST(isect AS DOUBLE) / CAST(sa.n + sb.n - isect AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS jaccard_micros
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE CAST(isect AS DOUBLE) / CAST(sa.n + sb.n - isect AS DOUBLE) >= 0.5
+    """,
+    "events_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+        FROM sess GROUP BY user_id, sid
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, p_size
+        FROM part
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) <= 3
     """,
 }
