@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -229,7 +230,51 @@ def simhash_pairs(
 
 
 def _as_matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` column (or any iterable of vectors) → 2-D
+    float64 matrix. For fixed-length Arrow list columns this is a
+    flatten + reshape (no per-row Python); the vstack fallback covers
+    pandas object columns."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr.type, pa.ExtensionType):  # Ray tensor extension
+            out = np.asarray(arr.to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
+            if out.ndim == 2:
+                return out
+            arr = arr.storage
+        if pa.types.is_list(arr.type) or pa.types.is_fixed_size_list(arr.type):
+            lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            if len(lengths) and (lengths == lengths[0]).all():
+                flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                return flat.reshape(len(arr), int(lengths[0]))
+        col = arr.to_pylist()
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _vec_is_in(ds: rd.Dataset, id_col: str, ids: list[int]) -> rd.Dataset:
+    """Vectorized id-membership filter (pc.is_in per batch — replaces a
+    per-row Python ``filter(lambda)`` in the hot path)."""
+    wanted = pa.array(sorted(int(i) for i in ids), type=pa.int64())
+
+    def kern(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=wanted))
+
+    return ds.map_batches(kern, batch_format="pyarrow")
+
+
+def _first_n_by_id(ds: rd.Dataset, id_col: str, vec_col: str, n: int) -> pd.DataFrame:
+    """The n smallest-id rows without a global sort: per-block partial
+    n-smallest (vectorized argpartition), tiny driver-side merge of
+    blocks × n rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) > n:
+            ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            keep = np.argpartition(ids, n - 1)[:n]
+            t = t.take(pa.array(np.sort(keep)))
+        return t.select([id_col, vec_col])
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return df.nsmallest(n, id_col).sort_values(id_col).reset_index(drop=True)
 
 
 class _BruteTopK:
@@ -250,7 +295,7 @@ class _BruteTopK:
             self._q = (qids, qn)
         qids, qn = self._q
         ids = np.asarray(batch[self.id_col].to_pylist())
-        mat = _as_matrix(batch[self.vec_col].to_pylist())
+        mat = _as_matrix(batch[self.vec_col])
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = qn @ mat.T  # (n_queries, batch)
         # k+1 so a self-match in the batch can't evict a real neighbor
@@ -292,8 +337,7 @@ def ann_brute_topk(
     """Brute-force cosine top-k: per-batch partial top-k against the
     broadcast queries, then a tiny groupby(query) merge. Ties broken by
     neighbor_id ascending (determinism)."""
-    qtab = ds.filter(lambda r: r[id_col] in set(query_ids))
-    qdf = qtab.select_columns([id_col, vec_col]).to_pandas()
+    qdf = _vec_is_in(ds.select_columns([id_col, vec_col]), id_col, query_ids).to_pandas()
     qref = ray.put((qdf[id_col].to_numpy(), _as_matrix(qdf[vec_col])))
     partial = ds.map_batches(_BruteTopK(qref, k, id_col, vec_col), batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
@@ -314,7 +358,7 @@ def ann_ivf_topk(
     buckets per query, brute-force only within those buckets.
     Approximate by construction — recall vs brute force is asserted in
     tests, not exactness."""
-    cdf = ds.sort(id_col).limit(n_centroids).select_columns([id_col, vec_col]).to_pandas()
+    cdf = _first_n_by_id(ds, id_col, vec_col, n_centroids)
     cents = _as_matrix(cdf[vec_col])
     cents = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
     cref = ray.put(cents)
@@ -326,19 +370,21 @@ def ann_ivf_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._c is None:
                 self._c = ray.get(cref)
-            mat = _as_matrix(batch[vec_col].to_pylist())
+            mat = _as_matrix(batch[vec_col])
             mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
             cent = np.argmax(mat @ self._c.T, axis=1).astype(np.int32)
             return batch.append_column("centroid", pa.array(cent))
 
     assigned = ds.map_batches(_Assign(), batch_format="pyarrow")
 
-    qdf = ds.filter(lambda r: r[id_col] in set(query_ids)).select_columns([id_col, vec_col]).to_pandas()
+    qdf = _vec_is_in(ds.select_columns([id_col, vec_col]), id_col, query_ids).to_pandas()
     qmat = _as_matrix(qdf[vec_col])
     qn = qmat / np.clip(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12, None)
     probes = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :n_probe]
-    wanted = sorted({int(c) for row in probes for c in row})
-    sub = assigned.filter(lambda r: r["centroid"] in set(wanted))
+    wanted = pa.array(sorted({int(c) for row in probes for c in row}), type=pa.int32())
+    sub = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["centroid"], value_set=wanted)), batch_format="pyarrow"
+    )
     qref = ray.put((qdf[id_col].to_numpy(), qmat))
     partial = sub.map_batches(_BruteTopK(qref, k, id_col, vec_col), batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
@@ -366,7 +412,7 @@ def embedding_near_dup_pairs(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._p is None:
                 self._p = ray.get(pref)
-            mat = _as_matrix(batch[vec_col].to_pylist())
+            mat = _as_matrix(batch[vec_col])
             bits = (mat @ self._p.T) > 0
             keys = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
             return batch.select([id_col, vec_col]).append_column(
