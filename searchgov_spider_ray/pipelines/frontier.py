@@ -285,18 +285,23 @@ class CrawlJobRunner:
             if robots_path.exists()
             else RobotsRules()
         )
-        # Corpus into the object store ONCE (zero-copy for all actors);
-        # pre-sorted by url_hash so actor init is O(1).
+        # Corpus into the object store ONCE (zero-copy for all actors),
+        # broadcast as (table, argsort permutation of url_hash): sorting
+        # a multi-GB string/binary table with take() would overflow
+        # 32-bit Arrow offsets; searchsorted runs over the permuted hash
+        # array instead (stages/fetch.py module docstring).
         pages = pq.read_table(self.corpus_dir / "corpus_pages.parquet").drop_columns(["links"])
-        pages = pages.take(pc.sort_indices(pages["url_hash"]))
-        self.corpus_ref = ray.put(pages)
+        page_perm = np.argsort(
+            pages["url_hash"].to_numpy(zero_copy_only=False), kind="stable"
+        ).astype(np.int64)
+        self.corpus_ref = ray.put((pages, page_perm))
         images_path = self.corpus_dir / "corpus_images.parquet"
         if images_path.exists():
             images = pq.read_table(images_path)
             id_hash = xxhash64_array(images["image_id"].to_pylist())
             images = images.append_column("id_hash", pa.array(id_hash, type=pa.uint64()))
-            images = images.take(pc.sort_indices(images["id_hash"]))
-            self.images_ref = ray.put(images)
+            img_perm = np.argsort(id_hash, kind="stable").astype(np.int64)
+            self.images_ref = ray.put((images, img_perm))
         else:
             self.images_ref = None
         self.shards = make_shard_pool(self.cfg.num_shards, self.cfg.shard_capacity)

@@ -8,14 +8,18 @@ URLs against the corpus table (SURVEY.md §2.1 S3/S8 — the reference's
 own e2e test replays a committed HTTP cache the same way,
 tests/search_gov_spiders/test_full_crawl.py:32-39).
 
-Broadcast, not shuffle: the driver ``ray.put``s the corpus Arrow table
-ONCE, pre-sorted by its uint64 ``url_hash`` column; stage callables
-``ray.get`` it lazily (zero-copy from the local object store — N
-workers share one physical copy) and join each batch with a vectorized
-``np.searchsorted`` over the Arrow-backed hash column. No Python
-strings in the probe path; matched rows string-confirm to rule out
-hash collisions. A fetch miss models a dead link: status 0, no body,
-never retried (RETRY_ENABLED=False parity).
+Broadcast, not shuffle: the driver ``ray.put``s ``(corpus Arrow table,
+argsort permutation of its uint64 url_hash column)`` ONCE; stage
+callables ``ray.get`` it lazily (zero-copy from the local object store
+— N workers share one physical copy) and join each batch with a
+vectorized ``np.searchsorted`` over the permuted hash array, mapping
+hits back through the permutation. The table itself is never
+re-ordered: a driver-side ``take`` of a multi-GB string/binary column
+overflows 32-bit Arrow offsets, and per-batch takes of a few hundred
+scattered rows are cheap. No Python strings in the probe path; matched
+rows string-confirm to rule out hash collisions. A fetch miss models a
+dead link: status 0, no body, never retried (RETRY_ENABLED=False
+parity).
 
 These callables are deliberately TASK-based (instances, not actor
 pools): their only state is the read-only broadcast table, and lazy
@@ -49,19 +53,21 @@ class CorpusFetcher:
 
     def __init__(self, corpus_ref):
         self.corpus_ref = corpus_ref
-        self._hashes: np.ndarray | None = None
+        self._sorted_hashes: np.ndarray | None = None
+        self._perm: np.ndarray | None = None
         self._table: pa.Table | None = None
 
     def _ensure(self) -> None:
         if self._table is None:
-            self._table = ray.get(self.corpus_ref)  # zero-copy, sorted by url_hash
-            self._hashes = self._table["url_hash"].to_numpy()
+            self._table, self._perm = ray.get(self.corpus_ref)  # zero-copy
+            hashes = self._table["url_hash"].to_numpy(zero_copy_only=False)
+            self._sorted_hashes = hashes[self._perm]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure()
         probe = batch["url_hash"].to_numpy().astype(np.uint64)
-        pos, found = _hash_probe(self._hashes, probe)
-        rows = self._table.take(pa.array(pos[found], type=pa.int64()))
+        pos, found = _hash_probe(self._sorted_hashes, probe)
+        rows = self._table.take(pa.array(self._perm[pos[found]], type=pa.int64()))
         # hash-collision guard: confirm url strings on matches only
         if len(rows):
             batch_urls = np.asarray(batch["url"].to_pylist(), dtype=object)[found]
@@ -108,13 +114,15 @@ class ImageAttach:
 
     def __init__(self, images_ref):
         self.images_ref = images_ref
-        self._hashes: np.ndarray | None = None
+        self._sorted_hashes: np.ndarray | None = None
+        self._perm: np.ndarray | None = None
         self._table: pa.Table | None = None
 
     def _ensure(self) -> None:
         if self._table is None:
-            self._table = ray.get(self.images_ref)  # sorted by id_hash
-            self._hashes = self._table["id_hash"].to_numpy()
+            self._table, self._perm = ray.get(self.images_ref)  # zero-copy
+            hashes = self._table["id_hash"].to_numpy(zero_copy_only=False)
+            self._sorted_hashes = hashes[self._perm]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import xxhash64_array
@@ -123,9 +131,9 @@ class ImageAttach:
         batch = batch.filter(batch["image_id"].is_valid())
         ids = batch["image_id"].to_pylist()
         probe = xxhash64_array(ids)
-        pos, found = _hash_probe(self._hashes, probe)
+        pos, found = _hash_probe(self._sorted_hashes, probe)
         batch = batch.filter(pa.array(found))
-        rows = self._table.take(pa.array(pos[found], type=pa.int64()))
+        rows = self._table.take(pa.array(self._perm[pos[found]], type=pa.int64()))
         out = batch.drop_columns(["image_id"])
         for name in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
             out = out.append_column(name, rows[name])
