@@ -12,19 +12,75 @@ are the scale additions for training-data curation.
 from __future__ import annotations
 
 import numpy as np
-
-from .hashing import xxhash64
+import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
 
+# Polynomial shingle combiner: xxHash prime multiplier + splitmix64's
+# avalanche finisher. Set-Jaccard / MinHash similarity are invariant
+# under the choice of injective shingle hash, so the scheme only needs
+# determinism across runs/platforms — not a specific named function.
+_COMB_MULT = np.uint64(11400714785074694791)
+_AV1 = np.uint64(0xBF58476D1CE4E5B9)
+_AV2 = np.uint64(0x94D049BB133111EB)
+
+
+def _avalanche(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= _AV1
+    x ^= x >> np.uint64(27)
+    x *= _AV2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _word_hashes(words: np.ndarray) -> np.ndarray:
+    """uint64 hash per word, vectorized: pandas' cython ``hash_array``
+    with ``categorize=True`` hashes each DISTINCT word once (the
+    vocabulary trick) — no per-word Python in the hot path. Fixed
+    default hash key → deterministic across runs and platforms."""
+    if len(words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(words, categorize=True).astype(np.uint64)
+
+
+def _rolling_shingles(wh: np.ndarray, k: int) -> np.ndarray:
+    """Order-sensitive k-word shingle hashes from word hashes: sliding
+    polynomial combine (vectorized over positions; Python loops only
+    over k) + avalanche finish."""
+    n = len(wh) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _COMB_MULT + wh[j : j + n]
+    return _avalanche(acc)
+
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct xxhash64 values of the k-word shingles of ``text``."""
-    words = text.lower().split()
-    if len(words) < k:
-        return np.array([xxhash64(" ".join(words))], dtype=np.uint64) if words else np.array([], dtype=np.uint64)
-    seen = {xxhash64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
-    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+    """Distinct shingle hashes of the k-word shingles of ``text``
+    (single-doc convenience wrapper over ``shingle_hash_sets``)."""
+    return shingle_hash_sets([text], k)[0]
+
+
+def shingle_hash_sets(texts, k: int = 5) -> list[np.ndarray]:
+    """Per-doc SORTED distinct k-word shingle-hash sets for a whole
+    batch: one vectorized word-hash pass over the batch's concatenated
+    words, then numpy rolling combines per doc. Docs shorter than k
+    words hash their full word sequence; empty docs get an empty set."""
+    tokenized = [(t or "").lower().split() for t in texts]
+    nonempty = [np.asarray(w, dtype=object) for w in tokenized if w]
+    wh = _word_hashes(np.concatenate(nonempty)) if nonempty else np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    for words in tokenized:
+        nw = len(words)
+        if nw == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        h = wh[pos : pos + nw]
+        pos += nw
+        out.append(np.unique(_rolling_shingles(h, min(k, nw))))
+    return out
 
 
 class MinHasher:
@@ -50,29 +106,50 @@ class MinHasher:
         return vals.min(axis=1)
 
     def band_keys(self, sig: np.ndarray, bands: int = 16) -> np.ndarray:
-        """One uint64 bucket key per band: hash of the band's rows.
-        Docs sharing ANY band key are LSH candidates."""
+        """One uint64 bucket key per band: polynomial combine + avalanche
+        of the band's signature rows (vectorized across bands). Docs
+        sharing ANY band key are LSH candidates."""
         rows = self.num_perm // bands
-        out = np.empty(bands, dtype=np.uint64)
-        for b in range(bands):
-            out[b] = xxhash64(sig[b * rows : (b + 1) * rows].tobytes())
+        mat = sig[: bands * rows].reshape(bands, rows).astype(np.uint64)
+        acc = np.zeros(bands, dtype=np.uint64)
+        for j in range(rows):
+            acc = acc * _COMB_MULT + mat[:, j]
+        return _avalanche(acc)
+
+    def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix for a batch."""
+        out = np.empty((len(shingle_sets), self.num_perm), dtype=np.uint64)
+        for i, sh in enumerate(shingle_sets):
+            out[i] = self.signature(sh)
         return out
 
 
 def simhash(text: str, k: int = 3) -> int:
     """64-bit SimHash over k-word shingle hashes (Charikar 2002)."""
-    words = text.lower().split()
-    if not words:
-        return 0
-    n = max(1, len(words) - k + 1)
-    hashes = np.fromiter(
-        (xxhash64(" ".join(words[i : i + k])) for i in range(n)),
-        dtype=np.uint64,
-        count=n,
-    )
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return int(simhash_batch([text], k)[0])
+
+
+def simhash_batch(texts, k: int = 3) -> np.ndarray:
+    """Vectorized-per-batch SimHash: one vocabulary word-hash pass,
+    then per-doc numpy bit voting."""
+    tokenized = [(t or "").lower().split() for t in texts]
+    nonempty = [np.asarray(w, dtype=object) for w in tokenized if w]
+    wh = _word_hashes(np.concatenate(nonempty)) if nonempty else np.empty(0, dtype=np.uint64)
+    out = np.empty(len(tokenized), dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    pos = 0
+    for i, words in enumerate(tokenized):
+        nw = len(words)
+        if nw == 0:
+            out[i] = 0
+            continue
+        h = wh[pos : pos + nw]
+        pos += nw
+        hashes = _rolling_shingles(h, min(k, nw))
+        bits = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        out[i] = ((votes > 0).astype(np.uint64) << shifts).sum()
+    return out
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

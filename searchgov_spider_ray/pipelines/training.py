@@ -26,7 +26,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import xxhash64_array
-from ..functions.simdedup import MinHasher, hamming64, jaccard, shingle_hashes, simhash
+from ..functions.simdedup import MinHasher, hamming64, jaccard, shingle_hash_sets, simhash_batch
 from ..functions.textstats import content_hashes, detect_lang, fingerprint, quality_scores, token_counts
 
 # --------------------------------------------------------------------------
@@ -74,22 +74,65 @@ class _MinHashBands:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        band_ids: list[int] = []
-        band_keys: list[int] = []
-        doc_ids: list = []
-        for doc_id, text in zip(ids, texts):
-            sig = self.mh.signature(shingle_hashes(text or "", self.k))
-            for b, key in enumerate(self.mh.band_keys(sig, self.bands)):
-                band_ids.append(b)
-                band_keys.append(int(key))
-                doc_ids.append(doc_id)
+        sets = shingle_hash_sets(texts, self.k)
+        n = len(ids)
+        keys = np.empty((n, self.bands), dtype=np.uint64)
+        for i in range(n):
+            keys[i] = self.mh.band_keys(self.mh.signature(sets[i]), self.bands)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_key": pa.array(np.asarray(band_keys, dtype=np.uint64)),
-                "doc_id": pa.array(doc_ids),
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_key": pa.array(keys.reshape(-1)),
+                "doc_id": pa.array(np.repeat(np.asarray(ids), self.bands)),
             }
         )
+
+
+def _pairs_from_bands(t: pa.Table) -> pa.Table:
+    """All candidate pairs from the full band table in one vectorized
+    pass: lexsort by (band_id, band_key), detect bucket runs, emit
+    upper-triangle pairs per run (star-capped at 200 docs/bucket), then
+    dedupe pairs across bands with one np.unique.
+
+    Runs over the whole band table as a single block (repartition(1)
+    upstream): band rows are 20 bytes each, so this holds to ~1e8 docs
+    × bands per job. Past that, switch to the bucket-sharded
+    ``groupby(band_id, band_key).map_groups(_bucket_pairs)`` path —
+    same semantics, pays the exchange."""
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())})
+    if len(t) == 0:
+        return empty
+    bid = t["band_id"].to_numpy()
+    key = t["band_key"].to_numpy()
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, key, bid))
+    bid, key, doc = bid[order], key[order], doc[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(bid))
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        ids = doc[s:e]
+        if n > 200:
+            # degenerate bucket: star to the min id; connected
+            # components downstream still link the cluster
+            a_parts.append(np.full(n - 1, ids[0]))
+            b_parts.append(ids[1:])
+        else:
+            iu, ju = np.triu_indices(n, 1)
+            a_parts.append(ids[iu])
+            b_parts.append(ids[ju])
+    if not a_parts:
+        return empty
+    pairs = np.unique(np.stack([np.concatenate(a_parts), np.concatenate(b_parts)], axis=1), axis=0)
+    return pa.table(
+        {"doc_a": pa.array(pairs[:, 0], type=pa.int64()), "doc_b": pa.array(pairs[:, 1], type=pa.int64())}
+    )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -107,21 +150,40 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
 
 
+def _derive_bands(num_perm: int, threshold: float) -> int:
+    """Pick the band count whose LSH s-curve threshold (1/b)^(1/r),
+    r = num_perm/b, sits safely BELOW the verification threshold, so
+    pairs at the threshold are caught with high probability (missed
+    candidates are silent false negatives; the exact-Jaccard verify
+    step removes any false positives for free)."""
+    best = num_perm  # r=1 catches everything
+    for b in (2, 4, 8, 16, 32, 64, 128, 256):
+        if b > num_perm or num_perm % b:
+            continue
+        r = num_perm // b
+        if (1.0 / b) ** (1.0 / r) <= 0.9 * threshold:
+            return b
+    return best
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_k: int = 5,
     threshold: float = 0.8,
     texts_ref=None,
 ) -> rd.Dataset:
     """MinHash → LSH band buckets → candidate pairs → exact n-gram
-    Jaccard verification ≥ threshold. ``texts_ref`` (optional
-    ``ray.put`` of {id: text}) skips re-reading texts for verification;
-    when None it is built by materializing the id/text projection
-    (broadcast-sized inputs only — see module scale note)."""
+    Jaccard verification ≥ threshold. ``bands=None`` derives the band
+    count from the threshold (see ``_derive_bands``). ``texts_ref``
+    (optional ``ray.put`` of {id: text}) skips re-reading texts for
+    verification; when None it is built by materializing the id/text
+    projection (broadcast-sized inputs only — see module scale note)."""
+    if bands is None:
+        bands = _derive_bands(num_perm, threshold)
     if texts_ref is None:
         proj = ds.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(proj[id_col], proj[text_col])))
@@ -130,9 +192,11 @@ def minhash_lsh_pairs(
         _MinHashBands(num_perm, bands, shingle_k, text_col, id_col),
         batch_format="pyarrow",
     )
-    cand = bands_ds.groupby(["band_id", "band_key"]).map_groups(_bucket_pairs, batch_format="pandas")
-    # dedupe candidate pairs across bands
-    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    # one vectorized pass generates + dedupes candidate pairs (see
+    # _pairs_from_bands for the >1e8-band-rows groupby fallback)
+    uniq = bands_ds.repartition(1).map_batches(
+        _pairs_from_bands, batch_format="pyarrow", batch_size=None
+    )
 
     k = shingle_k
 
@@ -144,12 +208,13 @@ def minhash_lsh_pairs(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if self._texts is None:
                 self._texts = ray.get(self.ref)
-            jac = np.empty(len(batch), dtype=np.float64)
-            for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-                jac[i] = jaccard(
-                    np.sort(shingle_hashes(self._texts.get(a, "") or "", k)),
-                    np.sort(shingle_hashes(self._texts.get(b, "") or "", k)),
-                )
+            a_sets = shingle_hash_sets([self._texts.get(a, "") for a in batch["doc_a"]], k)
+            b_sets = shingle_hash_sets([self._texts.get(b, "") for b in batch["doc_b"]], k)
+            jac = np.fromiter(
+                (jaccard(sa, sb) for sa, sb in zip(a_sets, b_sets)),
+                dtype=np.float64,
+                count=len(batch),
+            )
             batch["jaccard"] = jac
             return batch[batch["jaccard"] >= threshold]
 
@@ -163,10 +228,7 @@ def minhash_lsh_pairs(
 
 def add_simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> rd.Dataset:
     def kernel(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            out[i] = simhash(t or "", k)
+        out = simhash_batch(batch[text_col].to_pylist(), k)
         return batch.select([id_col]).append_column("simhash", pa.array(out, type=pa.uint64()))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
@@ -202,26 +264,56 @@ def simhash_pairs(
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 200:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            d = hamming64(np.full(len(ids) - i - 1, hs[i], dtype=np.uint64), hs[i + 1 :])
-            for j, dist in enumerate(d, start=i + 1):
-                if dist <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(int(dist))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+    def pairs_kernel(t: pa.Table) -> pa.Table:
+        """Vectorized bucket-run pair generation + Hamming verify +
+        cross-band dedup in one block (same single-block contract and
+        scale note as _pairs_from_bands)."""
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        bid = t["band_id"].to_numpy()
+        key = t["band_key"].to_numpy()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = t["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((doc, key, bid))
+        bid, key, doc, hs = bid[order], key[order], doc[order], hs[order]
+        new = np.empty(len(bid), dtype=bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(bid))
+        rows = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > 200:
+                continue
+            iu, ju = np.triu_indices(n, 1)
+            d = hamming64(hs[s:e][iu], hs[s:e][ju])
+            ok = d <= max_hamming
+            if ok.any():
+                rows.append(
+                    np.stack([doc[s:e][iu[ok]], doc[s:e][ju[ok]], d[ok]], axis=1).astype(np.int64)
+                )
+        if not rows:
+            return empty
+        uniq = np.unique(np.concatenate(rows), axis=0)
+        return pa.table(
+            {
+                "doc_a": pa.array(uniq[:, 0], type=pa.int64()),
+                "doc_b": pa.array(uniq[:, 1], type=pa.int64()),
+                "hamming": pa.array(uniq[:, 2], type=pa.int64()),
+            }
+        )
 
-    cand = sh.map_batches(explode, batch_format="pyarrow").groupby(["band_id", "band_key"]).map_groups(
-        pairs, batch_format="pandas"
+    return sh.map_batches(explode, batch_format="pyarrow").repartition(1).map_batches(
+        pairs_kernel, batch_format="pyarrow", batch_size=None
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -438,7 +530,11 @@ def embedding_near_dup_pairs(
 
     bucketed = ds.map_batches(_Bucket(), batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return pairs.repartition(1).map_batches(
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True),
+        batch_format="pandas",
+        batch_size=None,
+    )
 
 
 # --------------------------------------------------------------------------
