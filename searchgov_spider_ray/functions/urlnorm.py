@@ -99,6 +99,49 @@ def canonicalize(url: str) -> str:
     return out
 
 
+_FAST_SPLIT_RE = re.compile(r"^(https?)://([a-z0-9\-.]+)(/[A-Za-z0-9\-._~:@!$&'()*+,;=/]*)$")
+
+
+def canonicalize_batch(urls) -> "np.ndarray":
+    """Vectorized ``canonicalize`` over an array of URLs.
+
+    Fast path: a URL already in canonical form — lowercase http(s)
+    scheme, lowercase bare host (no port/userinfo/trailing dot),
+    non-empty path of unreserved+sub-delim chars with no percent
+    escapes, no query/fragment, and no ``//`` ``/./`` ``/../``
+    segments — is provably a fixed point of ``canonicalize`` and
+    passes through unchanged. Eligibility is a few pandas str ops;
+    only the residue pays the per-URL Python normalization. Extracted
+    web links are overwhelmingly already canonical, so this removes
+    the hottest per-URL cost in the link-scope stage (equality with
+    the scalar path is pinned by tests)."""
+    import numpy as np  # local: keep module import surface unchanged
+    import pandas as pd
+
+    arr = np.asarray(urls, dtype=object)
+    if len(arr) == 0:
+        return arr.copy()
+    s = pd.Series(arr, dtype="object").astype("string")
+    parts = s.str.extract(_FAST_SPLIT_RE)
+    host, path = parts[1], parts[2]
+    fast = parts[0].notna()
+    fast &= ~host.str.startswith(".").fillna(True)
+    fast &= ~host.str.endswith(".").fillna(True)
+    fast &= ~host.str.contains("..", regex=False).fillna(True)
+    bad_path = (
+        path.str.contains("//", regex=False)
+        | path.str.contains("/./", regex=False)
+        | path.str.contains("/../", regex=False)
+        | path.str.endswith("/.")
+        | path.str.endswith("/..")
+    )
+    fast &= ~bad_path.fillna(True)
+    out = arr.copy()
+    for i in np.flatnonzero(~fast.to_numpy(dtype=bool)):
+        out[i] = canonicalize(out[i])
+    return out
+
+
 def surt(url: str) -> str:
     """SURT form of an (already canonical) URL — the frontier sort key."""
     parts = urlsplit(url)

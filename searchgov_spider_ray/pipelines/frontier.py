@@ -52,7 +52,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import sha256_hex, xxhash64, xxhash64_array
-from ..functions.urlnorm import canonicalize, host_of
+from ..functions.urlnorm import canonicalize, canonicalize_batch, host_of
 from ..sources.crawl_sites import CrawlSite
 from ..stages.dedup import DedupRouter, dump_shards, make_shard_pool, restore_shards
 from ..stages.decode import DecodePHash
@@ -107,8 +107,25 @@ class _CanonScope:
         self.robots = robots
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raw = batch["url"].to_pylist()
-        canon = [canonicalize(u) for u in raw]
+        # Canonicalize/hash each DISTINCT raw URL once per batch — link
+        # batches repeat URLs heavily (nav links shared across pages),
+        # and canonicalize + pure-Python xxhash64 are the round's
+        # hottest per-URL costs.
+        raw = np.asarray(batch["url"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(raw, return_inverse=True)
+        canon_u = canonicalize_batch(uniq)
+        hash_u = xxhash64_array(canon_u)
+        # canonical form is scheme://host[:port]/... with host already
+        # lowercased and dot-stripped — host extraction is one
+        # vectorized regex instead of a urlsplit per URL (equivalence
+        # with host_of pinned by simulator parity tests).
+        host_u = (
+            pd.Series(canon_u, dtype="object")
+            .str.extract(r"://([^/:?#]*)", expand=False)
+            .fillna("")
+            .to_numpy(dtype=object)
+        )
+        canon = canon_u[inv]
         child_depth = pc.add(batch["parent_depth"], 1).cast(pa.int32())
         s = pd.Series(canon, dtype="object")
         reason = self.scope.evaluate(s, child_depth.to_numpy()).to_numpy(dtype=object)
@@ -117,12 +134,11 @@ class _CanonScope:
             robots_bad = robots_reason(s[keep], self.robots)
             kidx = np.where(keep)[0]
             reason[kidx[robots_bad]] = DENY_ROBOTS
-        domains = [host_of(u) for u in canon]
         out = batch.drop_columns(["url"])
         out = out.append_column("url", pa.array(canon, type=pa.string()))
         out = out.append_column("depth", child_depth)
-        out = out.append_column("domain", pa.array(domains, type=pa.string()))
-        out = out.append_column("url_hash", pa.array(xxhash64_array(canon), type=pa.uint64()))
+        out = out.append_column("domain", pa.array(host_u[inv], type=pa.string()))
+        out = out.append_column("url_hash", pa.array(hash_u[inv], type=pa.uint64()))
         out = out.append_column("reason", pa.array(reason.astype(str), type=pa.string()))
         return out
 
@@ -290,7 +306,11 @@ class CrawlJobRunner:
         # a multi-GB string/binary table with take() would overflow
         # 32-bit Arrow offsets; searchsorted runs over the permuted hash
         # array instead (stages/fetch.py module docstring).
-        pages = pq.read_table(self.corpus_dir / "corpus_pages.parquet").drop_columns(["links"])
+        from ..stages.fetch import broadcastable
+
+        pages = broadcastable(
+            pq.read_table(self.corpus_dir / "corpus_pages.parquet").drop_columns(["links"])
+        )
         page_perm = np.argsort(
             pages["url_hash"].to_numpy(zero_copy_only=False), kind="stable"
         ).astype(np.int64)
@@ -300,6 +320,7 @@ class CrawlJobRunner:
             images = pq.read_table(images_path)
             id_hash = xxhash64_array(images["image_id"].to_pylist())
             images = images.append_column("id_hash", pa.array(id_hash, type=pa.uint64()))
+            images = broadcastable(images)
             img_perm = np.argsort(id_hash, kind="stable").astype(np.int64)
             self.images_ref = ray.put((images, img_perm))
         else:
@@ -439,6 +460,20 @@ class CrawlJobRunner:
 
     # --- one BSP round ---------------------------------------------------
     def _run_round(self, k: int) -> int:
+        import os
+        import time as _time
+
+        _timing = os.environ.get("GRAFT_CRAWL_TIMING")
+        _marks: list[tuple[str, float]] = []
+        _t = _time.monotonic()
+
+        def _mark(label: str) -> None:
+            nonlocal _t
+            if _timing:
+                now = _time.monotonic()
+                _marks.append((label, now - _t))
+                _t = now
+
         cfg = self.cfg
         frontier = rd.read_parquet(str(self.ckpt.frontier_dir(k)))
 
@@ -451,6 +486,7 @@ class CrawlJobRunner:
         marked = frontier.groupby("domain").map_groups(
             politeness_grant, batch_format="pandas"
         ).materialize()
+        _mark("politeness")
         granted = marked.map_batches(
             lambda t: t.filter(t["granted"]).drop_columns(["granted"]),
             batch_format="pyarrow",
@@ -473,6 +509,7 @@ class CrawlJobRunner:
             batch_size=cfg.fetch_batch_size,
         ).materialize()
         n_fetched = fetched.count()
+        _mark("fetch")
 
         # 3. order/lineage sink (fetch order = (round, depth, seq))
         order = fetched.drop_columns(["body"]).map_batches(
@@ -480,6 +517,7 @@ class CrawlJobRunner:
         )
         _write_round(order, self.out_dir / "order", k)
 
+        _mark("order_sink")
         # spent-per-domain lineage: read back from the order parquet we
         # just wrote (driver-side value_counts on one small column — no
         # extra Ray execution)
@@ -487,6 +525,7 @@ class CrawlJobRunner:
         vc = pc.value_counts(spent_tab["domain"].combine_chunks())
         spent = {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
 
+        _mark("spent_lineage")
         # 4. emit + image payload landing
         emit = fetched.map_batches(
             _EmitKernel(self.site.output_target), batch_format="pyarrow"
@@ -504,6 +543,7 @@ class CrawlJobRunner:
             )
             _write_round(image_rows, self.out_dir / "corpus", k)
 
+        _mark("emit_decode")
         # 5. link extraction → canonicalize → scope/robots
         # (only 200-status pages parse — non-200 responses yield neither
         # items nor links, reference CrawlSpider semantics)
@@ -517,6 +557,7 @@ class CrawlJobRunner:
             _CanonScope(self.scope, self.robots), batch_format="pyarrow"
         ).materialize()
 
+        _mark("links_scope")
         denied = scoped.map_batches(_DeniedKernel(k, keep_side=False), batch_format="pyarrow")
         cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
         if cands.count() == 0:
@@ -531,6 +572,7 @@ class CrawlJobRunner:
         grouped = cands.repartition(1).map_batches(
             _intra_dedup_kernel, batch_format="pyarrow", batch_size=None
         ).materialize()
+        _mark("intra_dedup")
         intra_dups = grouped.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
         winners = grouped.map_batches(
             lambda t: t.filter(t["intra_first"]).drop_columns(["intra_first"]),
@@ -543,6 +585,7 @@ class CrawlJobRunner:
         marked2 = winners.repartition(min(8, cfg.fetch_max_parallelism)).map_batches(
             DedupRouter(self.shards, k), batch_format="pyarrow", batch_size=cfg.link_batch_size
         ).materialize()
+        _mark("urlseen")
         dup_denied = marked2.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")
         # one denial-lineage write per round: scope/robots ∪ intra-round
         # dups ∪ cross-round dups (same schema, single sink execution)
@@ -551,6 +594,7 @@ class CrawlJobRunner:
             lambda t: t.filter(t["novel"]).drop_columns(["novel"]), batch_format="pyarrow"
         )
 
+        _mark("denied_sink")
         # 8. admission-order seq assignment (vectorized, one block)
         counters = dict(self.depth_counters)
         new_frontier = novel.repartition(1).map_batches(
@@ -559,15 +603,21 @@ class CrawlJobRunner:
             batch_size=None,
         ).materialize()
         if new_frontier.count() > 0:
-            per_depth = new_frontier.groupby("depth").count().to_pandas()
-            for _, r in per_depth.iterrows():
-                dd = int(r["depth"])
-                self.depth_counters[dd] = self.depth_counters.get(dd, 0) + int(r["count()"])
+            # per-depth counts without an Aggregate exchange: project the
+            # one int32 column and value-count driver-side (a few MB)
+            depths = new_frontier.select_columns(["depth"]).to_pandas()["depth"]
+            for dd, cnt in depths.value_counts().items():
+                self.depth_counters[int(dd)] = self.depth_counters.get(int(dd), 0) + int(cnt)
 
+        _mark("seq_assign")
         next_frontier = carry.map_batches(
             lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow"
         ).union(new_frontier)
         self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
+        _mark("checkpoint")
+        if _timing:
+            total = sum(d for _, d in _marks)
+            print(f"[round {k}] fetched={n_fetched} total={total:.1f}s " + " ".join(f"{n}={d:.1f}" for n, d in _marks), flush=True)
         return n_fetched
 
 
