@@ -25,20 +25,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/searchgov_ray_bench_corpus")
+# Sinks land on tmpfs when available: on a real cluster the output
+# store (S3/Lance on distributed FS) scales with nodes, while this
+# sandbox's single local disk does not — writing goldens/corpus rows to
+# RAM keeps the scaling measurement about the data plane, not one
+# disk's bandwidth. (/tmp stays the default for the corpus INPUT,
+# which the page cache already serves at RAM speed after first read.)
+BENCH_OUT = os.environ.get(
+    "GRAFT_BENCH_OUT",
+    "/dev/shm/searchgov_ray_bench_out" if os.path.isdir("/dev/shm") else "/tmp/searchgov_ray_bench_out",
+)
 
 # bench corpus: ~1M pages across 400 domains (hot domain 3×), 6 KB HTML
-# bodies, ~100k images at 96-144 px — realistic per-URL weight so the
-# measurement is compute + shuffle, not orchestration floor.
+# bodies, ~250k images at up to 192 px. branching=20 keeps the BFS
+# wavefront at ~4 rounds so the measurement is sustained compute +
+# shuffle, not the per-round orchestration floor of ramp-up rounds.
 BENCH_SPEC = dict(
     seed=42,
     n_domains=400,
     pages_per_domain=2500,
-    branching=8,
+    branching=20,
     hot_domain_factor=3,
     body_filler=6000,
-    image_rate_mod=10,
-    max_image_side=144,
+    image_rate_mod=4,
+    max_image_side=192,
+)
+
+# corpus cache dir is keyed by the spec so a spec change regenerates
+_SPEC_TAG = __import__("hashlib").md5(
+    json.dumps(BENCH_SPEC, sort_keys=True).encode()
+).hexdigest()[:8]
+BENCH_CORPUS = os.environ.get(
+    "GRAFT_BENCH_CORPUS", f"/tmp/searchgov_ray_bench_corpus_{_SPEC_TAG}"
 )
 
 
@@ -70,16 +88,17 @@ def run_crawl_bench() -> tuple[float, int]:
         depth_limit=30,
         output_target="elasticsearch",
     )
-    out = "/tmp/searchgov_ray_bench_out"
+    out = BENCH_OUT
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(
         round_seconds=3600.0,
-        num_shards=8,
+        num_shards=NUM_CPUS,  # URL-seen shard actors scale with the cluster
         shard_capacity=1 << 19,
         fetch_batch_size=2048,
         link_batch_size=4096,
         decode_batch_size=256,
         fetch_max_parallelism=max(8, NUM_CPUS * 2),
+        wide_round_rows=2_000_000,
     )
     runner = CrawlJobRunner(site, cdir, out, cfg)
     t0 = time.time()
@@ -139,6 +158,15 @@ def main() -> None:
 
     for t in ("lineitem", "events", "documents", "embeddings", "orders"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    # warm the Ray worker pool (cold process spin-up is a fixed cost
+    # that lands on round 0 otherwise; a real long-lived cluster is warm)
+    import numpy as _np
+    import ray.data as _rd
+
+    _rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
 
     crawl_wall, crawl_fetched = run_crawl_bench()
     timings = run_query_bench()

@@ -85,6 +85,12 @@ class CrawlConfig:
     decode_batch_size: int = 64
     link_batch_size: int = 512
     max_rounds: int = 2000
+    # Candidate-row count above which the round's dedup/seq stages use
+    # the distributed sort-based paths instead of the single-block
+    # kernels (see _intra_dedup_wide / _assign_seq_wide). The narrow
+    # kernels win below this (one task, no sort exchange); the wide
+    # paths keep per-task memory bounded on 10^8+-candidate rounds.
+    wide_round_rows: int = 4_000_000
 
 
 @dataclass
@@ -169,6 +175,166 @@ def _intra_dedup_kernel(batch: pa.Table) -> pa.Table:
     flag = np.zeros(len(batch), dtype=bool)
     flag[winners] = True
     return batch.append_column("intra_first", pa.array(flag))
+
+
+_ADM_SEQ_BITS = 16
+_ADM_DEPTH_SHIFT = 56
+
+
+def _pack_admission(batch: pa.Table) -> pa.Table:
+    """Pack the admission-order triple into one sortable int64:
+    ``depth(8b) | parent_seq(40b) | link_seq(16b)``. Raises on overflow
+    (depth ≤ 250 by validation; parent_seq < 2^40 covers 10^12 URLs per
+    depth; link_seq < 2^16 covers the per-page unique-link cap)."""
+    d = batch["parent_depth"].to_numpy().astype(np.int64)
+    s = batch["parent_seq"].to_numpy().astype(np.int64)
+    l = batch["link_seq"].to_numpy().astype(np.int64)
+    if len(d) and (
+        int(d.max()) >= 256 or int(s.max()) >= (1 << 40) or int(l.max()) >= (1 << _ADM_SEQ_BITS)
+    ):
+        raise ValueError("admission key field overflow — widen _pack_admission")
+    key = (d << _ADM_DEPTH_SHIFT) | (s << _ADM_SEQ_BITS) | l
+    return batch.append_column("adm_key", pa.array(key, type=pa.int64()))
+
+
+def _intra_dedup_wide(cands: rd.Dataset) -> rd.Dataset:
+    """Distributed first-wins intra-round dedup for wide rounds: global
+    ``sort(url_hash)`` (range exchange), vectorized per-block first-wins,
+    then an O(#blocks) driver fix-up for url_hash groups that straddle a
+    block boundary.
+
+    Inside a sorted block every url_hash group is complete EXCEPT the
+    block's min- and max-hash groups; their block-local winners are
+    'tentative' (their block-local losers are global losers regardless —
+    the local winner dominates them). The driver collects ≤2 tentative
+    rows per block, resolves min-adm_key per hash exactly, and a final
+    map flips the global losers. Output contract matches
+    _intra_dedup_kernel: input rows + boolean ``intra_first``."""
+    keyed = cands.map_batches(_pack_admission, batch_format="pyarrow")
+    s = keyed.sort("url_hash").materialize()
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            t = t.append_column("intra_first", pa.array([], type=pa.bool_()))
+            return t.append_column("tentative", pa.array([], type=pa.bool_()))
+        h = t["url_hash"].to_numpy().astype(np.uint64)
+        a = t["adm_key"].to_numpy()
+        order = np.lexsort((a, h))
+        h_ord = h[order]
+        first_pos = np.unique(h_ord, return_index=True)[1]
+        winners = order[first_pos]
+        flag = np.zeros(len(t), dtype=bool)
+        flag[winners] = True
+        tent = np.zeros(len(t), dtype=bool)
+        boundary = (h[winners] == h_ord[0]) | (h[winners] == h_ord[-1])
+        tent[winners[boundary]] = True
+        return t.append_column("intra_first", pa.array(flag)).append_column(
+            "tentative", pa.array(tent)
+        )
+
+    marked = s.map_batches(local, batch_format="pyarrow", batch_size=None).materialize()
+    tent_df = (
+        marked.map_batches(
+            lambda t: t.filter(t["tentative"]).select(["url_hash", "adm_key"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )
+    losers: set[tuple[int, int]] = set()
+    if len(tent_df):
+        for h, grp in tent_df.groupby("url_hash"):
+            if len(grp) > 1:
+                keys = sorted(int(x) for x in grp["adm_key"])
+                losers.update((int(h), kk) for kk in keys[1:])
+    losers_ref = ray.put(losers)
+
+    class _Fix:
+        def __init__(self):
+            self._l = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._l is None:
+                self._l = ray.get(losers_ref)
+            flag = t["intra_first"].to_numpy(zero_copy_only=False).copy()
+            if self._l:
+                tent = t["tentative"].to_numpy(zero_copy_only=False)
+                idx = np.flatnonzero(tent)
+                if len(idx):
+                    h = t["url_hash"].to_numpy().astype(np.uint64)
+                    a = t["adm_key"].to_numpy()
+                    for i in idx:
+                        if (int(h[i]), int(a[i])) in self._l:
+                            flag[i] = False
+            out = t.drop_columns(["intra_first", "tentative", "adm_key"])
+            return out.append_column("intra_first", pa.array(flag))
+
+    return marked.map_batches(_Fix(), batch_format="pyarrow")
+
+
+def _assign_seq_wide(novel: rd.Dataset, depth_counters: dict[int, int]) -> rd.Dataset:
+    """Distributed admission-order seq assignment for wide rounds:
+    global ``sort(adm_key)``, per-block per-depth counts, driver-side
+    cumulative bases (O(#blocks × #depths) rows), then per-block rank
+    assignment against the broadcast base table — the block-level
+    prefix-sum upgrade of _assign_seq_kernel."""
+    keyed = novel.map_batches(_pack_admission, batch_format="pyarrow")
+    s = keyed.sort("adm_key").materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "block_key": pa.array([], type=pa.int64()),
+                    "depth": pa.array([], type=pa.int32()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        a = t["adm_key"].to_numpy()
+        d = t["depth"].to_numpy()
+        vals, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "block_key": pa.array(np.full(len(vals), int(a.min()), dtype=np.int64)),
+                "depth": pa.array(vals.astype(np.int32)),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    summ = s.map_batches(summary, batch_format="pyarrow", batch_size=None).to_pandas()
+    if summ.empty:  # no novel rows this round (all dups)
+        return rd.from_arrow(_empty_frontier())
+    bases: dict[tuple[int, int], int] = {}
+    run = dict(depth_counters)
+    for bk in sorted(summ["block_key"].unique()):
+        for _, r in summ[summ["block_key"] == bk].iterrows():
+            dd = int(r["depth"])
+            bases[(int(bk), dd)] = run.get(dd, 0)
+            run[dd] = run.get(dd, 0) + int(r["cnt"])
+    bases_ref = ray.put(bases)
+
+    class _Assign:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {c: pa.array([], type=_FRONTIER_SCHEMA.field(c).type) for c in FRONTIER_COLUMNS}
+                )
+            if self._b is None:
+                self._b = ray.get(bases_ref)
+            a = t["adm_key"].to_numpy()
+            order = np.argsort(a, kind="stable")
+            d = t["depth"].to_numpy()[order]
+            bk = int(a.min())
+            seq = np.empty(len(order), dtype=np.int64)
+            for depth in np.unique(d):
+                sel = d == depth
+                seq[sel] = self._b[(bk, int(depth))] + np.arange(sel.sum(), dtype=np.int64)
+            out = t.take(pa.array(order, type=pa.int64()))
+            out = out.append_column("seq", pa.array(seq, type=pa.int64()))
+            return out.select(FRONTIER_COLUMNS)
+
+    return s.map_batches(_Assign(), batch_format="pyarrow", batch_size=None)
 
 
 def _assign_seq_kernel(batch: pa.Table, depth_counters: dict[int, int]) -> pa.Table:
@@ -560,18 +726,24 @@ class CrawlJobRunner:
         _mark("links_scope")
         denied = scoped.map_batches(_DeniedKernel(k, keep_side=False), batch_format="pyarrow")
         cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
-        if cands.count() == 0:
+        n_cands = cands.count()
+        if n_cands == 0:
             _write_round(denied, self.out_dir / "denied", k)
             next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
             self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
             return n_fetched
+        wide = n_cands > cfg.wide_round_rows
 
-        # 6. intra-round first-wins dedup — one vectorized pass over the
-        # round's candidate metadata (see _intra_dedup_kernel docstring
-        # for the 10^9-rows scale path)
-        grouped = cands.repartition(1).map_batches(
-            _intra_dedup_kernel, batch_format="pyarrow", batch_size=None
-        ).materialize()
+        # 6. intra-round first-wins dedup: single-block vectorized pass
+        # for normal rounds, distributed sort + boundary fix-up for wide
+        # ones (same semantics, same simulator goldens — forced-wide
+        # parity is pinned in tests)
+        if wide:
+            grouped = _intra_dedup_wide(cands).materialize()
+        else:
+            grouped = cands.repartition(1).map_batches(
+                _intra_dedup_kernel, batch_format="pyarrow", batch_size=None
+            ).materialize()
         _mark("intra_dedup")
         intra_dups = grouped.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
         winners = grouped.map_batches(
@@ -595,13 +767,17 @@ class CrawlJobRunner:
         )
 
         _mark("denied_sink")
-        # 8. admission-order seq assignment (vectorized, one block)
+        # 8. admission-order seq assignment (single-block for normal
+        # rounds, block-level prefix sum for wide ones)
         counters = dict(self.depth_counters)
-        new_frontier = novel.repartition(1).map_batches(
-            lambda t, _c=counters: _assign_seq_kernel(t, _c),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).materialize()
+        if wide:
+            new_frontier = _assign_seq_wide(novel, counters).materialize()
+        else:
+            new_frontier = novel.repartition(1).map_batches(
+                lambda t, _c=counters: _assign_seq_kernel(t, _c),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).materialize()
         if new_frontier.count() > 0:
             # per-depth counts without an Aggregate exchange: project the
             # one int32 column and value-count driver-side (a few MB)
