@@ -43,7 +43,7 @@ BENCH_OUT = os.environ.get(
 BENCH_SPEC = dict(
     seed=42,
     n_domains=400,
-    pages_per_domain=2500,
+    pages_per_domain=5000,
     branching=20,
     hot_domain_factor=3,
     body_filler=6000,

@@ -140,7 +140,12 @@ class _CanonScope:
             robots_bad = robots_reason(s[keep], self.robots)
             kidx = np.where(keep)[0]
             reason[kidx[robots_bad]] = DENY_ROBOTS
-        out = batch.drop_columns(["url"])
+        # parent_url is link-extractor lineage nothing downstream reads —
+        # dropping it here halves the bytes every candidate exchange
+        # (materialize, sort, repartition) moves this round.
+        out = batch.drop_columns(
+            ["url", "parent_url"] if "parent_url" in batch.column_names else ["url"]
+        )
         out = out.append_column("url", pa.array(canon, type=pa.string()))
         out = out.append_column("depth", child_depth)
         out = out.append_column("domain", pa.array(host_u[inv], type=pa.string()))
@@ -669,8 +674,11 @@ class CrawlJobRunner:
             granted = granted.repartition(
                 min(rows_in // cfg.fetch_batch_size + 1, cfg.fetch_max_parallelism)
             )
+        # Only fetch METADATA is materialized and shared; the body join
+        # re-runs inside the fused link chain below so multi-GB payloads
+        # stream through tasks without ever parking in the object store.
         fetched = granted.map_batches(
-            CorpusFetcher(self.corpus_ref),
+            CorpusFetcher(self.corpus_ref, meta_only=True),
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
         ).materialize()
@@ -678,9 +686,7 @@ class CrawlJobRunner:
         _mark("fetch")
 
         # 3. order/lineage sink (fetch order = (round, depth, seq))
-        order = fetched.drop_columns(["body"]).map_batches(
-            _RoundStamp(k), batch_format="pyarrow"
-        )
+        order = fetched.map_batches(_RoundStamp(k), batch_format="pyarrow")
         _write_round(order, self.out_dir / "order", k)
 
         _mark("order_sink")
@@ -710,16 +716,22 @@ class CrawlJobRunner:
             _write_round(image_rows, self.out_dir / "corpus", k)
 
         _mark("emit_decode")
-        # 5. link extraction → canonicalize → scope/robots
-        # (only 200-status pages parse — non-200 responses yield neither
-        # items nor links, reference CrawlSpider semantics)
-        links = fetched.map_batches(
+        # 5. link extraction → canonicalize → scope/robots as one FUSED
+        # task chain: body join → 200-filter → extract → canon/scope.
+        # Bodies exist only transiently inside each task; what
+        # materializes is the narrow scoped-candidate table. (Only
+        # 200-status pages parse — non-200 responses yield neither items
+        # nor links, reference CrawlSpider semantics.)
+        scoped = granted.map_batches(
+            CorpusFetcher(self.corpus_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+        ).map_batches(
             lambda t: t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16()))),
             batch_format="pyarrow",
         ).map_batches(
             extract_links_batch, batch_format="pyarrow", batch_size=cfg.link_batch_size
-        )
-        scoped = links.map_batches(
+        ).map_batches(
             _CanonScope(self.scope, self.robots), batch_format="pyarrow"
         ).materialize()
 

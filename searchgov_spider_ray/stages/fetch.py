@@ -37,6 +37,24 @@ import pyarrow as pa
 import ray
 
 
+def broadcastable(table: pa.Table) -> pa.Table:
+    """Prepare a table for ``ray.put`` + per-batch ``take``: cast
+    string/binary columns to 64-bit-offset (large) types and combine
+    chunks. ``take`` on a CHUNKED string column concatenates chunks
+    first — with >2 GB of payload that overflows 32-bit offsets and,
+    even below it, copies the whole column per batch. Single-chunk
+    large-offset columns gather directly."""
+    fields = []
+    for f in table.schema:
+        t = f.type
+        if pa.types.is_string(t):
+            t = pa.large_string()
+        elif pa.types.is_binary(t):
+            t = pa.large_binary()
+        fields.append(pa.field(f.name, t, nullable=f.nullable))
+    return table.cast(pa.schema(fields)).combine_chunks()
+
+
 def _hash_probe(sorted_hashes: np.ndarray, probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(positions, found-mask) of ``probe`` in the sorted hash column."""
     if len(sorted_hashes) == 0:
@@ -49,10 +67,17 @@ def _hash_probe(sorted_hashes: np.ndarray, probe: np.ndarray) -> tuple[np.ndarra
 class CorpusFetcher:
     """map_batches callable: frontier rows (url, url_hash, depth, seq,
     domain) → + (status, content_type, content_language, body,
-    image_id)."""
+    image_id).
 
-    def __init__(self, corpus_ref):
+    ``meta_only=True`` skips the ``body`` column: the frontier round
+    materializes only fetch METADATA (order lineage, emit rows, image
+    ids) and re-runs the cheap hash join with bodies inside the fully
+    fused link-extraction chain, so multi-GB body payloads never land
+    in the object store (streaming, not a shared materialization)."""
+
+    def __init__(self, corpus_ref, meta_only: bool = False):
         self.corpus_ref = corpus_ref
+        self.meta_only = meta_only
         self._sorted_hashes: np.ndarray | None = None
         self._perm: np.ndarray | None = None
         self._table: pa.Table | None = None
@@ -88,19 +113,21 @@ class CorpusFetcher:
         st = rows["status"].to_numpy()
         ct = rows["content_type"].to_pylist()
         lg = rows["content_language"].to_pylist()
-        bd = rows["body"].to_pylist()
+        bd = None if self.meta_only else rows["body"].to_pylist()
         im = rows["image_id"].to_pylist()
         for k, i in enumerate(fidx):
             status[i] = st[k]
             ctype[i] = ct[k]
             lang[i] = lg[k]
-            body[i] = bd[k]
+            if bd is not None:
+                body[i] = bd[k]
             image_id[i] = im[k]
         out = batch
         out = out.append_column("status", pa.array(status, type=pa.int16()))
         out = out.append_column("content_type", pa.array(ctype, type=pa.string()))
         out = out.append_column("content_language", pa.array(lang, type=pa.string()))
-        out = out.append_column("body", pa.array(body, type=pa.binary()))
+        if not self.meta_only:
+            out = out.append_column("body", pa.array(body, type=pa.binary()))
         out = out.append_column("image_id", pa.array(image_id, type=pa.string()))
         return out
 
