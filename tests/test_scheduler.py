@@ -102,3 +102,51 @@ class TestScheduler:
         assert sched.manifest.jobs["job-a"].status == "failed"
         assert "boom" in sched.manifest.jobs["job-a"].error
         assert sched.manifest.jobs["job-b"].status == "finished"
+
+
+class TestRunJobCLI:
+    """python -m searchgov_spider_ray.run_job — the ray-job-submit entry."""
+
+    def test_cli_runs_and_resumes(self, tmp_path, ray_session):
+        import json
+        import subprocess
+        import sys
+
+        from searchgov_spider_ray.sources.corpusgen import CorpusSpec, generate_corpus
+
+        cdir = tmp_path / "corpus"
+        generate_corpus(cdir, CorpusSpec(seed=7, n_domains=2, pages_per_domain=12))
+        out = tmp_path / "run"
+        cmd = [
+            sys.executable, "-m", "searchgov_spider_ray.run_job",
+            "--seeds", str(cdir / "seeds.json"), "--job", "plain",
+            "--corpus", str(cdir), "--out", str(out),
+            "--round-seconds", "10", "--num-shards", "2",
+        ]
+        env = dict(__import__("os").environ, RAY_ADDRESS="local")
+        r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        res1 = json.loads(r1.stdout.strip().splitlines()[-1])
+        assert res1["fetched"] > 0
+
+        # resume on a finished run is a no-op that re-reads the checkpoint
+        r2 = subprocess.run(cmd + ["--resume"], capture_output=True, text=True, timeout=300, env=env)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        res2 = json.loads(r2.stdout.strip().splitlines()[-1])
+        assert res2["seen"] == res1["seen"]
+
+    def test_cli_unknown_job(self, tmp_path):
+        import subprocess
+        import sys
+
+        from searchgov_spider_ray.sources.corpusgen import CorpusSpec, generate_corpus
+
+        cdir = tmp_path / "c2"
+        generate_corpus(cdir, CorpusSpec(seed=7, n_domains=2, pages_per_domain=5))
+        r = subprocess.run(
+            [sys.executable, "-m", "searchgov_spider_ray.run_job",
+             "--seeds", str(cdir / "seeds.json"), "--job", "nope",
+             "--corpus", str(cdir), "--out", str(cdir / "o")],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 2
