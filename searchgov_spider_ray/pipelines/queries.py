@@ -561,6 +561,55 @@ def _crawl_corpus_dir() -> str:
     return cdir
 
 
+def sitemap_diff_q(sf_dir: str):
+    """Sitemap snapshot set-difference (SURVEY.md §2.4 A5): new URLs =
+    current ∖ previous, on deterministic synthetic snapshots derived
+    from the documents table (doc ids as path atoms — the anti-join is
+    the operator under test; inputs just need to be stable)."""
+    from ..sources.sitemaps import snapshot_diff
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).to_pandas()
+    ids = sorted(int(d) for d in docs["doc_id"])
+    prev = pd.DataFrame({"url": [f"https://site.example.gov/p{d}" for d in ids if d % 3 != 0]})
+    cur = pd.DataFrame({"url": [f"https://site.example.gov/p{d}" for d in ids if d % 2 == 0]})
+    out = snapshot_diff(rd.from_pandas(cur), rd.from_pandas(prev)).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def docparse_html_q(sf_dir: str):
+    """HTML → i14y-shaped record assembly (SURVEY.md §2.3 M11-M12) over
+    synthetic pages built from the documents table; rows-only check —
+    field semantics are pinned by tests/test_secondary.py goldens."""
+    from ..stages.docparse import DocParser
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def to_pages(df: pd.DataFrame) -> pd.DataFrame:
+        body = [
+            (
+                f"<html lang='{l}'><head><title>Doc {i}</title>"
+                f"<meta name='description' content='synthetic doc {i}'></head>"
+                f"<body><p>{(t or '')[:2000]}</p></body></html>"
+            ).encode()
+            for i, t, l in zip(df["doc_id"], df["text"], df["lang"])
+        ]
+        return pd.DataFrame(
+            {
+                "url": [f"https://docs.example.gov/d{i}.html" for i in df["doc_id"]],
+                "body": body,
+                "content_type": "text/html",
+                "content_language": df["lang"],
+            }
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pandas")
+    parsed = pages.map_batches(DocParser, batch_format="pyarrow", concurrency=2)
+    out = parsed.to_pandas()
+    return out[["doc_id", "path", "language", "title", "basename", "extension"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 def crawl_order(sf_dir: str):
     """Full frontier pipeline on the packaged corpus → fetch order."""
     from .frontier import CrawlConfig, CrawlJobRunner, read_order
@@ -625,6 +674,8 @@ QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
+    "sitemap_diff": sitemap_diff_q,
+    "docparse_html": docparse_html_q,
     "crawl_order": crawl_order,
     "crawl_image_corpus": crawl_image_corpus,
 }
@@ -780,5 +831,16 @@ ORACLES = {
         SELECT p_brand, p_partkey, p_size
         FROM part
         QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) <= 3
+    """,
+    "sitemap_diff": """
+        WITH cur AS (
+            SELECT 'https://site.example.gov/p' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        prev AS (
+            SELECT 'https://site.example.gov/p' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id % 3 != 0
+        )
+        SELECT url FROM cur WHERE url NOT IN (SELECT url FROM prev)
     """,
 }
