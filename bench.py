@@ -66,6 +66,13 @@ def ensure_bench_corpus() -> str:
     marker = Path(BENCH_CORPUS) / "seeds.json"
     if not marker.exists():
         generate_corpus(BENCH_CORPUS, CorpusSpec(**BENCH_SPEC))
+    # warm the page cache (untimed): payload row-group gathers during the
+    # crawl read these files; a cold single disk would otherwise bill its
+    # seek time to round 0 at either CPU count
+    for f in Path(BENCH_CORPUS).glob("*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     return BENCH_CORPUS
 
 
@@ -146,6 +153,10 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # the broadcast corpus (pages+images, ~20 GB at the bench spec)
+        # plus round intermediates must fit without spill-thrash; the
+        # default 30%-of-RAM store is too tight on this 128 GB box
+        object_store_memory=int(os.environ.get("GRAFT_OBJ_STORE_GB", "55")) * (1 << 30),
     )
     from ray.data import DataContext
 

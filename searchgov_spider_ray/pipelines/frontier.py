@@ -479,21 +479,32 @@ class CrawlJobRunner:
         # array instead (stages/fetch.py module docstring).
         from ..stages.fetch import broadcastable
 
+        # Broadcast METADATA only (columns pruned at the read — ~100 B/row);
+        # body/bytes payloads stream from the parquet files via per-worker
+        # row-group gathers (stages/fetch.py _RowGroupGather). The object
+        # store never holds the multi-GB payload columns.
+        pages_path = self.corpus_dir / "corpus_pages.parquet"
         pages = broadcastable(
-            pq.read_table(self.corpus_dir / "corpus_pages.parquet").drop_columns(["links"])
+            pq.read_table(
+                pages_path,
+                columns=["url_hash", "url", "domain", "status", "content_type",
+                         "content_language", "image_id"],
+            )
         )
         page_perm = np.argsort(
             pages["url_hash"].to_numpy(zero_copy_only=False), kind="stable"
         ).astype(np.int64)
-        self.corpus_ref = ray.put((pages, page_perm))
+        self.corpus_ref = ray.put((pages, page_perm, str(pages_path)))
         images_path = self.corpus_dir / "corpus_images.parquet"
         if images_path.exists():
-            images = pq.read_table(images_path)
+            images = pq.read_table(
+                images_path, columns=["image_id", "w", "h", "fmt", "caption", "phash"]
+            )
             id_hash = xxhash64_array(images["image_id"].to_pylist())
             images = images.append_column("id_hash", pa.array(id_hash, type=pa.uint64()))
             images = broadcastable(images)
             img_perm = np.argsort(id_hash, kind="stable").astype(np.int64)
-            self.images_ref = ray.put((images, img_perm))
+            self.images_ref = ray.put((images, img_perm, str(images_path)))
         else:
             self.images_ref = None
         self.shards = make_shard_pool(self.cfg.num_shards, self.cfg.shard_capacity)
@@ -670,9 +681,12 @@ class CrawlJobRunner:
         # 2. fetch (task-based hash join vs the broadcast corpus; block
         # count = fetch parallelism, so split wide rounds first)
         rows_in = self.ckpt.read_manifest(k)["frontier_rows"]
-        if rows_in > 4 * cfg.fetch_batch_size:
+        if rows_in > 128:
+            # even small rounds split: each fetch/links task gathers its
+            # rows' payload row-groups, so block count = gather parallelism
+            # (sparse rounds touch ~1 group per row — parallelize those too)
             granted = granted.repartition(
-                min(rows_in // cfg.fetch_batch_size + 1, cfg.fetch_max_parallelism)
+                min(cfg.fetch_max_parallelism, max(2, rows_in // 64))
             )
         # Only fetch METADATA is materialized and shared; the body join
         # re-runs inside the fused link chain below so multi-GB payloads

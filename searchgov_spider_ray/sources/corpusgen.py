@@ -154,7 +154,7 @@ def image_id_for(d: int, j: int, mod: int = 3) -> str | None:
     return f"img-{d}-{j}" if j % mod == 0 else None
 
 
-def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: int = 50_000) -> dict:
+def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: int = 1_024) -> dict:
     """Write corpus_pages / corpus_images / robots parquet (+ .lance when
     the lance package exists) and seeds.json under ``out_dir``. Returns
     summary counts. Deterministic in ``spec.seed``."""
@@ -177,7 +177,9 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
         ]
     )
     n_pages = 0
-    writer = pq.ParquetWriter(out / "corpus_pages.parquet", pages_schema)
+    # uncompressed payloads: row-group gathers during the crawl read
+    # sparse groups — decompression would amplify every sparse read
+    writer = pq.ParquetWriter(out / "corpus_pages.parquet", pages_schema, compression="none")
     image_ids: list[str] = []
     rows: dict[str, list] = {k: [] for k in pages_schema.names}
     try:
@@ -241,7 +243,7 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
             ("phash", pa.int64()),
         ]
     )
-    iwriter = pq.ParquetWriter(out / "corpus_images.parquet", img_schema)
+    iwriter = pq.ParquetWriter(out / "corpus_images.parquet", img_schema, compression="none")
     irows: dict[str, list] = {k: [] for k in img_schema.names}
     try:
         for image_id in image_ids:

@@ -32,9 +32,65 @@ batch contract.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
+
+
+class _RowGroupGather:
+    """Per-worker payload reader: gathers ONE binary column for global
+    row indices by reading only the parquet row groups that contain
+    them, with a small LRU group cache.
+
+    This is the streaming half of the fetch join: the object store
+    holds only the corpus METADATA index, while payload bytes live in
+    the parquet 'network stand-in' and flow through tasks transiently
+    (page-cache-served on re-reads). Access patterns cluster by domain
+    — the corpus is written domain-contiguous and politeness groups
+    frontier rows by domain — so a handful of cached groups covers a
+    batch."""
+
+    def __init__(self, path: str, column: str, cache_groups: int = 8):
+        self.path = path
+        self.column = column
+        self.cache_groups = cache_groups
+        self._pf: pq.ParquetFile | None = None
+        self._starts: np.ndarray | None = None
+        self._cache: OrderedDict[int, pa.ChunkedArray] = OrderedDict()
+
+    def _ensure(self) -> None:
+        if self._pf is None:
+            self._pf = pq.ParquetFile(self.path)
+            sizes = [
+                self._pf.metadata.row_group(i).num_rows
+                for i in range(self._pf.metadata.num_row_groups)
+            ]
+            self._starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+    def gather(self, idx: np.ndarray) -> list:
+        """values of ``column`` at global row indices ``idx`` (any order)."""
+        self._ensure()
+        out: list = [None] * len(idx)
+        if len(idx) == 0:
+            return out
+        gids = np.searchsorted(self._starts, idx, side="right") - 1
+        for g in np.unique(gids):
+            g = int(g)
+            col = self._cache.pop(g, None)
+            if col is None:
+                col = self._pf.read_row_group(g, columns=[self.column]).column(0).combine_chunks()
+            self._cache[g] = col  # most-recently-used at the end
+            while len(self._cache) > self.cache_groups:
+                self._cache.popitem(last=False)
+            sel = np.flatnonzero(gids == g)
+            local = (idx[sel] - self._starts[g]).astype(np.int64)
+            vals = col.take(pa.array(local))
+            for k, v in zip(sel, vals):
+                out[int(k)] = v.as_py()
+        return out
 
 
 def broadcastable(table: pa.Table) -> pa.Table:
@@ -69,11 +125,14 @@ class CorpusFetcher:
     domain) → + (status, content_type, content_language, body,
     image_id).
 
-    ``meta_only=True`` skips the ``body`` column: the frontier round
-    materializes only fetch METADATA (order lineage, emit rows, image
+    ``corpus_ref`` resolves to ``(meta_table, perm, parquet_path)``:
+    the broadcast holds only corpus METADATA (~100 B/row); ``body``
+    bytes stream from the parquet file via :class:`_RowGroupGather`.
+    ``meta_only=True`` skips bodies entirely — the frontier round
+    materializes only fetch metadata (order lineage, emit rows, image
     ids) and re-runs the cheap hash join with bodies inside the fully
-    fused link-extraction chain, so multi-GB body payloads never land
-    in the object store (streaming, not a shared materialization)."""
+    fused link-extraction chain, so multi-GB payloads never land in
+    the object store."""
 
     def __init__(self, corpus_ref, meta_only: bool = False):
         self.corpus_ref = corpus_ref
@@ -81,18 +140,22 @@ class CorpusFetcher:
         self._sorted_hashes: np.ndarray | None = None
         self._perm: np.ndarray | None = None
         self._table: pa.Table | None = None
+        self._bodies: _RowGroupGather | None = None
 
     def _ensure(self) -> None:
         if self._table is None:
-            self._table, self._perm = ray.get(self.corpus_ref)  # zero-copy
+            self._table, self._perm, path = ray.get(self.corpus_ref)  # zero-copy
             hashes = self._table["url_hash"].to_numpy(zero_copy_only=False)
             self._sorted_hashes = hashes[self._perm]
+            if not self.meta_only:
+                self._bodies = _RowGroupGather(path, "body")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure()
         probe = batch["url_hash"].to_numpy().astype(np.uint64)
         pos, found = _hash_probe(self._sorted_hashes, probe)
-        rows = self._table.take(pa.array(self._perm[pos[found]], type=pa.int64()))
+        orig_idx = self._perm[pos[found]]
+        rows = self._table.take(pa.array(orig_idx, type=pa.int64()))
         # hash-collision guard: confirm url strings on matches only
         if len(rows):
             batch_urls = np.asarray(batch["url"].to_pylist(), dtype=object)[found]
@@ -102,6 +165,7 @@ class CorpusFetcher:
                 fidx = np.where(found)[0]
                 found[fidx[~confirm]] = False
                 rows = rows.filter(pa.array(confirm))
+                orig_idx = orig_idx[confirm]
 
         n = len(batch)
         status = np.zeros(n, dtype=np.int16)
@@ -113,7 +177,7 @@ class CorpusFetcher:
         st = rows["status"].to_numpy()
         ct = rows["content_type"].to_pylist()
         lg = rows["content_language"].to_pylist()
-        bd = None if self.meta_only else rows["body"].to_pylist()
+        bd = None if self.meta_only else self._bodies.gather(orig_idx)
         im = rows["image_id"].to_pylist()
         for k, i in enumerate(fidx):
             status[i] = st[k]
@@ -144,12 +208,14 @@ class ImageAttach:
         self._sorted_hashes: np.ndarray | None = None
         self._perm: np.ndarray | None = None
         self._table: pa.Table | None = None
+        self._bytes: _RowGroupGather | None = None
 
     def _ensure(self) -> None:
         if self._table is None:
-            self._table, self._perm = ray.get(self.images_ref)  # zero-copy
+            self._table, self._perm, path = ray.get(self.images_ref)  # zero-copy meta
             hashes = self._table["id_hash"].to_numpy(zero_copy_only=False)
             self._sorted_hashes = hashes[self._perm]
+            self._bytes = _RowGroupGather(path, "bytes", cache_groups=6)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import xxhash64_array
@@ -160,8 +226,11 @@ class ImageAttach:
         probe = xxhash64_array(ids)
         pos, found = _hash_probe(self._sorted_hashes, probe)
         batch = batch.filter(pa.array(found))
-        rows = self._table.take(pa.array(self._perm[pos[found]], type=pa.int64()))
+        orig_idx = self._perm[pos[found]]
+        rows = self._table.take(pa.array(orig_idx, type=pa.int64()))
         out = batch.drop_columns(["image_id"])
-        for name in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash"):
+        for name in ("image_id", "w", "h", "fmt", "caption", "phash"):
             out = out.append_column(name, rows[name])
-        return out
+        return out.append_column(
+            "bytes", pa.array(self._bytes.gather(orig_idx), type=pa.large_binary())
+        )
