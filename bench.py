@@ -156,7 +156,7 @@ def main() -> None:
         # the broadcast corpus (pages+images, ~20 GB at the bench spec)
         # plus round intermediates must fit without spill-thrash; the
         # default 30%-of-RAM store is too tight on this 128 GB box
-        object_store_memory=int(os.environ.get("GRAFT_OBJ_STORE_GB", "55")) * (1 << 30),
+        object_store_memory=int(os.environ.get("GRAFT_OBJ_STORE_GB", "40")) * (1 << 30),
     )
     from ray.data import DataContext
 

@@ -36,6 +36,7 @@ from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -70,27 +71,36 @@ class _RowGroupGather:
             ]
             self._starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
 
-    def gather(self, idx: np.ndarray) -> list:
-        """values of ``column`` at global row indices ``idx`` (any order)."""
+    def gather(self, idx: np.ndarray) -> pa.Array:
+        """Arrow array of ``column`` values at global row indices ``idx``
+        (same order) — no per-value Python, only arrow takes/concat."""
         self._ensure()
-        out: list = [None] * len(idx)
         if len(idx) == 0:
-            return out
+            return pa.array([], type=pa.large_binary())
         gids = np.searchsorted(self._starts, idx, side="right") - 1
+        parts: list[pa.Array] = []
+        positions: list[np.ndarray] = []
         for g in np.unique(gids):
             g = int(g)
             col = self._cache.pop(g, None)
             if col is None:
-                col = self._pf.read_row_group(g, columns=[self.column]).column(0).combine_chunks()
+                col = (
+                    self._pf.read_row_group(g, columns=[self.column])
+                    .column(0)
+                    .cast(pa.large_binary())
+                    .combine_chunks()
+                )
             self._cache[g] = col  # most-recently-used at the end
             while len(self._cache) > self.cache_groups:
                 self._cache.popitem(last=False)
             sel = np.flatnonzero(gids == g)
             local = (idx[sel] - self._starts[g]).astype(np.int64)
-            vals = col.take(pa.array(local))
-            for k, v in zip(sel, vals):
-                out[int(k)] = v.as_py()
-        return out
+            parts.append(col.take(pa.array(local)))
+            positions.append(sel)
+        combined = pa.concat_arrays(parts)
+        inv = np.empty(len(idx), dtype=np.int64)
+        inv[np.concatenate(positions)] = np.arange(len(idx), dtype=np.int64)
+        return combined.take(pa.array(inv))
 
 
 def broadcastable(table: pa.Table) -> pa.Table:
@@ -167,32 +177,31 @@ class CorpusFetcher:
                 rows = rows.filter(pa.array(confirm))
                 orig_idx = orig_idx[confirm]
 
+        # scatter matched rows back to batch positions with one null-
+        # masked take per column — no per-row Python
         n = len(batch)
-        status = np.zeros(n, dtype=np.int16)
-        ctype = np.full(n, "", dtype=object)
-        lang = np.full(n, None, dtype=object)
-        body: list = [None] * n
-        image_id = np.full(n, None, dtype=object)
-        fidx = np.where(found)[0]
-        st = rows["status"].to_numpy()
-        ct = rows["content_type"].to_pylist()
-        lg = rows["content_language"].to_pylist()
-        bd = None if self.meta_only else self._bodies.gather(orig_idx)
-        im = rows["image_id"].to_pylist()
-        for k, i in enumerate(fidx):
-            status[i] = st[k]
-            ctype[i] = ct[k]
-            lang[i] = lg[k]
-            if bd is not None:
-                body[i] = bd[k]
-            image_id[i] = im[k]
+        take_idx = np.full(n, -1, dtype=np.int64)
+        take_idx[np.flatnonzero(found)] = np.arange(len(orig_idx), dtype=np.int64)
+        tidx = pa.array(take_idx, type=pa.int64(), mask=take_idx < 0)
+
+        def _scatter(col: pa.ChunkedArray) -> pa.Array:
+            return col.combine_chunks().take(tidx)
+
         out = batch
-        out = out.append_column("status", pa.array(status, type=pa.int16()))
-        out = out.append_column("content_type", pa.array(ctype, type=pa.string()))
-        out = out.append_column("content_language", pa.array(lang, type=pa.string()))
+        out = out.append_column(
+            "status",
+            pc.fill_null(_scatter(rows["status"]), pa.scalar(0, type=pa.int16())).cast(pa.int16()),
+        )
+        out = out.append_column(
+            "content_type",
+            pc.fill_null(_scatter(rows["content_type"]), pa.scalar("")).cast(pa.string()),
+        )
+        out = out.append_column(
+            "content_language", _scatter(rows["content_language"]).cast(pa.string())
+        )
         if not self.meta_only:
-            out = out.append_column("body", pa.array(body, type=pa.binary()))
-        out = out.append_column("image_id", pa.array(image_id, type=pa.string()))
+            out = out.append_column("body", self._bodies.gather(orig_idx).take(tidx))
+        out = out.append_column("image_id", _scatter(rows["image_id"]).cast(pa.string()))
         return out
 
 
@@ -231,6 +240,4 @@ class ImageAttach:
         out = batch.drop_columns(["image_id"])
         for name in ("image_id", "w", "h", "fmt", "caption", "phash"):
             out = out.append_column(name, rows[name])
-        return out.append_column(
-            "bytes", pa.array(self._bytes.gather(orig_idx), type=pa.large_binary())
-        )
+        return out.append_column("bytes", self._bytes.gather(orig_idx))
