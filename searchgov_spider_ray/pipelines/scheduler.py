@@ -141,3 +141,47 @@ class JobScheduler:
                 runner.close()
                 self.manifest.save()
         return results
+
+
+# --- schedule report (SURVEY.md §2.4 A10) ----------------------------------
+
+_DAY_NAMES = {
+    "sun": "Sunday", "mon": "Monday", "tue": "Tuesday", "wed": "Wednesday",
+    "thu": "Thursday", "fri": "Friday", "sat": "Saturday",
+}
+_WEEK = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")
+
+
+def schedule_by_day(entries: list[dict]) -> dict[str, list[dict]]:
+    """Group cron schedule entries per weekday, sorted by HH:MM
+    (reference: transform_schedule, domains/readschedule.py:36-51).
+    Each entry needs ``schedule`` ("M H * * day"), ``name``,
+    ``allowed_domains``, ``depth_limit``."""
+    out: dict[str, list[dict]] = {d: [] for d in _WEEK}
+    for entry in entries:
+        time_part, _, day_part, *_ = entry["schedule"].split("*")
+        minute, hour, *_ = time_part.split(" ")
+        day = _DAY_NAMES.get(day_part.lower().strip())
+        if day is None:
+            raise ValueError(f"invalid day abbreviation: {day_part!r}")
+        e = dict(entry)
+        e["time"] = f"{hour:0>2}:{minute:0>2}"
+        out[day].append(e)
+    for day in out:
+        out[day] = sorted(out[day], key=lambda x: x["time"])
+    return out
+
+
+def schedule_markdown(entries: list[dict], environment: str = "production") -> str:
+    """Markdown schedule report (reference: create_markdown_tables /
+    create_header_and_toc, readschedule.py:53-86)."""
+    grouped = schedule_by_day(entries)
+    md = f"# {environment.capitalize()} Schedule\n"
+    for day in _WEEK:
+        md += f" * [{day} ({len(grouped[day])})](#{day.lower()}-{len(grouped[day])})\n"
+    for day in _WEEK:
+        rows = grouped[day]
+        md += f"\n\n## {day} ({len(rows)})\n|Name|Time (UTC)|Allowed Domains|Depth|\n|---|---|---|---|\n"
+        for e in rows:
+            md += f"|{e['name']}|{e['time']}|{e['allowed_domains']}|{e['depth_limit']}|\n"
+    return md

@@ -150,3 +150,38 @@ class TestRunJobCLI:
             capture_output=True, text=True, timeout=120,
         )
         assert r.returncode == 2
+
+
+class TestScheduleReport:
+    def test_group_and_sort(self):
+        from searchgov_spider_ray.pipelines.scheduler import schedule_by_day
+
+        entries = [
+            {"schedule": "30 9 * * mon", "name": "b", "allowed_domains": "b.gov", "depth_limit": 3},
+            {"schedule": "0 7 * * mon", "name": "a", "allowed_domains": "a.gov", "depth_limit": 2},
+            {"schedule": "15 22 * * sat", "name": "c", "allowed_domains": "c.gov", "depth_limit": 8},
+        ]
+        g = schedule_by_day(entries)
+        assert [e["name"] for e in g["Monday"]] == ["a", "b"]
+        assert g["Monday"][0]["time"] == "07:00"
+        assert g["Saturday"][0]["time"] == "22:15"
+        assert g["Sunday"] == []
+
+    def test_invalid_day(self):
+        import pytest
+
+        from searchgov_spider_ray.pipelines.scheduler import schedule_by_day
+
+        with pytest.raises(ValueError):
+            schedule_by_day([{"schedule": "0 7 * * xyz", "name": "x",
+                              "allowed_domains": "x.gov", "depth_limit": 1}])
+
+    def test_markdown_shape(self):
+        from searchgov_spider_ray.pipelines.scheduler import schedule_markdown
+
+        md = schedule_markdown(
+            [{"schedule": "0 7 * * mon", "name": "a", "allowed_domains": "a.gov", "depth_limit": 2}]
+        )
+        assert md.startswith("# Production Schedule")
+        assert "## Monday (1)" in md
+        assert "|a|07:00|a.gov|2|" in md
