@@ -712,44 +712,53 @@ class CrawlJobRunner:
         spent = {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
 
         _mark("spent_lineage")
-        # 4. emit + image payload landing
-        emit = fetched.map_batches(
-            _EmitKernel(self.site.output_target), batch_format="pyarrow"
-        ).map_batches(_RoundStamp(k), batch_format="pyarrow").materialize()
-        _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
-        if self.images_ref is not None and emit.count() > 0:
-            image_rows = emit.map_batches(
-                ImageAttach(self.images_ref),
+        # 4. emit + image payload landing — launched on a worker thread
+        # so the image attach/decode/write (partly storage-bound) overlaps
+        # the CPU-bound link chain below; both consume independent lazy
+        # views and the streaming executor multiplexes them.
+        def _emit_and_decode() -> None:
+            emit = fetched.map_batches(
+                _EmitKernel(self.site.output_target), batch_format="pyarrow"
+            ).map_batches(_RoundStamp(k), batch_format="pyarrow").materialize()
+            _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
+            if self.images_ref is not None and emit.count() > 0:
+                image_rows = emit.map_batches(
+                    ImageAttach(self.images_ref),
+                    batch_format="pyarrow",
+                    batch_size=cfg.decode_batch_size,
+                ).map_batches(
+                    DecodePHash(),
+                    batch_format="pyarrow",
+                    batch_size=cfg.decode_batch_size,
+                )
+                _write_round(image_rows, self.out_dir / "corpus", k)
+
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(1) as _pool:
+            emit_future = _pool.submit(_emit_and_decode)
+            # 5. link extraction → canonicalize → scope/robots as one
+            # FUSED task chain: body join → 200-filter → extract →
+            # canon/scope. Bodies exist only transiently inside each
+            # task; what materializes is the narrow scoped-candidate
+            # table. (Only 200-status pages parse — non-200 responses
+            # yield neither items nor links, reference CrawlSpider
+            # semantics.)
+            scoped = granted.map_batches(
+                CorpusFetcher(self.corpus_ref),
                 batch_format="pyarrow",
-                batch_size=cfg.decode_batch_size,
+                batch_size=cfg.fetch_batch_size,
             ).map_batches(
-                DecodePHash(),
+                lambda t: t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16()))),
                 batch_format="pyarrow",
-                batch_size=cfg.decode_batch_size,
-            )
-            _write_round(image_rows, self.out_dir / "corpus", k)
-
+            ).map_batches(
+                extract_links_batch, batch_format="pyarrow", batch_size=cfg.link_batch_size
+            ).map_batches(
+                _CanonScope(self.scope, self.robots), batch_format="pyarrow"
+            ).materialize()
+            _mark("links_scope")
+            emit_future.result()  # surface worker-thread failures
         _mark("emit_decode")
-        # 5. link extraction → canonicalize → scope/robots as one FUSED
-        # task chain: body join → 200-filter → extract → canon/scope.
-        # Bodies exist only transiently inside each task; what
-        # materializes is the narrow scoped-candidate table. (Only
-        # 200-status pages parse — non-200 responses yield neither items
-        # nor links, reference CrawlSpider semantics.)
-        scoped = granted.map_batches(
-            CorpusFetcher(self.corpus_ref),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-        ).map_batches(
-            lambda t: t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16()))),
-            batch_format="pyarrow",
-        ).map_batches(
-            extract_links_batch, batch_format="pyarrow", batch_size=cfg.link_batch_size
-        ).map_batches(
-            _CanonScope(self.scope, self.robots), batch_format="pyarrow"
-        ).materialize()
-
-        _mark("links_scope")
         denied = scoped.map_batches(_DeniedKernel(k, keep_side=False), batch_format="pyarrow")
         cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
         n_cands = cands.count()
