@@ -59,7 +59,14 @@ from ..stages.decode import DecodePHash
 from ..stages.fetch import CorpusFetcher, ImageAttach
 from ..stages.links import extract_links_batch
 from ..stages.politeness import PolitenessSelect, RobotsRules, robots_reason
-from ..stages.scope import DENY_DUPLICATE, DENY_ROBOTS, KEEP, JobScope, content_type_mask
+from ..stages.scope import (
+    DENY_DEPTH,
+    DENY_DUPLICATE,
+    DENY_ROBOTS,
+    KEEP,
+    JobScope,
+    content_type_mask,
+)
 from ..state.checkpoint import CheckpointStore
 
 FRONTIER_COLUMNS = ["depth", "seq", "url", "domain", "url_hash"]
@@ -131,15 +138,27 @@ class _CanonScope:
             .fillna("")
             .to_numpy(dtype=object)
         )
+        # Scope + robots run on the DISTINCT canonical URLs too (the
+        # deny reason depends only on the URL, except depth) and the
+        # per-unique reason broadcasts back via ``inv``. Precedence
+        # stays extension → deny_path → offsite → query → depth →
+        # robots: depth is stamped on the full rows BEFORE robots, so a
+        # too-deep URL reports "depth" exactly as the all-rows pass did.
+        su = pd.Series(canon_u, dtype="object")
+        reason_u = self.scope.evaluate(su).to_numpy(dtype=object)
+        keep_u = reason_u == KEEP
+        robots_bad_u = np.zeros(len(canon_u), dtype=bool)
+        if keep_u.any():
+            kidx = np.where(keep_u)[0]
+            robots_bad_u[kidx[robots_reason(su[keep_u], self.robots)]] = True
+
         canon = canon_u[inv]
         child_depth = pc.add(batch["parent_depth"], 1).cast(pa.int32())
-        s = pd.Series(canon, dtype="object")
-        reason = self.scope.evaluate(s, child_depth.to_numpy()).to_numpy(dtype=object)
+        reason = reason_u[inv].copy()
         keep = reason == KEEP
-        if keep.any():
-            robots_bad = robots_reason(s[keep], self.robots)
-            kidx = np.where(keep)[0]
-            reason[kidx[robots_bad]] = DENY_ROBOTS
+        too_deep = child_depth.to_numpy() > self.scope.depth_limit
+        reason[too_deep & keep] = DENY_DEPTH
+        reason[robots_bad_u[inv] & ~too_deep & keep] = DENY_ROBOTS
         # parent_url is link-extractor lineage nothing downstream reads —
         # dropping it here halves the bytes every candidate exchange
         # (materialize, sort, repartition) moves this round.

@@ -36,19 +36,81 @@ _HREF_RE = re.compile(
 _SKIP_SCHEMES = re.compile(r"^(?:javascript|mailto|tel|data|ftp|file):", re.IGNORECASE)
 
 
+class _PageBase:
+    """Per-page URL resolver: parse the page URL once, then resolve each
+    href with string ops on the common shapes (absolute http(s),
+    ``//host``, ``/path``, ``?query``, plain relative). Anything with
+    dot-segments or an explicit scheme falls back to ``urljoin`` so the
+    result is bit-identical to stdlib resolution in every case.
+    """
+
+    __slots__ = ("page", "scheme", "origin", "path", "dir")
+
+    def __init__(self, page_url: str) -> None:
+        self.page = page_url
+        i = page_url.find("://")
+        if i < 0:
+            self.scheme = ""  # unparseable base: always fall back
+            return
+        self.scheme = page_url[:i]
+        j = page_url.find("/", i + 3)
+        if j < 0:
+            end = len(page_url)
+            for c in ("?", "#"):
+                k = page_url.find(c, i + 3)
+                if 0 <= k < end:
+                    end = k
+            self.origin = page_url[:end]
+            self.path = ""
+            self.dir = "/"
+        else:
+            self.origin = page_url[:j]
+            p = page_url[j:]
+            for c in ("?", "#"):
+                k = p.find(c)
+                if k >= 0:
+                    p = p[:k]
+            self.path = p
+            self.dir = p[: p.rfind("/") + 1] or "/"
+
+    def join(self, href: str) -> str:
+        if not self.scheme:
+            return join_url(self.page, href)
+        if href.startswith("http://") or href.startswith("https://"):
+            return href
+        if ".." in href or "./" in href or href.endswith(("/.", "?")) or href == ".":
+            return join_url(self.page, href)
+        c0 = href[0]
+        if c0 == "/":
+            if len(href) > 1 and href[1] == "/":
+                return self.scheme + ":" + href
+            return self.origin + href
+        if c0 == "?":
+            return self.origin + self.path + href
+        head = href.split("/", 1)[0]
+        if ":" in head.split("?", 1)[0]:  # explicit scheme, e.g. "news:x"
+            return join_url(self.page, href)
+        return self.origin + self.dir + href
+
+
 def extract_links(page_url: str, body: bytes | str) -> list[str]:
     """Ordered unique absolute outlinks of one HTML document."""
     html = decode_body(body) if isinstance(body, (bytes, bytearray)) else body
     seen: set[str] = set()
     out: list[str] = []
+    base = _PageBase(page_url)
+    join = base.join
+    skip = _SKIP_SCHEMES.match
+    add = seen.add
+    app = out.append
     for m in _HREF_RE.finditer(html):
         href = next(g for g in m.groups() if g is not None).strip()
-        if not href or href.startswith("#") or _SKIP_SCHEMES.match(href):
+        if not href or href.startswith("#") or skip(href):
             continue
-        absolute = join_url(page_url, href)
+        absolute = join(href)
         if absolute not in seen:
-            seen.add(absolute)
-            out.append(absolute)
+            add(absolute)
+            app(absolute)
     return out
 
 

@@ -30,11 +30,15 @@ bursting a domain (SURVEY.md §7.5.3).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
-from ..functions.urlnorm import host_of, path_of
 from ..pipelines.simulator import DEFAULT_CRAWL_DELAY, RobotsRules
+
+# scheme://netloc then path (up to query/fragment) in one pass
+_NETLOC_PATH_OF = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*)")
 
 
 class PolitenessSelect:
@@ -57,22 +61,50 @@ class PolitenessSelect:
 
 
 def robots_reason(urls: pd.Series, robots: RobotsRules) -> np.ndarray:
-    """Boolean mask: True where robots DISALLOWS the URL. Vectorized per
-    distinct domain (rules are per-domain path-prefix lists)."""
-    urls = urls.astype("string").fillna("")
-    hosts = urls.map(host_of)
-    paths = urls.map(path_of)
-    denied = np.zeros(len(urls), dtype=bool)
-    for domain in hosts.unique():
-        rules = robots.disallow.get(domain)
+    """Boolean mask: True where robots DISALLOWS the URL.
+
+    One regex pass extracts host+path for the whole batch (equivalent
+    to ``host_of``/``path_of`` on canonical URLs — same extraction the
+    scope filter uses, parity pinned by the simulator goldens), then
+    rows group by host via one argsort so each domain's path-prefix
+    rules run only over that domain's slice — O(n log n) total instead
+    of O(domains × n) full-array scans."""
+    s = urls if isinstance(urls, pd.Series) else pd.Series(urls, dtype="object")
+    s = s.astype("string").fillna("")
+    extr = s.str.extract(_NETLOC_PATH_OF, expand=True)
+    netloc = extr[0].fillna("").to_numpy(dtype=object)
+    # host_of parity: strip userinfo/port, lowercase, strip trailing
+    # dots — branch taken only on the rare non-plain netloc.
+    hosts = np.array(
+        [
+            h.rsplit("@", 1)[-1].split(":", 1)[0].lower().rstrip(".")
+            if ("@" in h or ":" in h or h.endswith(".") or not h.islower())
+            else h
+            for h in netloc
+        ],
+        dtype=object,
+    )
+    # path_of parity: empty path reads as "/"
+    paths = np.array([p or "/" for p in extr[1].fillna("").to_numpy(dtype=object)], dtype=object)
+    denied = np.zeros(len(hosts), dtype=bool)
+    if not robots.disallow:
+        return denied
+    order = np.argsort(hosts, kind="stable")
+    sh = hosts[order]
+    starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+    ends = np.append(starts[1:], len(sh))
+    for a, b in zip(starts, ends):
+        rules = robots.disallow.get(sh[a])
         if not rules:
             continue
-        sel = (hosts == domain).to_numpy(dtype=bool)
-        sub = paths[sel]
-        bad = np.zeros(sel.sum(), dtype=bool)
+        idx = order[a:b]
+        sub = paths[idx]
+        bad = np.zeros(len(idx), dtype=bool)
         for prefix in rules:
-            bad |= sub.str.startswith(prefix).to_numpy(dtype=bool)
-        denied[sel] = bad
+            bad |= np.fromiter(
+                (p.startswith(prefix) for p in sub), dtype=bool, count=len(sub)
+            )
+        denied[idx] = bad
     return denied
 
 

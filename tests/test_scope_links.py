@@ -161,3 +161,39 @@ class TestCrawlSites:
             CrawlSite("X", ["a.gov"], ["https://a.gov/"], output_target="s3")
         with pytest.raises(ValueError, match="deny_paths"):
             CrawlSite("X", ["a.gov"], ["https://a.gov/"], deny_paths="/t/,/t/")
+
+
+class TestPageBaseJoin:
+    """_PageBase.join must be bit-identical to urllib.parse.urljoin for
+    every href shape (fast paths + fallback routing)."""
+
+    BASES = [
+        "http://h.example.gov/a/b/c.html?q=1#f",
+        "https://h.gov",
+        "http://h.gov/",
+        "http://h.gov/a/",
+        "http://u:p@h.gov:8080/x/y?z",
+    ]
+    HREFS = [
+        "x.html", "/abs/p", "//other.gov/p", "?q=2", "sub/dir/p?a=1#z",
+        "p#frag", "../up", "./same", "a/../b", "news:id", "HTTP://X.gov/P",
+        "http://abs.gov/p", "a.b/c", "x:y", "/..", ".", "..", "a./b",
+        "p?", "p/", "?", "/p?", "//h.gov/p?", "p?a=1&b=2", "/a/b/./c",
+    ]
+
+    def test_matches_urljoin(self):
+        from urllib.parse import urljoin
+
+        from searchgov_spider_ray.stages.links import _PageBase
+
+        for b in self.BASES:
+            pb = _PageBase(b)
+            for h in self.HREFS:
+                assert pb.join(h) == urljoin(b, h), (b, h)
+
+    def test_unparseable_base_falls_back(self):
+        from urllib.parse import urljoin
+
+        from searchgov_spider_ray.stages.links import _PageBase
+
+        assert _PageBase("not-a-url").join("x") == urljoin("not-a-url", "x")
