@@ -91,6 +91,10 @@ class CrawlConfig:
     fetch_batch_size: int = 512
     decode_batch_size: int = 64
     link_batch_size: int = 512
+    # URL-seen router batches: each batch costs one RPC per touched
+    # shard actor, so large batches amortize actor round-trips (rows
+    # are ~100 B narrow metadata — 64 k rows ≈ 6 MB per batch)
+    dedup_batch_size: int = 65536
     max_rounds: int = 2000
     # Candidate-row count above which the round's dedup/seq stages use
     # the distributed sort-based paths instead of the single-block
@@ -809,7 +813,7 @@ class CrawlJobRunner:
         # Repartition for shard-call parallelism; arrival order no
         # longer matters because intra-round dups are already resolved.
         marked2 = winners.repartition(min(8, cfg.fetch_max_parallelism)).map_batches(
-            DedupRouter(self.shards, k), batch_format="pyarrow", batch_size=cfg.link_batch_size
+            DedupRouter(self.shards, k), batch_format="pyarrow", batch_size=cfg.dedup_batch_size
         ).materialize()
         _mark("urlseen")
         dup_denied = marked2.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")

@@ -645,6 +645,26 @@ def crawl_image_corpus(sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def multimodal_image_pipeline(sf_dir: str):
+    """Multimodal column plumbing (stages/multimodal.py): corpus image
+    rows → resize (long edge ≤ 48) → feature-extract; rows-only check —
+    kernel math pinned by tests/test_multimodal.py."""
+    from ..stages.multimodal import ImageFeatures, ImageResize
+
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(cdir + "/corpus_images.parquet")
+    out = ds.map_batches(
+        ImageResize(max_side=48), batch_format="pyarrow", batch_size=64
+    ).map_batches(ImageFeatures(), batch_format="pyarrow", batch_size=64)
+    df = out.to_pandas()
+    df["n_features"] = df["features"].map(len)
+    return (
+        df[["image_id", "w", "h", "fmt", "n_features", "decode_ok"]]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -678,6 +698,7 @@ QUERIES = {
     "docparse_html": docparse_html_q,
     "crawl_order": crawl_order,
     "crawl_image_corpus": crawl_image_corpus,
+    "multimodal_image_pipeline": multimodal_image_pipeline,
 }
 
 ORACLES = {
@@ -831,6 +852,25 @@ ORACLES = {
         SELECT p_brand, p_partkey, p_size
         FROM part
         QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) <= 3
+    """,
+    # exact brute-force cosine top-k (ties broken by neighbor_id ASC,
+    # self-match excluded — mirrors training.ann_brute_topk)
+    "ann_topk_brute": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qv, e.embedding) AS sim
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) <= 10
     """,
     "sitemap_diff": """
         WITH cur AS (

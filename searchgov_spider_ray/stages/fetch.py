@@ -118,7 +118,10 @@ def broadcastable(table: pa.Table) -> pa.Table:
         elif pa.types.is_binary(t):
             t = pa.large_binary()
         fields.append(pa.field(f.name, t, nullable=f.nullable))
-    return table.cast(pa.schema(fields)).combine_chunks()
+    # drop pandas schema metadata: its dict payload is unhashable, which
+    # defeats Ray Data's per-block schema deduplication (it logs "Failed
+    # to hash the schemas" on every task and re-unifies schemas each time)
+    return table.cast(pa.schema(fields)).replace_schema_metadata(None).combine_chunks()
 
 
 def _hash_probe(sorted_hashes: np.ndarray, probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
