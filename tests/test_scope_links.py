@@ -197,3 +197,56 @@ class TestPageBaseJoin:
         from searchgov_spider_ray.stages.links import _PageBase
 
         assert _PageBase("not-a-url").join("x") == urljoin("not-a-url", "x")
+
+
+class TestRobotsReasonVectorized:
+    """robots_reason's grouped/regex fast path must match per-row
+    host_of/path_of + startswith semantics exactly."""
+
+    def _rules(self):
+        from searchgov_spider_ray.pipelines.simulator import RobotsRules
+
+        return RobotsRules(
+            disallow={
+                "a.gov": ["/private", "/tmp"],
+                "b.gov": ["/"],
+                "c.gov": [],
+            },
+            crawl_delay={},
+        )
+
+    def test_matches_reference_semantics(self):
+        import numpy as np
+        import pandas as pd
+
+        from searchgov_spider_ray.functions.urlnorm import host_of, path_of
+        from searchgov_spider_ray.stages.politeness import robots_reason
+
+        urls = pd.Series(
+            [
+                "http://a.gov/private/x",      # denied
+                "http://a.gov/public",          # allowed
+                "http://a.gov/tmp",             # denied
+                "http://A.GOV./private",        # host normalizes → denied
+                "http://u:p@a.gov:80/private",  # userinfo+port → denied
+                "http://b.gov",                 # empty path reads "/" → denied
+                "http://b.gov/anything",        # denied (rule "/")
+                "http://c.gov/private",         # no rules → allowed
+                "http://unknown.gov/private",   # no rules → allowed
+                "junk",                         # unparseable → allowed
+                "",                             # empty → allowed
+            ],
+            dtype="object",
+        )
+        rob = self._rules()
+        got = robots_reason(urls, rob)
+        want = np.array(
+            [
+                not rob.allowed(u) if host_of(u) in rob.disallow else False
+                for u in urls
+            ]
+        )
+        assert got.tolist() == want.tolist()
+        assert got.tolist() == [
+            True, False, True, True, True, True, True, False, False, False, False
+        ]
