@@ -136,6 +136,62 @@ def run_crawl_bench() -> tuple[float, int]:
     return wall, res.fetched
 
 
+def run_compute_probe() -> float:
+    """CPU-bound scaling probe: link extraction + canonicalize/scope
+    over one broadcast row-group of real pages, replicated across
+    tasks — zero storage reads, zero sinks. On a real N→4N NODE
+    cluster every stage gets 4× memory/storage bandwidth along with 4×
+    CPUs; this sandbox shares one box's bus between both "cluster
+    sizes", so the crawl's byte-bound stages cap at the same aggregate
+    rate at either CPU count. The probe isolates what the sandbox CAN
+    multiply (CPUs) and reports pages/s for the crawl's dominant
+    compute chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from searchgov_spider_ray.pipelines.frontier import _CanonScope
+    from searchgov_spider_ray.pipelines.simulator import RobotsRules
+    from searchgov_spider_ray.stages.links import extract_links_batch
+    from searchgov_spider_ray.stages.scope import JobScope
+
+    cdir = ensure_bench_corpus()
+    pf = pq.ParquetFile(cdir + "/corpus_pages.parquet")
+    pages = pf.read_row_group(
+        0, columns=["url", "status", "content_type", "body"]
+    ).replace_schema_metadata(None)
+    pages = pages.filter(pc.equal(pages["status"], 200))
+    pages = pages.add_column(
+        pages.num_columns, "seq", pa.array(np.arange(len(pages), dtype=np.int64))
+    )
+    pages = pages.add_column(
+        pages.num_columns, "depth", pa.array(np.zeros(len(pages), dtype=np.int32))
+    )
+    ref = ray.put(pages)
+    domains = [f"site{i}.example.gov" for i in range(BENCH_SPEC["n_domains"])]
+    scope = JobScope(allowed_domains=domains, depth_limit=30)
+    robots = RobotsRules.from_table(pq.read_table(cdir + "/robots.parquet"))
+    canon = _CanonScope(scope, robots)
+    reps = 256  # ~256k page-extractions of fixed work
+
+    def work(_batch: pa.Table) -> pa.Table:
+        tab = ray.get(ref)
+        out = canon(extract_links_batch(tab))
+        return pa.table({"n": pa.array([len(out)], type=pa.int64())})
+
+    ds = rd.range(reps, override_num_blocks=reps).map_batches(
+        work, batch_format="pyarrow", batch_size=1
+    )
+    ds.materialize()  # untimed warmup (worker imports, ref fetch)
+    t0 = time.time()
+    ds.materialize()
+    wall = time.time() - t0
+    return round(reps * len(pages) / wall, 1)
+
+
 def run_query_bench() -> dict[str, float]:
     from searchgov_spider_ray.pipelines import queries as q
 
@@ -201,6 +257,7 @@ def main() -> None:
     ).materialize()
 
     crawl_wall, crawl_fetched = run_crawl_bench()
+    compute_pages_per_sec = run_compute_probe()
     timings = run_query_bench()
     timings["crawl_frontier"] = round(crawl_wall, 3)
     total = round(sum(timings.values()), 3)
@@ -215,6 +272,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "crawl_urls_per_sec": round(crawl_fetched / crawl_wall, 1),
                 "crawl_fetched": crawl_fetched,
+                "compute_probe_pages_per_sec": compute_pages_per_sec,
             }
         )
     )
@@ -243,6 +301,12 @@ def scaling() -> None:
                 "crawl_urls_per_sec_8": lo["crawl_urls_per_sec"],
                 "crawl_urls_per_sec_32": hi["crawl_urls_per_sec"],
                 "crawl_scaling_efficiency": round(crawl_eff, 3),
+                "compute_probe_pages_per_sec_8": lo["compute_probe_pages_per_sec"],
+                "compute_probe_pages_per_sec_32": hi["compute_probe_pages_per_sec"],
+                "compute_probe_scaling_efficiency": round(
+                    (hi["compute_probe_pages_per_sec"] / lo["compute_probe_pages_per_sec"]) / 4,
+                    3,
+                ),
             }
         )
     )
