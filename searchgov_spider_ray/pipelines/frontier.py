@@ -744,8 +744,15 @@ class CrawlJobRunner:
                 _EmitKernel(self.site.output_target), batch_format="pyarrow"
             ).map_batches(_RoundStamp(k), batch_format="pyarrow").materialize()
             _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
-            if self.images_ref is not None and emit.count() > 0:
-                image_rows = emit.map_batches(
+            n_emit = emit.count()
+            if self.images_ref is not None and n_emit > 0:
+                # block count = payload-gather parallelism: sparse rounds
+                # inherit very few blocks from the fetch stage, which
+                # serializes the per-task image row-group reads
+                image_in = emit.repartition(
+                    min(cfg.fetch_max_parallelism, max(2, n_emit // 16))
+                )
+                image_rows = image_in.map_batches(
                     ImageAttach(self.images_ref),
                     batch_format="pyarrow",
                     batch_size=cfg.decode_batch_size,
