@@ -35,14 +35,23 @@ def _avalanche(x: np.ndarray) -> np.ndarray:
     return x
 
 
+# Explicit siphash key for pd.util.hash_array: pandas' default key is
+# not contractually stable across versions, and MinHash/SimHash
+# signatures may be persisted (checkpointed dedup state) and compared
+# across runs — pin it. Value = pandas' current documented default, so
+# existing signatures stay valid.
+_HASH_KEY = "0123456789123456"
+
+
 def _word_hashes(words: np.ndarray) -> np.ndarray:
     """uint64 hash per word, vectorized: pandas' cython ``hash_array``
     with ``categorize=True`` hashes each DISTINCT word once (the
-    vocabulary trick) — no per-word Python in the hot path. Fixed
-    default hash key → deterministic across runs and platforms."""
+    vocabulary trick) — no per-word Python in the hot path. Pinned
+    hash key → deterministic across runs, platforms, and pandas
+    versions."""
     if len(words) == 0:
         return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(words, categorize=True).astype(np.uint64)
+    return pd.util.hash_array(words, categorize=True, hash_key=_HASH_KEY).astype(np.uint64)
 
 
 def _rolling_shingles(wh: np.ndarray, k: int) -> np.ndarray:

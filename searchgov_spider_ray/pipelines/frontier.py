@@ -210,19 +210,25 @@ _ADM_DEPTH_SHIFT = 56
 
 
 def _pack_admission(batch: pa.Table) -> pa.Table:
-    """Pack the admission-order triple into one sortable int64:
-    ``depth(8b) | parent_seq(40b) | link_seq(16b)``. Raises on overflow
-    (depth ≤ 250 by validation; parent_seq < 2^40 covers 10^12 URLs per
-    depth; link_seq < 2^16 covers the per-page unique-link cap)."""
-    d = batch["parent_depth"].to_numpy().astype(np.int64)
-    s = batch["parent_seq"].to_numpy().astype(np.int64)
-    l = batch["link_seq"].to_numpy().astype(np.int64)
+    """Pack the admission-order triple into one sortable uint64:
+    ``depth(8b) | parent_seq(40b) | link_seq(16b)``. Unsigned so all 8
+    depth bits are usable (depth ≤ 250 by validation — an int64 pack
+    would flip the sign bit at depth ≥ 128 and invert the sort order).
+    Raises on overflow (parent_seq < 2^40 covers 10^12 URLs per depth;
+    link_seq < 2^16 covers the per-page unique-link cap)."""
+    d = batch["parent_depth"].to_numpy().astype(np.uint64)
+    s = batch["parent_seq"].to_numpy().astype(np.uint64)
+    l = batch["link_seq"].to_numpy().astype(np.uint64)
     if len(d) and (
         int(d.max()) >= 256 or int(s.max()) >= (1 << 40) or int(l.max()) >= (1 << _ADM_SEQ_BITS)
     ):
         raise ValueError("admission key field overflow — widen _pack_admission")
-    key = (d << _ADM_DEPTH_SHIFT) | (s << _ADM_SEQ_BITS) | l
-    return batch.append_column("adm_key", pa.array(key, type=pa.int64()))
+    key = (
+        (d << np.uint64(_ADM_DEPTH_SHIFT))
+        | (s << np.uint64(_ADM_SEQ_BITS))
+        | l
+    )
+    return batch.append_column("adm_key", pa.array(key, type=pa.uint64()))
 
 
 def _intra_dedup_wide(cands: rd.Dataset) -> rd.Dataset:
@@ -311,7 +317,7 @@ def _assign_seq_wide(novel: rd.Dataset, depth_counters: dict[int, int]) -> rd.Da
         if len(t) == 0:
             return pa.table(
                 {
-                    "block_key": pa.array([], type=pa.int64()),
+                    "block_key": pa.array([], type=pa.uint64()),
                     "depth": pa.array([], type=pa.int32()),
                     "cnt": pa.array([], type=pa.int64()),
                 }
@@ -321,7 +327,7 @@ def _assign_seq_wide(novel: rd.Dataset, depth_counters: dict[int, int]) -> rd.Da
         vals, counts = np.unique(d, return_counts=True)
         return pa.table(
             {
-                "block_key": pa.array(np.full(len(vals), int(a.min()), dtype=np.int64)),
+                "block_key": pa.array(np.full(len(vals), int(a.min()), dtype=np.uint64)),
                 "depth": pa.array(vals.astype(np.int32)),
                 "cnt": pa.array(counts.astype(np.int64)),
             }

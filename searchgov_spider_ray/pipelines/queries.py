@@ -392,7 +392,10 @@ def doc_ngram_jaccard(sf_dir: str):
 
         gram_sets: list[np.ndarray] = []
         for t in texts:
-            ws = [w for w in _re.split(r"\s+", t.lower()) if w]
+            # explicit-ASCII whitespace class: Python \s matches unicode
+            # (NBSP etc.) while the DuckDB oracle's RE2 \s is ASCII-only
+            # — same discipline as doc_quality_scores.
+            ws = [w for w in _re.split(r"[ \t\n\r\f\v]+", t.lower()) if w]
             grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
             from ..functions.hashing import xxhash64
 

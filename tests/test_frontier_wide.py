@@ -58,3 +58,35 @@ def test_wide_round_parity(job, corpus_dir, tmp_path):
         assert res.fetched == len(sim.order)
     finally:
         runner.close()
+
+
+def test_pack_admission_deep_depths_sort_unsigned():
+    """Regression: depth 128-250 is legal (MAX_DEPTH_LIMIT=250); an
+    int64 pack flips the sign bit at depth >= 128 and sorts deep rows
+    BEFORE shallow ones. The uint64 pack must order strictly by
+    (parent_depth, parent_seq, link_seq)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchgov_spider_ray.pipelines.frontier import _pack_admission
+
+    rows = [
+        (0, 5, 3),
+        (1, 0, 0),
+        (127, 2, 1),
+        (128, 0, 0),
+        (130, 7, 2),
+        (250, (1 << 40) - 1, (1 << 16) - 1),
+    ]
+    t = pa.table(
+        {
+            "parent_depth": pa.array([r[0] for r in rows], type=pa.int32()),
+            "parent_seq": pa.array([r[1] for r in rows], type=pa.int64()),
+            "link_seq": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    out = _pack_admission(t)
+    assert out["adm_key"].type == pa.uint64()
+    keys = out["adm_key"].to_numpy()
+    # input rows are already in admission order -> keys strictly increase
+    assert (np.diff(keys.astype(np.uint64)) > 0).all()
