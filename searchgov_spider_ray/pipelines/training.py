@@ -10,10 +10,13 @@ quantization per the FAISS paper) implemented Ray-Data-first:
 vectorized per-batch kernels, explicit groupby shuffles for candidate
 buckets, broadcast (ray.put) for small sides.
 
-Scale notes: candidate verification broadcasts the text/embedding
-lookup when the table is broadcast-sized (sandbox default); at 100 TB
-the verify step becomes a hash-partitioned self-join on doc_id — the
-bucket → pair → verify dataflow is unchanged.
+Scale notes: every stage has a narrow path (single-block vectorized
+kernel / broadcast lookup — wins below ``WIDE_DOC_ROWS`` because it
+pays no exchange) and a wide path (coarse hash-partitioned kernels +
+a hash-partitioned verify join — bounded per-task memory at any
+scale). Dispatch is a row-count threshold, exactly like the crawl
+frontier's ``wide_round_rows`` (pipelines/frontier.py); forced-wide
+parity is pinned in tests/test_training.py.
 """
 
 from __future__ import annotations
@@ -135,19 +138,60 @@ def _pairs_from_bands(t: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (a < b), capped to guard
-    degenerate buckets (all-identical docs)."""
-    ids = sorted(group["doc_id"].tolist())
-    if len(ids) < 2 or len(ids) > 200:
-        if len(ids) > 200:
-            # degenerate bucket: pair everything to the min id (star),
-            # connected-components downstream still links the cluster
-            a = ids[0]
-            return pd.DataFrame({"doc_a": [a] * (len(ids) - 1), "doc_b": ids[1:]})
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+# ---- wide-path machinery: coarse hash partitioning ----------------------
+#
+# The wide paths never run a per-bucket or per-pair Python call and
+# never hold the whole table in one task. Instead rows are hashed into
+# ``n_parts`` COARSE partitions (a few per cluster core) such that
+# every LSH bucket / every duplicate pair lands wholly inside one
+# partition, then the same vectorized run-detection kernels that serve
+# the narrow path run once per partition via groupby(part).map_groups
+# — one Python call per PARTITION, not per bucket.
+
+WIDE_DOC_ROWS = 200_000  # docs above this: partitioned kernels + join
+_PART_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _n_parts_default() -> int:
+    return 64
+
+
+def _add_bucket_part(t: pa.Table, n_parts: int) -> pa.Table:
+    """Partition key that is a pure function of (band_id, band_key), so
+    each LSH bucket is complete within one partition."""
+    key = t["band_key"].to_numpy().astype(np.uint64)
+    bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    part = ((key ^ (bid * _PART_SALT)) % np.uint64(n_parts)).astype(np.int32)
+    return t.append_column("part", pa.array(part))
+
+
+def _pair_part_of(a: np.ndarray, b: np.ndarray, n_parts: int) -> np.ndarray:
+    """Partition key that is a pure function of the (a, b) pair, so all
+    cross-band copies of a pair land in one partition (exact distinct)."""
+    from ..functions.simdedup import _avalanche
+
+    mixed = _avalanche(a.astype(np.uint64) * _PART_SALT + b.astype(np.uint64))
+    return (mixed % np.uint64(n_parts)).astype(np.int32)
+
+
+def _distinct_pairs_wide(pairs: rd.Dataset, cols: list[str], n_parts: int) -> rd.Dataset:
+    """Exact distinct over pair rows at any scale: coarse-partition by
+    pair hash (all copies of a pair share a partition), then one
+    vectorized drop_duplicates per partition."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = _pair_part_of(
+            df[cols[0]].to_numpy(np.int64), df[cols[1]].to_numpy(np.int64), n_parts
+        )
+        return df
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(cols)[cols]
+
+    return pairs.map_batches(add_part, batch_format="pandas").groupby("part").map_groups(
+        dedup, batch_format="pandas"
+    )
 
 
 def _derive_bands(num_perm: int, threshold: float) -> int:
@@ -166,6 +210,140 @@ def _derive_bands(num_perm: int, threshold: float) -> int:
     return best
 
 
+def _explode_pair_sides(t: pa.Table) -> pa.Table:
+    """Candidate pairs → two side rows each, keyed by the member doc_id
+    (the join key for the hash-partitioned text attach)."""
+    a = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)
+    b = pc.cast(t["doc_b"], pa.int64()).to_numpy(zero_copy_only=False)
+    n = len(a)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "doc_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+            "side": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), type=pa.int8()
+            ),
+            "text": pa.nulls(2 * n, type=pa.string()),
+        }
+    )
+
+
+def _attach_texts_group(group: pd.DataFrame) -> pd.DataFrame:
+    """One hash partition of (doc rows ∪ pair-side rows): attach each
+    side row its member's text via a partition-local dict."""
+    is_doc = group["side"].isna()
+    docs = group[is_doc]
+    sides = group[~is_doc]
+    if sides.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int8"),
+                "text": pd.Series([], dtype="object"),
+            }
+        )
+    m = dict(zip(docs["doc_id"], docs["text"]))
+    return pd.DataFrame(
+        {
+            "doc_a": sides["doc_a"].astype("int64"),
+            "doc_b": sides["doc_b"].astype("int64"),
+            "side": sides["side"].astype("int8"),
+            "text": sides["doc_id"].map(m).fillna(""),
+        }
+    )
+
+
+def _verified_pairs_wide(
+    uniq: rd.Dataset,
+    docs: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    n_parts: int,
+) -> rd.Dataset:
+    """Hash-partitioned candidate ⨝ docs verify (the 100-TB path): no
+    driver-side text materialization, no broadcast. Two exchanges —
+    partition by member doc_id to attach texts, then by pair to bring
+    both sides together — each followed by a vectorized per-partition
+    kernel."""
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "doc_a": pa.nulls(n, type=pa.int64()),
+                "doc_b": pa.nulls(n, type=pa.int64()),
+                "side": pa.nulls(n, type=pa.int8()),
+                "text": pc.cast(t[text_col], pa.string()),
+            }
+        )
+
+    def add_doc_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.simdedup import _avalanche
+
+        df = df.copy()
+        df["part"] = (
+            _avalanche(df["doc_id"].to_numpy(np.int64).astype(np.uint64) * _PART_SALT)
+            % np.uint64(n_parts)
+        ).astype(np.int32)
+        return df
+
+    tagged = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        uniq.map_batches(_explode_pair_sides, batch_format="pyarrow")
+    )
+    sided = (
+        tagged.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_attach_texts_group, batch_format="pandas")
+    )
+
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = _pair_part_of(
+            df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64), n_parts
+        )
+        return df
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        a_rows = group[group["side"] == 0]
+        b_rows = group[group["side"] == 1]
+        merged = a_rows.merge(b_rows, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        if merged.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        a_sets = shingle_hash_sets(merged["text_a"].tolist(), k)
+        b_sets = shingle_hash_sets(merged["text_b"].tolist(), k)
+        jac = np.fromiter(
+            (jaccard(sa, sb) for sa, sb in zip(a_sets, b_sets)),
+            dtype=np.float64,
+            count=len(merged),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_a": merged["doc_a"].astype("int64"),
+                "doc_b": merged["doc_b"].astype("int64"),
+                "jaccard": jac,
+            }
+        )
+        return out[out["jaccard"] >= threshold]
+
+    return (
+        sided.map_batches(add_pair_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify_group, batch_format="pandas")
+    )
+
+
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
@@ -175,28 +353,52 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     texts_ref=None,
+    wide_doc_rows: int = WIDE_DOC_ROWS,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """MinHash → LSH band buckets → candidate pairs → exact n-gram
     Jaccard verification ≥ threshold. ``bands=None`` derives the band
-    count from the threshold (see ``_derive_bands``). ``texts_ref``
-    (optional ``ray.put`` of {id: text}) skips re-reading texts for
-    verification; when None it is built by materializing the id/text
-    projection (broadcast-sized inputs only — see module scale note)."""
+    count from the threshold (see ``_derive_bands``).
+
+    Narrow/wide dispatch on the doc count (``wide_doc_rows``, same
+    pattern as frontier.py's ``wide_round_rows``): below it, pair
+    generation runs as one single-block vectorized kernel and
+    verification reads texts from a broadcast dict (``texts_ref``
+    optionally pre-supplied as a ``ray.put`` of {id: text}); above it,
+    pairs come from coarse hash-partitioned bucket kernels and
+    verification is a hash-partitioned join against the doc table —
+    nothing driver-side, nothing broadcast. Forced-wide parity is
+    pinned in tests/test_training.py."""
     if bands is None:
         bands = _derive_bands(num_perm, threshold)
-    if texts_ref is None:
-        proj = ds.select_columns([id_col, text_col]).to_pandas()
-        texts_ref = ray.put(dict(zip(proj[id_col], proj[text_col])))
+    docs = ds.select_columns([id_col, text_col])
+    n_docs = docs.count()
+    wide = n_docs > wide_doc_rows
+    n_parts = n_parts or _n_parts_default()
 
     bands_ds = ds.map_batches(
         _MinHashBands(num_perm, bands, shingle_k, text_col, id_col),
         batch_format="pyarrow",
     )
-    # one vectorized pass generates + dedupes candidate pairs (see
-    # _pairs_from_bands for the >1e8-band-rows groupby fallback)
+    if wide:
+        uniq = _distinct_pairs_wide(
+            bands_ds.map_batches(
+                lambda t: _add_bucket_part(t, n_parts), batch_format="pyarrow"
+            )
+            .groupby("part")
+            .map_groups(_pairs_from_bands, batch_format="pyarrow"),
+            ["doc_a", "doc_b"],
+            n_parts,
+        )
+        return _verified_pairs_wide(uniq, docs, id_col, text_col, shingle_k, threshold, n_parts)
+
+    # narrow: one vectorized pass generates + dedupes candidate pairs
     uniq = bands_ds.repartition(1).map_batches(
         _pairs_from_bands, batch_format="pyarrow", batch_size=None
     )
+    if texts_ref is None:
+        proj = docs.to_pandas()
+        texts_ref = ray.put(dict(zip(proj[id_col], proj[text_col])))
 
     k = shingle_k
 
@@ -234,15 +436,72 @@ def add_simhash(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text", 
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+def _simhash_pairs_kernel(t: pa.Table, max_hamming: int) -> pa.Table:
+    """Vectorized bucket-run pair generation + Hamming verify +
+    cross-band pair dedup over one table of band rows (the whole round
+    in the narrow path, one coarse hash partition in the wide path —
+    buckets are complete within a partition by construction)."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    bid = t["band_id"].to_numpy()
+    key = t["band_key"].to_numpy()
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    hs = t["simhash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((doc, key, bid))
+    bid, key, doc, hs = bid[order], key[order], doc[order], hs[order]
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(bid))
+    rows = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2 or n > 200:
+            continue
+        iu, ju = np.triu_indices(n, 1)
+        d = hamming64(hs[s:e][iu], hs[s:e][ju])
+        ok = d <= max_hamming
+        if ok.any():
+            rows.append(
+                np.stack([doc[s:e][iu[ok]], doc[s:e][ju[ok]], d[ok]], axis=1).astype(np.int64)
+            )
+    if not rows:
+        return empty
+    uniq = np.unique(np.concatenate(rows), axis=0)
+    return pa.table(
+        {
+            "doc_a": pa.array(uniq[:, 0], type=pa.int64()),
+            "doc_b": pa.array(uniq[:, 1], type=pa.int64()),
+            "hamming": pa.array(uniq[:, 2], type=pa.int64()),
+        }
+    )
+
+
 def simhash_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    wide_doc_rows: int = WIDE_DOC_ROWS,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """SimHash near-dup: band the 64-bit hash into 4×16-bit chunks
     (pigeonhole: any pair within Hamming ≤ 3 shares ≥1 exact chunk),
-    bucket-group, verify Hamming distance."""
+    bucket-group, verify Hamming distance. Narrow/wide dispatch as in
+    ``minhash_lsh_pairs``: one single-block kernel below
+    ``wide_doc_rows`` docs, coarse hash-partitioned bucket kernels +
+    partitioned pair distinct above it."""
+    n_docs = ds.count()
+    wide = n_docs > wide_doc_rows
+    n_parts = n_parts or _n_parts_default()
     sh = add_simhash(ds, id_col, text_col)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -264,55 +523,20 @@ def simhash_pairs(
             }
         )
 
-    def pairs_kernel(t: pa.Table) -> pa.Table:
-        """Vectorized bucket-run pair generation + Hamming verify +
-        cross-band dedup in one block (same single-block contract and
-        scale note as _pairs_from_bands)."""
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "hamming": pa.array([], type=pa.int64()),
-            }
+    band_rows = sh.map_batches(explode, batch_format="pyarrow")
+    if wide:
+        pairs = (
+            band_rows.map_batches(lambda t: _add_bucket_part(t, n_parts), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda t, _m=max_hamming: _simhash_pairs_kernel(t, _m), batch_format="pyarrow"
+            )
         )
-        if len(t) == 0:
-            return empty
-        bid = t["band_id"].to_numpy()
-        key = t["band_key"].to_numpy()
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        hs = t["simhash"].to_numpy().astype(np.uint64)
-        order = np.lexsort((doc, key, bid))
-        bid, key, doc, hs = bid[order], key[order], doc[order], hs[order]
-        new = np.empty(len(bid), dtype=bool)
-        new[0] = True
-        new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(bid))
-        rows = []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2 or n > 200:
-                continue
-            iu, ju = np.triu_indices(n, 1)
-            d = hamming64(hs[s:e][iu], hs[s:e][ju])
-            ok = d <= max_hamming
-            if ok.any():
-                rows.append(
-                    np.stack([doc[s:e][iu[ok]], doc[s:e][ju[ok]], d[ok]], axis=1).astype(np.int64)
-                )
-        if not rows:
-            return empty
-        uniq = np.unique(np.concatenate(rows), axis=0)
-        return pa.table(
-            {
-                "doc_a": pa.array(uniq[:, 0], type=pa.int64()),
-                "doc_b": pa.array(uniq[:, 1], type=pa.int64()),
-                "hamming": pa.array(uniq[:, 2], type=pa.int64()),
-            }
-        )
-
-    return sh.map_batches(explode, batch_format="pyarrow").repartition(1).map_batches(
-        pairs_kernel, batch_format="pyarrow", batch_size=None
+        return _distinct_pairs_wide(pairs, ["doc_a", "doc_b", "hamming"], n_parts)
+    return band_rows.repartition(1).map_batches(
+        lambda t, _m=max_hamming: _simhash_pairs_kernel(t, _m),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -489,15 +713,28 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
+    wide_doc_rows: int = WIDE_DOC_ROWS,
+    n_parts: int | None = None,
 ) -> rd.Dataset:
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
-    exact cosine verification within buckets."""
+    exact cosine verification within buckets. ``n_tables`` independent
+    hyperplane tables trade recall for compute (a pair is a candidate
+    if it collides in ANY table); cross-table pair dedup is the
+    narrow/wide-dispatched distinct (single block below
+    ``wide_doc_rows`` rows, coarse hash-partitioned above)."""
+    n_rows = ds.count()
+    n_parts = n_parts or _n_parts_default()
     sample = ds.limit(1).select_columns([vec_col]).to_pandas()
     dim = len(sample[vec_col].iloc[0])
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    # one (n_tables, n_planes, dim) plane stack from one seeded stream
+    planes = np.random.RandomState(seed).randn(n_tables, n_planes, dim)
     pref = ray.put(planes)
 
     class _Bucket:
+        """Each row → one bucket key per hash table (table id folded
+        into the key so tables never collide)."""
+
         def __init__(self):
             self._p = None
 
@@ -505,15 +742,29 @@ def embedding_near_dup_pairs(
             if self._p is None:
                 self._p = ray.get(pref)
             mat = _as_matrix(batch[vec_col])
-            bits = (mat @ self._p.T) > 0
-            keys = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-            return batch.select([id_col, vec_col]).append_column(
-                "bucket", pa.array(keys, type=pa.uint64())
+            keys = []
+            for ti in range(self._p.shape[0]):
+                bits = (mat @ self._p[ti].T) > 0
+                k = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
+                    axis=1
+                )
+                keys.append(k | (np.uint64(ti) << np.uint64(48)))
+            sub = batch.select([id_col, vec_col])
+            n_t = self._p.shape[0]
+            out = pa.concat_tables([sub] * n_t) if n_t > 1 else sub
+            return out.append_column(
+                "bucket", pa.array(np.concatenate(keys), type=pa.uint64())
             )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2 or len(group) > 500:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         g = group.sort_values(id_col)
         ids = g[id_col].tolist()
         mat = _as_matrix(g[vec_col])
@@ -522,14 +773,16 @@ def embedding_near_dup_pairs(
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
         return pd.DataFrame(
             {
-                "vec_a": [ids[i] for i in ii],
-                "vec_b": [ids[j] for j in jj],
-                "cosine": [float(sims[i, j]) for i, j in zip(ii, jj)],
+                "vec_a": pd.Series([int(ids[i]) for i in ii], dtype="int64"),
+                "vec_b": pd.Series([int(ids[j]) for j in jj], dtype="int64"),
+                "cosine": pd.Series([float(sims[i, j]) for i, j in zip(ii, jj)], dtype="float64"),
             }
         )
 
     bucketed = ds.map_batches(_Bucket(), batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    if n_rows > wide_doc_rows:
+        return _distinct_pairs_wide(pairs, ["vec_a", "vec_b", "cosine"], n_parts)
     return pairs.repartition(1).map_batches(
         lambda df: df.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True),
         batch_format="pandas",

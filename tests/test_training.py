@@ -126,3 +126,42 @@ class TestTextStages:
         # exact dup docs share fingerprints
         f = dict(zip(a["doc_id"], a["fingerprint"]))
         assert f[5] == f[23]
+
+
+class TestForcedWideParity:
+    """wide_doc_rows=0 forces the coarse hash-partitioned pair kernels
+    and the hash-partitioned verify join — results must be identical to
+    the narrow (single-block + broadcast) path, same contract as
+    tests/test_frontier_wide.py pins for the frontier."""
+
+    def test_minhash_wide_matches_narrow(self, docs_ds):
+        narrow = training.minhash_lsh_pairs(docs_ds, threshold=0.6).to_pandas()
+        wide = training.minhash_lsh_pairs(
+            docs_ds, threshold=0.6, wide_doc_rows=0, n_parts=5
+        ).to_pandas()
+        key = lambda df: sorted(
+            (int(a), int(b), round(float(j), 9))
+            for a, b, j in zip(df["doc_a"], df["doc_b"], df["jaccard"])
+        )
+        assert len(wide) > 0
+        assert key(narrow) == key(wide)
+
+    def test_simhash_wide_matches_narrow(self, docs_ds):
+        narrow = training.simhash_pairs(docs_ds, max_hamming=6).to_pandas()
+        wide = training.simhash_pairs(
+            docs_ds, max_hamming=6, wide_doc_rows=0, n_parts=5
+        ).to_pandas()
+        key = lambda df: sorted(
+            (int(a), int(b), int(h)) for a, b, h in zip(df["doc_a"], df["doc_b"], df["hamming"])
+        )
+        assert len(wide) > 0
+        assert key(narrow) == key(wide)
+
+    def test_embedding_near_dup_wide_matches_narrow(self, emb_ds):
+        narrow = training.embedding_near_dup_pairs(emb_ds, threshold=0.99, n_tables=4).to_pandas()
+        wide = training.embedding_near_dup_pairs(
+            emb_ds, threshold=0.99, n_tables=4, wide_doc_rows=0, n_parts=5
+        ).to_pandas()
+        key = lambda df: sorted((int(a), int(b)) for a, b in zip(df["vec_a"], df["vec_b"]))
+        assert (10, 50) in key(wide)
+        assert key(narrow) == key(wide)
