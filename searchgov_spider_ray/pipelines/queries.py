@@ -526,18 +526,53 @@ def ann_topk_brute(sf_dir: str):
 
 
 def ann_topk_ivf(sf_dir: str):
+    """IVF ANN run with exhaustive probing (n_probe = n_centroids) so
+    the result is EXACT and DuckDB-oracle-checkable — the full IVF
+    machinery (centroid pick, coarse assignment, bucket filter, bucket
+    brute-force, top-k merge) still executes; pytest pins the
+    approximate (n_probe < n_centroids) recall behavior separately."""
     from .training import ann_ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ann_ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=4)
+    out = ann_ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=16)
     return out.select_columns(["query_id", "neighbor_id"])
+
+
+def _embeddings_with_clones(sf_dir: str) -> rd.Dataset:
+    """embeddings ∪ deterministic planted near-dups: every vec_id
+    divisible by 20 gets a clone (vec_id + 100000) scaled by 2.0 —
+    cosine exactly 1.0 against its original, and scaling preserves
+    every hyperplane sign, so LSH recall is guaranteed. The base table
+    has NO pairs above cosine 0.52 (checked), so planting is required
+    to make the near-dup operator testable; the SQL oracle derives the
+    identical union via list_transform."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def clones(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array((ids % 20) == 0))
+        emb = sub["embedding"].combine_chunks()
+        scaled = pa.ListArray.from_arrays(
+            emb.offsets, pc.multiply(emb.values, pa.scalar(2.0, type=emb.type.value_type))
+        )
+        return pa.table(
+            {"vec_id": pc.add(pc.cast(sub["vec_id"], pa.int64()), pa.scalar(100000, type=pa.int64())), "embedding": scaled}
+        )
+
+    base = ds.map_batches(
+        lambda t: pa.table(
+            {"vec_id": pc.cast(t["vec_id"], pa.int64()), "embedding": t["embedding"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return base.union(ds.map_batches(clones, batch_format="pyarrow"))
 
 
 def embedding_near_dups(sf_dir: str):
     from .training import embedding_near_dup_pairs
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    ds = _embeddings_with_clones(sf_dir)
+    df = embedding_near_dup_pairs(ds, threshold=0.95, n_tables=4).to_pandas()
     if df.empty:
         return pd.DataFrame(
             {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
@@ -874,6 +909,40 @@ ORACLES = {
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
         ) <= 10
+    """,
+    # IVF with exhaustive probing degenerates to exact brute force —
+    # same oracle shape as ann_topk_brute
+    "ann_topk_ivf": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qv, e.embedding) AS sim
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        ) <= 10
+    """,
+    # exact pairwise cosine >= 0.95 over embeddings ∪ planted clones
+    # (vec_id % 20 == 0 cloned at vec_id+100000, scaled by 2.0 — the
+    # same derivation _embeddings_with_clones builds Ray-side)
+    "embedding_near_dups": """
+        WITH all_vecs AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(embedding, x -> x * 2.0) AS embedding
+            FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
     "sitemap_diff": """
         WITH cur AS (
