@@ -42,6 +42,17 @@ def _md5_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
 
 
+def _in_sorted(arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership: for each key, is it present in the SORTED
+    int64 array ``arr``? (searchsorted — the broadcast-filter pattern;
+    replaces per-row Python set lookups.)"""
+    if len(arr) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    idx = np.searchsorted(arr, keys)
+    idx_c = np.clip(idx, 0, len(arr) - 1)
+    return (idx < len(arr)) & (arr[idx_c] == keys)
+
+
 def _combine_partials(partials: rd.Dataset, keys: list[str], sums: list[str]) -> rd.Dataset:
     """Final combine of per-block partial aggregates: one vectorized
     pandas groupby-sum task over all partials.
@@ -115,16 +126,23 @@ def top_spenders(sf_dir: str):
 
 def priority_by_region(sf_dir: str):
     """orders ⨝ customer ⨝ nation ⨝ region via broadcast lookup chain
-    (small sides ray.put once; no shuffle join)."""
+    (small sides ray.put once; no shuffle join). The custkey→region map
+    is broadcast as sorted numpy arrays + searchsorted — no boxed-int
+    driver dict (same pattern as stages/fetch.py's corpus index)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    nat_to_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    reg_name = dict(zip(region["r_regionkey"], region["r_name"]))
-    cust_region = {
-        int(c): reg_name[nat_to_region[int(n)]] for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
-    ref = ray.put(cust_region)
+    # nation/region are tiny (25/5 rows): dense position lookup arrays
+    nat_to_reg = np.full(int(nation["n_nationkey"].max()) + 1, -1, dtype=np.int32)
+    nat_to_reg[nation["n_nationkey"].to_numpy(np.int64)] = nation["n_regionkey"].to_numpy(np.int32)
+    reg_names = np.empty(int(region["r_regionkey"].max()) + 1, dtype=object)
+    reg_names[region["r_regionkey"].to_numpy(np.int64)] = region["r_name"].to_numpy(object)
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(ckeys, kind="stable")
+    ckeys_sorted = ckeys[order]
+    # per-customer region-name CODE (int8 — 5 regions), not a string per row
+    creg_sorted = nat_to_reg[cust["c_nationkey"].to_numpy(np.int64)][order]
+    ref = ray.put((ckeys_sorted, creg_sorted, reg_names))
 
     class _Attach:
         def __init__(self):
@@ -133,7 +151,9 @@ def priority_by_region(sf_dir: str):
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             if self._m is None:
                 self._m = ray.get(ref)
-            df = df.assign(r_name=df["o_custkey"].map(self._m))
+            keys, regs, names = self._m
+            idx = np.searchsorted(keys, df["o_custkey"].to_numpy(np.int64))
+            df = df.assign(r_name=names[regs[idx]])
             return df.groupby(["r_name", "o_orderpriority"], as_index=False).agg(
                 n=("o_custkey", "size")
             )
@@ -147,7 +167,7 @@ def customers_without_orders(sf_dir: str):
     """Anti-join via broadcast key set (sitemap-diff pattern, SURVEY.md
     §2.4 A5)."""
     okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    ref = ray.put(set(int(k) for k in okeys))
+    ref = ray.put(np.sort(np.asarray(list(okeys), dtype=np.int64)))
 
     class _Filter:
         def __init__(self):
@@ -156,9 +176,8 @@ def customers_without_orders(sf_dir: str):
         def __call__(self, t: pa.Table) -> pa.Table:
             if self._s is None:
                 self._s = ray.get(ref)
-            keys = t["c_custkey"].to_numpy()
-            mask = np.array([int(k) not in self._s for k in keys], dtype=bool)
-            return t.filter(pa.array(mask))
+            keys = t["c_custkey"].to_numpy().astype(np.int64)
+            return t.filter(pa.array(~_in_sorted(self._s, keys)))
 
     out = _read(sf_dir, "customer", ["c_custkey"]).map_batches(_Filter(), batch_format="pyarrow")
     # Pin the schema through an empty result: an all-filtered Dataset can
@@ -248,7 +267,7 @@ def users_first_seen_late(sf_dir: str):
         lambda df, _c=cutoff: df[df["ts"] < _c][["user_id"]].drop_duplicates(),
         batch_format="pandas",
     ).unique("user_id")
-    ref = ray.put({int(u) for u in early})
+    ref = ray.put(np.sort(np.asarray(list(early), dtype=np.int64)))
 
     class _Late:
         def __init__(self):
@@ -258,7 +277,7 @@ def users_first_seen_late(sf_dir: str):
             if self._s is None:
                 self._s = ray.get(ref)
             df = df[df["ts"] >= cutoff]
-            df = df[~df["user_id"].isin(self._s)]
+            df = df[~_in_sorted(self._s, df["user_id"].to_numpy(np.int64))]
             return df[["user_id"]].drop_duplicates()
 
     late = ds.map_batches(_Late(), batch_format="pandas").unique("user_id") or set()
