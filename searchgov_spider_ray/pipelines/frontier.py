@@ -56,7 +56,7 @@ from ..functions.urlnorm import canonicalize, canonicalize_batch, host_of
 from ..sources.crawl_sites import CrawlSite
 from ..stages.dedup import DedupRouter, dump_shards, make_shard_pool, restore_shards
 from ..stages.decode import DecodePHash
-from ..stages.fetch import CorpusFetcher, ImageAttach
+from ..stages.fetch import CorpusFetcher, ImageAttach, JsFetcher
 from ..stages.links import extract_links_batch
 from ..stages.politeness import PolitenessSelect, RobotsRules, robots_reason
 from ..stages.scope import (
@@ -102,6 +102,13 @@ class CrawlConfig:
     # kernels win below this (one task, no sort exchange); the wide
     # paths keep per-task memory bounded on 10^8+-candidate rounds.
     wide_round_rows: int = 4_000_000
+    # Fetched-page count above which the emit/image-landing chain runs
+    # on a worker thread OVERLAPPED with the link chain (the streaming
+    # executor multiplexes the two). Small rounds run serially: two
+    # concurrent executors on a small round just contend (measured 17 s
+    # overlapped vs 3.3 s serial on a 92 k-row round at 32 CPUs, while
+    # a 1 M-row round gains ~20% from overlap).
+    overlap_min_fetched: int = 150_000
 
 
 @dataclass
@@ -245,7 +252,6 @@ def _intra_dedup_wide(cands: rd.Dataset) -> rd.Dataset:
     map flips the global losers. Output contract matches
     _intra_dedup_kernel: input rows + boolean ``intra_first``."""
     keyed = cands.map_batches(_pack_admission, batch_format="pyarrow")
-    s = keyed.sort("url_hash").materialize()
 
     def local(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -266,13 +272,26 @@ def _intra_dedup_wide(cands: rd.Dataset) -> rd.Dataset:
             "tentative", pa.array(tent)
         )
 
-    marked = s.map_batches(local, batch_format="pyarrow", batch_size=None).materialize()
-    tent_df = (
-        marked.map_batches(
-            lambda t: t.filter(t["tentative"]).select(["url_hash", "adm_key"]),
-            batch_format="pyarrow",
-        ).to_pandas()
+    # sort + per-block first-wins in ONE execution (map_batches with
+    # batch_size=None preserves the sorted block boundaries); the ≤2
+    # tentative rows per block come back via raw block-ref tasks — no
+    # second executor launch for an O(#blocks)-row pass
+    marked = (
+        keyed.sort("url_hash")
+        .map_batches(local, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
+    def _tent_rows(t: pa.Table) -> pa.Table:
+        # raw block refs include materialize-synthesized empty blocks
+        # that carry the pre-map schema — guard before filtering
+        if len(t) == 0 or "tentative" not in t.column_names:
+            return pa.table(
+                {"url_hash": pa.array([], type=pa.uint64()), "adm_key": pa.array([], type=pa.uint64())}
+            )
+        return t.filter(t["tentative"]).select(["url_hash", "adm_key"])
+
+    tent_tables = _map_block_refs(marked, _tent_rows)
+    tent_df = pa.concat_tables(tent_tables).to_pandas() if tent_tables else pd.DataFrame()
     losers: set[tuple[int, int]] = set()
     if len(tent_df):
         for h, grp in tent_df.groupby("url_hash"):
@@ -333,7 +352,12 @@ def _assign_seq_wide(novel: rd.Dataset, depth_counters: dict[int, int]) -> rd.Da
             }
         )
 
-    summ = s.map_batches(summary, batch_format="pyarrow", batch_size=None).to_pandas()
+    summ_tables = _map_block_refs(s, summary)
+    summ = (
+        pa.concat_tables(summ_tables).to_pandas()
+        if summ_tables
+        else pd.DataFrame({"block_key": [], "depth": [], "cnt": []})
+    )
     if summ.empty:  # no novel rows this round (all dups)
         return rd.from_arrow(_empty_frontier())
     bases: dict[tuple[int, int], int] = {}
@@ -469,6 +493,36 @@ def _empty_frontier() -> pa.Table:
     return _FRONTIER_SCHEMA.empty_table()
 
 
+@ray.remote
+def _block_apply(fn, block):
+    return fn(block)
+
+
+def _map_block_refs(ds: rd.Dataset, fn):
+    """Run ``fn`` over each materialized block of ``ds`` as raw Ray
+    tasks on the block refs and return the results.
+
+    This is the no-executor path for tiny per-block metadata passes
+    (per-depth counts, per-block summaries, boundary rows): a full
+    ``map_batches(...).to_pandas()`` pays a streaming-executor
+    spin-up that measures ~200 ms at 32 CPUs (and grows with cluster
+    size) — ~10× the work itself. Blocks stay distributed; only
+    ``fn``'s (small) results come back to the driver."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return ray.get([_block_apply.remote(fn, b) for b in refs])
+
+
+def _parquet_rows(path: Path) -> int:
+    """Row count of a written parquet directory from file metadata
+    (driver-side, no read of data pages, no Ray execution)."""
+    total = 0
+    for f in Path(path).glob("*.parquet"):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 class CrawlJobRunner:
     """Runs one crawl job (one CrawlSite) over a corpus directory.
 
@@ -583,7 +637,9 @@ class CrawlJobRunner:
             n_rows = frontier.num_rows
         else:
             frontier.write_parquet(str(fdir))
-            n_rows = frontier.count()
+            # row count from the written files' footers — a count() on
+            # the lazy union would re-run its whole lineage
+            n_rows = _parquet_rows(fdir)
         shard_sizes = ray.get([s.size.remote() for s in self.shards])
         dump_shards(self.shards, self.ckpt.shards_dir(k))
         manifest = {
@@ -748,9 +804,12 @@ class CrawlJobRunner:
         def _emit_and_decode() -> None:
             emit = fetched.map_batches(
                 _EmitKernel(self.site.output_target), batch_format="pyarrow"
-            ).map_batches(_RoundStamp(k), batch_format="pyarrow").materialize()
+            ).map_batches(_RoundStamp(k), batch_format="pyarrow")
             _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
-            n_emit = emit.count()
+            # count from the written files' metadata — no extra
+            # execution; the image path below re-runs the cheap emit
+            # kernels over the MATERIALIZED fetch metadata
+            n_emit = _parquet_rows(self.out_dir / "emitted" / f"round-{k:04d}")
             if self.images_ref is not None and n_emit > 0:
                 # block count = payload-gather parallelism: sparse rounds
                 # inherit very few blocks from the fetch stage, which
@@ -771,39 +830,70 @@ class CrawlJobRunner:
 
         import concurrent.futures as _cf
 
+        # Overlap emit/decode with the link chain via a worker thread
+        # ONLY on big rounds (both are independent lazy views; the
+        # streaming executor multiplexes them — a win at 1 M rows,
+        # pure contention on small rounds; see overlap_min_fetched).
+        # GRAFT_NO_OVERLAP=1 forces serial for A/B measurement.
+        _serial = (
+            n_fetched < cfg.overlap_min_fetched
+            or bool(os.environ.get("GRAFT_NO_OVERLAP"))
+        )
         with _cf.ThreadPoolExecutor(1) as _pool:
-            emit_future = _pool.submit(_emit_and_decode)
+            if _serial:
+                _emit_and_decode()
+                _mark("emit_decode_serial")
+                emit_future = _pool.submit(lambda: None)
+            else:
+                emit_future = _pool.submit(_emit_and_decode)
             # 5. link extraction → canonicalize → scope/robots as one
             # FUSED task chain: body join → 200-filter → extract →
             # canon/scope. Bodies exist only transiently inside each
             # task; what materializes is the narrow scoped-candidate
             # table. (Only 200-status pages parse — non-200 responses
             # yield neither items nor links, reference CrawlSpider
-            # semantics.)
-            scoped = granted.map_batches(
-                CorpusFetcher(self.corpus_ref),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-            ).map_batches(
-                lambda t: t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16()))),
-                batch_format="pyarrow",
-            ).map_batches(
-                extract_links_batch, batch_format="pyarrow", batch_size=cfg.link_batch_size
-            ).map_batches(
-                _CanonScope(self.scope, self.robots), batch_format="pyarrow"
-            ).materialize()
+            # semantics.) prevent_follow mode (reference
+            # domain_spider.py:74-76) skips the link chain entirely:
+            # fetch + emit only, no candidates, no link denials.
+            # JS sites route bodies through the render step (reference
+            # picks DomainSpiderJs by the handle_javascript flag)
+            fetcher_cls = JsFetcher if self.site.handle_javascript else CorpusFetcher
+            if self.site.prevent_follow:
+                scoped = None
+            else:
+                scoped = granted.map_batches(
+                    fetcher_cls(self.corpus_ref),
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                ).map_batches(
+                    lambda t: t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16()))),
+                    batch_format="pyarrow",
+                ).map_batches(
+                    extract_links_batch, batch_format="pyarrow", batch_size=cfg.link_batch_size
+                ).map_batches(
+                    _CanonScope(self.scope, self.robots), batch_format="pyarrow"
+                ).materialize()
             _mark("links_scope")
             emit_future.result()  # surface worker-thread failures
         _mark("emit_decode")
+        if scoped is None:
+            next_frontier = carry.map_batches(
+                lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow"
+            )
+            self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
+            return n_fetched
         denied = scoped.map_batches(_DeniedKernel(k, keep_side=False), batch_format="pyarrow")
         cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
-        n_cands = cands.count()
-        if n_cands == 0:
-            _write_round(denied, self.out_dir / "denied", k)
+        # count() on the MATERIALIZED scoped table is free (block
+        # metadata); counting the keep-side filter would spin another
+        # executor. scoped ≥ cands, so as a wide-dispatch heuristic it
+        # only errs toward the scale-safe path.
+        n_scoped = scoped.count()
+        if n_scoped == 0:
             next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
             self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
             return n_fetched
-        wide = n_cands > cfg.wide_round_rows
+        wide = n_scoped > cfg.wide_round_rows
 
         # 6. intra-round first-wins dedup: single-block vectorized pass
         # for normal rounds, distributed sort + boundary fix-up for wide
@@ -849,12 +939,17 @@ class CrawlJobRunner:
                 batch_format="pyarrow",
                 batch_size=None,
             ).materialize()
-        if new_frontier.count() > 0:
-            # per-depth counts without an Aggregate exchange: project the
-            # one int32 column and value-count driver-side (a few MB)
-            depths = new_frontier.select_columns(["depth"]).to_pandas()["depth"]
-            for dd, cnt in depths.value_counts().items():
-                self.depth_counters[int(dd)] = self.depth_counters.get(int(dd), 0) + int(cnt)
+        # per-depth counts via raw block-ref tasks over the materialized
+        # frontier (no Aggregate exchange, no executor spin-up)
+        def _depth_counts(t: pa.Table) -> dict[int, int]:
+            if len(t) == 0:
+                return {}
+            vals, counts = np.unique(t["depth"].to_numpy(), return_counts=True)
+            return {int(v): int(c) for v, c in zip(vals, counts)}
+
+        for part in _map_block_refs(new_frontier, _depth_counts):
+            for dd, cnt in part.items():
+                self.depth_counters[dd] = self.depth_counters.get(dd, 0) + cnt
 
         _mark("seq_assign")
         next_frontier = carry.map_batches(

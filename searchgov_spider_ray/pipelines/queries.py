@@ -16,6 +16,7 @@ per input row.
 from __future__ import annotations
 
 import hashlib
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -702,6 +703,148 @@ def crawl_image_corpus(sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def sitemap_monitor_q(sf_dir: str):
+    """One monitor cycle end-to-end (SURVEY.md §2 sitemap monitor):
+    sitemap expand → snapshot diff (pre-seeded previous snapshot) →
+    depth-1 prevent_follow re-index crawl of the new URLs over the
+    packaged corpus → emitted rows. Rows-only: the loop spawns crawls
+    (stateful); its pieces are pinned by tests/test_sitemap_monitor.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .frontier import CrawlConfig, CrawlJobRunner
+    from .sitemap_monitor import SitemapMonitor
+    from ..sources.corpusgen import page_url
+    from ..sources.crawl_sites import CrawlSite
+    from ..sources.sitemaps import DictTransport, SitemapFinder
+
+    cdir = _crawl_corpus_dir()
+    domain = "site0.example.gov"
+    urls = [page_url(domain, j) for j in range(40)]
+    sitemap_xml = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        + "</urlset>"
+    )
+    transport = DictTransport({f"https://{domain}/sitemap.xml": sitemap_xml})
+    site = CrawlSite(
+        name="monitored site",
+        allowed_domains=[domain],
+        starting_urls=[page_url(domain, 0)],
+        depth_limit=8,
+        output_target="elasticsearch",
+        # explicit sitemap_url: setup HEAD-confirms it (the find()
+        # probe flow is pinned by tests/test_sitemap_monitor.py)
+        sitemap_url=f"https://{domain}/sitemap.xml",
+    )
+    base = "/tmp/searchgov_ray_query_sitemap_monitor"
+    shutil.rmtree(base, ignore_errors=True)
+    mon = SitemapMonitor([site], SitemapFinder(transport), base + "/snaps")
+    # pre-seed the previous snapshot with the odd-index URLs → the
+    # diff yields the evens (a deterministic non-first-run cycle)
+    known = {u for j, u in enumerate(urls) if j % 2 == 1}
+    mon._save_snapshot(f"https://{domain}/sitemap.xml", known)
+
+    emitted_dirs: list[str] = []
+
+    def spawn(update_site: CrawlSite) -> None:
+        out = f"{base}/crawl-{update_site.job_id}"
+        runner = CrawlJobRunner(
+            update_site, cdir, out, CrawlConfig(round_seconds=30.0, num_shards=2)
+        )
+        runner.run()
+        runner.close()
+        emitted_dirs.append(out + "/emitted")
+
+    def fetch(batch_urls):
+        return {u: transport.get(u)[1] for u in batch_urls}
+
+    mon.run_due(0.0, fetch, spawn)
+    frames = [
+        pq.read_table(d).to_pandas() for d in emitted_dirs if Path(d).exists()
+    ]
+    df = pd.concat(frames) if frames else pd.DataFrame({"url": [], "doc_id": []})
+    return (
+        df[["url", "doc_id", "depth"]].sort_values("url").reset_index(drop=True)
+        if len(df)
+        else pd.DataFrame({"url": pd.Series([], dtype="object"), "doc_id": pd.Series([], dtype="object"), "depth": pd.Series([], dtype="int32")})
+    )
+
+
+def _synthetic_audio_rows(n: int) -> pa.Table:
+    """Deterministic PCM blobs (seeded sine mixes) — the audio payload
+    fixture; real decoding is stubbed (RealAudioCodec), the Ray-side
+    plumbing under test is real."""
+    from ..stages.multimodal import fake_audio_encode
+
+    ids, blobs = [], []
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate  # 1 s
+    for i in range(n):
+        f0 = 110.0 + 37.0 * i
+        wave = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+        samples = (wave * 20000).astype(np.int16)
+        ids.append(f"aud{i:03d}")
+        blobs.append(fake_audio_encode(samples, rate))
+    return pa.table(
+        {"audio_id": pa.array(ids, type=pa.string()), "bytes": pa.array(blobs, type=pa.large_binary())}
+    )
+
+
+def multimodal_audio_pipeline(sf_dir: str):
+    """Audio feature extraction (stages/multimodal.py AudioFeatures):
+    PCM rows → per-window RMS/ZCR on an actor-shaped stage; rows-only —
+    kernel math pinned by tests/test_multimodal.py."""
+    from ..stages.multimodal import AudioFeatures
+
+    ds = rd.from_arrow(_synthetic_audio_rows(12))
+    out = ds.map_batches(AudioFeatures(window_s=0.25), batch_format="pyarrow", batch_size=4)
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {
+            "audio_id": df["audio_id"],
+            "duration_us": (df["duration_s"] * 1e6 + 0.5).astype("int64"),
+            "n_windows": df["rms"].map(len).astype("int64"),
+            "mean_rms_micros": df["rms"].map(
+                lambda r: int(np.floor(float(np.mean(r)) * 1e6 + 0.5)) if len(r) else 0
+            ).astype("int64"),
+        }
+    ).sort_values("audio_id").reset_index(drop=True)
+
+
+def _synthetic_video_rows(n: int, n_frames: int = 25) -> pa.Table:
+    from ..stages.multimodal import fake_video_encode
+
+    ids, blobs = [], []
+    for i in range(n):
+        rng = np.random.RandomState(1000 + i)
+        frames = [rng.randint(0, 255, size=(8, 8, 3), dtype=np.uint8) for _ in range(n_frames)]
+        ids.append(f"vid{i:03d}")
+        blobs.append(fake_video_encode(frames))
+    return pa.table(
+        {"video_id": pa.array(ids, type=pa.string()), "bytes": pa.array(blobs, type=pa.large_binary())}
+    )
+
+
+def multimodal_video_pipeline(sf_dir: str):
+    """Video frame sampling (stages/multimodal.py VideoFrameSample):
+    every 10th frame exploded to image rows with phash; rows-only —
+    kernel math pinned by tests/test_multimodal.py."""
+    from ..stages.multimodal import VideoFrameSample
+
+    ds = rd.from_arrow(_synthetic_video_rows(5))
+    out = ds.map_batches(VideoFrameSample(stride=10), batch_format="pyarrow", batch_size=2)
+    df = out.to_pandas()
+    return (
+        df[["video_id", "frame_idx", "w", "h", "fmt"]]
+        .assign(frame_idx=lambda d: d["frame_idx"].astype("int64"))
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def multimodal_image_pipeline(sf_dir: str):
     """Multimodal column plumbing (stages/multimodal.py): corpus image
     rows → resize (long edge ≤ 48) → feature-extract; rows-only check —
@@ -756,6 +899,9 @@ QUERIES = {
     "crawl_order": crawl_order,
     "crawl_image_corpus": crawl_image_corpus,
     "multimodal_image_pipeline": multimodal_image_pipeline,
+    "multimodal_audio_pipeline": multimodal_audio_pipeline,
+    "multimodal_video_pipeline": multimodal_video_pipeline,
+    "sitemap_monitor": sitemap_monitor_q,
 }
 
 ORACLES = {

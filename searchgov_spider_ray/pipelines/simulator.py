@@ -209,9 +209,14 @@ def simulate_crawl(
                         "caption": captions.get(image_id) if image_id else None,
                     }
                 )
-            if not ctype.startswith("text/html"):
+            if site.prevent_follow or not ctype.startswith("text/html"):
                 continue
-            for link_seq, child in enumerate(extract_links(url, page["body"])):
+            body = page["body"]
+            if site.handle_javascript:
+                from ..stages.fetch import render_js_body
+
+                body = render_js_body(body)
+            for link_seq, child in enumerate(extract_links(url, body)):
                 curl = canonicalize(child)
                 reason = scope.evaluate(pd.Series([curl]), [depth + 1]).iloc[0]
                 if reason == KEEP and not robots.allowed(curl):

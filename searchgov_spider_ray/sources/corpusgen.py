@@ -46,9 +46,16 @@ class CorpusSpec:
     image_rate_mod: int = 3  # every k-th page carries an image
     body_filler: int = 0  # extra filler bytes per body (bench sizing)
     max_image_side: int = 48
+    # JS-rendered domains (S4): pages carry links in a js-links script
+    # blob invisible to the static extractor; 0 keeps the corpus
+    # byte-identical to pre-JS specs
+    js_domains: int = 0
 
     def domains(self) -> list[str]:
         return [f"site{i}.example.gov" for i in range(self.n_domains)]
+
+    def js_domain_names(self) -> list[str]:
+        return [f"jsite{i}.example.gov" for i in range(self.js_domains)]
 
     def pages_in_domain(self, d: int) -> int:
         return self.pages_per_domain * (self.hot_domain_factor if d == 0 else 1)
@@ -123,6 +130,33 @@ def render_body(url: str, title: str, links: list[str], filler: int = 0) -> byte
         f'<link rel="stylesheet" href="/assets/never.css"></head>'
         f"<body><h1>{title}</h1>{pad}{''.join(anchors)}"
         f'<script src="/assets/never.js"></script></body></html>'
+    )
+    return html.encode("utf-8")
+
+
+def js_page_links(spec: CorpusSpec, d: int, j: int) -> list[str]:
+    """Deterministic outlinks of JS page j in js-domain d: the same
+    within-domain tree shape as ``page_links`` plus a query-string
+    noise link — these appear ONLY in the js-links script blob."""
+    domain = spec.js_domain_names()[d]
+    n = spec.pages_per_domain
+    links = [page_url(domain, (j * spec.branching + i + 1) % n) for i in range(spec.branching)]
+    h = xxhash64(f"{spec.seed}:js:{d}:{j}")
+    if h % 7 == 1:
+        links.append(page_url(domain, (j + 1) % n) + f"?ref={j}")
+    return links
+
+
+def render_body_js(url: str, title: str, links: list[str], filler: int = 0) -> bytes:
+    """HTML whose links live in a js-links JSON blob (what a real JS
+    site serves before rendering): the static extractor sees NO
+    anchors; JsFetcher's render step materializes them."""
+    payload = json.dumps(links)
+    pad = f"<p>{'x' * filler}</p>" if filler else ""
+    html = (
+        f"<html><head><title>{title}</title></head>"
+        f"<body><h1>{title}</h1>{pad}<noscript>please enable javascript</noscript>"
+        f'<script id="js-links" type="application/json">{payload}</script></body></html>'
     )
     return html.encode("utf-8")
 
@@ -211,6 +245,36 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
                 if len(rows["url"]) >= chunk:
                     writer.write_table(pa.table(rows, schema=pages_schema))
                     rows = {k: [] for k in pages_schema.names}
+        # JS-rendered domains (appended AFTER the plain domains so
+        # existing specs' row layout is untouched)
+        for d, domain in enumerate(spec.js_domain_names()):
+            for j in range(spec.pages_per_domain):
+                url = page_url(domain, j)
+                ctype = page_content_type(j)
+                links = js_page_links(spec, d, j) if ctype == "text/html" else []
+                if ctype == "text/html":
+                    body = render_body_js(url, f"JS Page {d}-{j}", links, spec.body_filler)
+                elif ctype == "application/pdf":
+                    body = b"%PDF-1.4 fake " + f"jsdoc {d}-{j}".encode()
+                else:
+                    body = b"\x89PNG fake"
+                img = image_id_for(d, j, spec.image_rate_mod)
+                img = f"img-js{d}-{j}" if img is not None else None
+                if img is not None:
+                    image_ids.append(img)
+                rows["url_hash"].append(xxhash64(url))
+                rows["url"].append(url)
+                rows["domain"].append(domain)
+                rows["status"].append(page_status(j))
+                rows["content_type"].append(ctype + ("; charset=utf-8" if ctype == "text/html" else ""))
+                rows["content_language"].append("en" if j % 2 == 0 else None)
+                rows["body"].append(body)
+                rows["links"].append(links)
+                rows["image_id"].append(img)
+                n_pages += 1
+                if len(rows["url"]) >= chunk:
+                    writer.write_table(pa.table(rows, schema=pages_schema))
+                    rows = {k: [] for k in pages_schema.names}
         # deny-path /tag/ pages exist so the deny filter (not 404s) decides
         for d, domain in enumerate(domains):
             for t in range(10):
@@ -275,14 +339,16 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
             mode="overwrite",
         )
 
+    robots_domains = domains + spec.js_domain_names()
     robots = pa.table(
         {
-            "domain": domains,
-            "disallow": [["/private"] for _ in domains],
+            "domain": robots_domains,
+            "disallow": [["/private"] for _ in robots_domains],
             "crawl_delay": pa.array(
-                [[1.0, 0.5, 2.0, None][i % 4] for i in range(len(domains))], type=pa.float64()
+                [[1.0, 0.5, 2.0, None][i % 4] for i in range(len(robots_domains))],
+                type=pa.float64(),
             ),
-            "sitemap_url": pa.array([None] * len(domains), type=pa.string()),
+            "sitemap_url": pa.array([None] * len(robots_domains), type=pa.string()),
         }
     )
     pq.write_table(robots, out / "robots.parquet")
@@ -326,5 +392,16 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
             "output_target": "endpoint",
         },
     ]
+    if spec.js_domains:
+        seeds.append(
+            {
+                "name": "js site",
+                "allowed_domains": spec.js_domain_names()[0],
+                "starting_urls": page_url(spec.js_domain_names()[0], 0),
+                "handle_javascript": True,
+                "depth_limit": 3,
+                "output_target": "csv",
+            }
+        )
     (out / "seeds.json").write_text(json.dumps(seeds, indent=2))
     return {"pages": n_pages, "images": len(image_ids), "domains": len(domains)}

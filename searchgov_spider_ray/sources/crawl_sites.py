@@ -46,6 +46,14 @@ class CrawlSite:
     depth_limit: int = DEFAULT_DEPTH_LIMIT
     schedule: str | None = None
     sitemap_url: str | None = None
+    # no-follow mode: fetch/emit the start URLs only, extract no links
+    # (reference: DomainSpider prevent_follow → rules=(),
+    # spiders/domain_spider.py:74-76 — used by the sitemap monitor's
+    # depth-1 re-index crawls, sitemaps/sitemap_monitor.py:314)
+    prevent_follow: bool = False
+    # sitemap re-check interval in hours; None → monitor default 48
+    # (reference: crawl_sites.py:30, sitemap_monitor.py:96)
+    check_sitemap_hours: int | None = None
 
     def __post_init__(self):
         self.allowed_domains = _split_csv(self.allowed_domains)

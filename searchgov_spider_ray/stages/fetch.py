@@ -208,6 +208,84 @@ class CorpusFetcher:
         return out
 
 
+_JS_LINKS_RE = None  # compiled lazily (module import stays light)
+
+
+def should_abort_request(resource_type: str) -> bool:
+    """Playwright subresource filter: abort any request whose resource
+    type appears in FILTER_EXTENSIONS (the reference's list mixes file
+    extensions and Playwright resource-type words — 'image', 'media',
+    'stylesheet', 'font', 'xhr', 'fetch', 'websocket', ... — so the
+    same membership test serves both). Reference:
+    spiders/domain_spider_js.py:11-14."""
+    from .scope import FILTER_EXTENSIONS
+
+    return resource_type in FILTER_EXTENSIONS
+
+
+def render_js_body(body: bytes) -> bytes:
+    """Deterministic stand-in for headless-browser rendering: pages
+    built for ``handle_javascript`` sites carry their links in a
+    ``<script id="js-links" type="application/json">`` blob that the
+    static link extractor cannot see; 'rendering' materializes those
+    into anchor tags, exactly what the DOM would contain after the
+    page's script ran. Production swaps this for a Playwright actor
+    (RealJsRenderer below) — the stage contract (bytes → bytes) and
+    everything downstream are unchanged. Non-JS bodies pass through
+    untouched."""
+    global _JS_LINKS_RE
+    import json
+    import re
+
+    if _JS_LINKS_RE is None:
+        _JS_LINKS_RE = re.compile(
+            rb'<script id="js-links" type="application/json">(.*?)</script>', re.DOTALL
+        )
+    m = _JS_LINKS_RE.search(body)
+    if m is None:
+        return body
+    try:
+        links = json.loads(m.group(1).decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return body
+    anchors = "".join(f'<a href="{u}">js link {i}</a>' for i, u in enumerate(links))
+    return body[: m.start()] + anchors.encode("utf-8") + body[m.end() :]
+
+
+class RealJsRenderer:  # pragma: no cover - swap-in point, no browser here
+    """Interface stub for the production JS fetch path: a Playwright
+    chromium page per actor (headless, ``should_abort_request`` wired
+    to the route filter — reference domain_spider_js.py:71-86), batch
+    contract identical to JsFetcher. Not constructible in this
+    container (no browser)."""
+
+    def __init__(self, *_, **__):
+        raise NotImplementedError("playwright is not installed in this environment")
+
+
+class JsFetcher(CorpusFetcher):
+    """S4: the JS-rendered fetch stage — same batch contract and hash
+    join as CorpusFetcher, plus the render step over fetched HTML
+    bodies (reference: DomainSpiderJs routes every page through
+    Playwright; here the render is the deterministic js-links
+    materialization above). Selected per job by the config's
+    ``handle_javascript`` flag, exactly like the reference picks
+    DomainSpiderJs (sitemap_monitor.py:305, scrapy_scheduler)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        if self.meta_only or "body" not in out.column_names:
+            return out
+        ctypes = out["content_type"].to_pylist()
+        bodies = out["body"].to_pylist()
+        rendered = [
+            render_js_body(b) if b is not None and ct.startswith("text/html") else b
+            for b, ct in zip(bodies, ctypes)
+        ]
+        idx = out.schema.get_field_index("body")
+        return out.set_column(idx, "body", pa.array(rendered, type=pa.large_binary()))
+
+
 class ImageAttach:
     """map_batches callable: emitted rows with ``image_id`` → full
     image+caption corpus rows (image_id, bytes, w, h, fmt, caption,
