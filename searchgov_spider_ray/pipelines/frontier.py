@@ -109,6 +109,10 @@ class CrawlConfig:
     # overlapped vs 3.3 s serial on a 92 k-row round at 32 CPUs, while
     # a 1 M-row round gains ~20% from overlap).
     overlap_min_fetched: int = 150_000
+    # Coarse politeness partitions (domains hash-bucketed; one
+    # vectorized grant kernel per partition — see
+    # stages/politeness.py PolitenessSelectPartition)
+    politeness_parts: int = 64
 
 
 @dataclass
@@ -744,15 +748,32 @@ class CrawlJobRunner:
         cfg = self.cfg
         frontier = rd.read_parquet(str(self.ckpt.frontier_dir(k)))
 
-        # 1. politeness grant (shuffle by domain), exactly one execution
-        sel = PolitenessSelect(self.robots, cfg.round_seconds)
+        # 1. politeness grant: coarse-partition by hash(domain) so the
+        # exchange key is int32 and the vectorized kernel runs once per
+        # PARTITION, not per domain (grant semantics identical to the
+        # per-domain kernel — parity pinned in tests)
+        from ..stages.politeness import PolitenessSelectPartition, politeness_partition_key
+
+        sel = PolitenessSelectPartition(self.robots, cfg.round_seconds)
+        n_parts = cfg.politeness_parts
+
+        def add_part(t: pa.Table) -> pa.Table:
+            # dictionary-encode so only DISTINCT domains are hashed —
+            # no per-row Python string materialization
+            enc = pc.dictionary_encode(t["domain"].combine_chunks())
+            part_of = politeness_partition_key(enc.dictionary.to_pylist(), n_parts)
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("part", pa.array(part_of[idx], type=pa.int32()))
 
         def politeness_grant(group: pd.DataFrame) -> pd.DataFrame:
             return sel(group)
 
-        marked = frontier.groupby("domain").map_groups(
-            politeness_grant, batch_format="pandas"
-        ).materialize()
+        marked = (
+            frontier.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(politeness_grant, batch_format="pandas")
+            .materialize()
+        )
         _mark("politeness")
         granted = marked.map_batches(
             lambda t: t.filter(t["granted"]).drop_columns(["granted"]),

@@ -60,6 +60,48 @@ class PolitenessSelect:
         return group
 
 
+class PolitenessSelectPartition:
+    """Vectorized politeness over ONE coarse hash partition of domains
+    (``groupby(hash(domain) % P)``): sort the partition by (domain,
+    depth, seq), detect domain runs, grant segment-rank < budget. One
+    Python call per PARTITION instead of per domain — at web scale
+    (10^6+ hosts) the per-domain ``map_groups`` costs one interpreter
+    round-trip per host; this pays P ≈ a few per core. Grant semantics
+    are identical to :class:`PolitenessSelect` (pinned by a direct
+    parity test and the simulator goldens)."""
+
+    def __init__(self, robots: RobotsRules, round_seconds: float):
+        self.robots = robots
+        self.round_seconds = round_seconds
+
+    def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["domain", "depth", "seq"], kind="mergesort")
+        if "part" in g.columns:
+            g = g.drop(columns=["part"])
+        dom = g["domain"].to_numpy(dtype=object)
+        n = len(dom)
+        if n == 0:
+            return g.assign(granted=np.zeros(0, dtype=bool))
+        new = np.concatenate(([True], dom[1:] != dom[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        budgets = np.fromiter(
+            (self.robots.budget(d, self.round_seconds) for d in dom[starts]),
+            dtype=np.int64,
+            count=len(starts),
+        )
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        return g.assign(granted=rank < budgets[seg])
+
+
+def politeness_partition_key(domains, n_parts: int) -> np.ndarray:
+    """int32 coarse-partition key per domain string (vectorized cython
+    hash; each domain's rows land wholly in one partition)."""
+    arr = np.asarray(domains, dtype=object)
+    h = pd.util.hash_array(arr, categorize=True, hash_key="0123456789123456")
+    return (h % np.uint64(n_parts)).astype(np.int32)
+
+
 def robots_reason(urls: pd.Series, robots: RobotsRules) -> np.ndarray:
     """Boolean mask: True where robots DISALLOWS the URL.
 
@@ -108,4 +150,11 @@ def robots_reason(urls: pd.Series, robots: RobotsRules) -> np.ndarray:
     return denied
 
 
-__all__ = ["PolitenessSelect", "robots_reason", "RobotsRules", "DEFAULT_CRAWL_DELAY"]
+__all__ = [
+    "PolitenessSelect",
+    "PolitenessSelectPartition",
+    "politeness_partition_key",
+    "robots_reason",
+    "RobotsRules",
+    "DEFAULT_CRAWL_DELAY",
+]

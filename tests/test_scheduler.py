@@ -185,3 +185,58 @@ class TestScheduleReport:
         assert md.startswith("# Production Schedule")
         assert "## Monday (1)" in md
         assert "|a|07:00|a.gov|2|" in md
+
+
+def test_politeness_partition_kernel_parity():
+    """PolitenessSelectPartition (coarse hash partitions, vectorized)
+    grants EXACTLY the rows PolitenessSelect (per-domain groups)
+    grants, on a randomized multi-domain frontier."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from searchgov_spider_ray.pipelines.simulator import RobotsRules
+    from searchgov_spider_ray.stages.politeness import (
+        PolitenessSelect,
+        PolitenessSelectPartition,
+        politeness_partition_key,
+    )
+
+    rng = np.random.RandomState(11)
+    domains = [f"d{i}.gov" for i in range(37)]
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "domain": rng.choice(domains, size=n),
+            "depth": rng.randint(0, 6, size=n).astype(np.int32),
+            "seq": rng.permutation(n).astype(np.int64),
+            "url": [f"u{i}" for i in range(n)],
+        }
+    )
+    robots = RobotsRules.from_table(
+        pa.table(
+            {
+                "domain": domains,
+                "disallow": [[] for _ in domains],
+                "crawl_delay": pa.array(
+                    [[1.0, 0.25, 4.0, None][i % 4] for i in range(len(domains))],
+                    type=pa.float64(),
+                ),
+                "sitemap_url": pa.array([None] * len(domains), type=pa.string()),
+            }
+        )
+    )
+    per_domain = PolitenessSelect(robots, 10.0)
+    ref_granted = set()
+    for _, grp in df.groupby("domain"):
+        out = per_domain(grp)
+        ref_granted |= set(out[out["granted"]]["url"])
+
+    part_kernel = PolitenessSelectPartition(robots, 10.0)
+    df2 = df.assign(part=politeness_partition_key(df["domain"].to_numpy(object), 7))
+    got_granted = set()
+    for _, grp in df2.groupby("part"):
+        out = part_kernel(grp)
+        got_granted |= set(out[out["granted"]]["url"])
+        assert "part" not in out.columns
+    assert got_granted == ref_granted
