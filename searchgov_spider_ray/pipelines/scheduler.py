@@ -30,6 +30,7 @@ from ..sources.crawl_sites import CrawlSite, CrawlSites
 from .frontier import CrawlConfig, CrawlJobRunner, CrawlRunResult
 
 DEFAULT_MAX_WORKERS = 5  # reference: SPIDER_SCRAPY_MAX_WORKERS default
+ORPHAN_AGE_SECONDS = 604800  # one week — reference settings.py:80
 
 _CRON_FIELD = re.compile(r"^(\*|\d+(-\d+)?)(/\d+)?(,(\*|\d+(-\d+)?)(/\d+)?)*$")
 
@@ -141,6 +142,35 @@ class JobScheduler:
                 runner.close()
                 self.manifest.save()
         return results
+
+    def gc_orphans(self, orphan_age_seconds: int = ORPHAN_AGE_SECONDS, now: float | None = None) -> list[str]:
+        """Delete per-job state trees (checkpoint shards, frontier,
+        lineage sinks) idle longer than ``orphan_age_seconds`` — the
+        analog of the reference's RedisSchedulerQueue orphan cleanup
+        (extensions/scheduler_queue.py:85-121, idletime > one week per
+        settings.py:80), with 'idle' = newest mtime anywhere in the
+        job's work tree. A running job touches its checkpoint every
+        round, so live trees never age out. Returns deleted job dirs."""
+        import shutil
+
+        now = time.time() if now is None else now
+        deleted: list[str] = []
+        if not self.work_dir.exists():
+            return deleted
+        for job_dir in sorted(self.work_dir.iterdir()):
+            if not job_dir.is_dir():
+                continue
+            state = self.manifest.jobs.get(job_dir.name)
+            if state is not None and state.status == "running":
+                continue
+            newest = max(
+                (p.stat().st_mtime for p in job_dir.rglob("*") if p.is_file()),
+                default=job_dir.stat().st_mtime,
+            )
+            if now - newest > orphan_age_seconds:
+                shutil.rmtree(job_dir)
+                deleted.append(job_dir.name)
+        return deleted
 
 
 # --- schedule report (SURVEY.md §2.4 A10) ----------------------------------

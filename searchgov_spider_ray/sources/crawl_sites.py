@@ -25,6 +25,13 @@ DEFAULT_DEPTH_LIMIT = 3
 MAX_DEPTH_LIMIT = 250
 
 
+def force_bool(value) -> bool:
+    """Coerce CLI/JSON values to bool: the string repr must be exactly
+    "true" (case-insensitive) — Python bools pass through naturally
+    (reference: helpers/domain_spider.py:183-194)."""
+    return str(value).lower() == "true"
+
+
 def _split_csv(value) -> list[str]:
     if value is None:
         return []
@@ -70,6 +77,12 @@ class CrawlSite:
         if not (1 <= int(self.depth_limit) <= MAX_DEPTH_LIMIT):
             raise ValueError(f"{self.name}: depth_limit must be 1..{MAX_DEPTH_LIMIT}")
         self.depth_limit = int(self.depth_limit)
+        # CLI/JSON flag coercion (reference force_bool semantics: only
+        # the literal string/bool "true" is truthy)
+        for flag in ("allow_query_string", "handle_javascript", "prevent_follow"):
+            v = getattr(self, flag)
+            if not isinstance(v, bool):
+                setattr(self, flag, force_bool(v))
         if self.job_id is None:
             self.job_id = self.name.lower().replace(" ", "-")
 

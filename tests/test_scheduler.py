@@ -240,3 +240,56 @@ def test_politeness_partition_kernel_parity():
         got_granted |= set(out[out["granted"]]["url"])
         assert "part" not in out.columns
     assert got_granted == ref_granted
+
+
+def test_gc_orphans(tmp_path):
+    """Age-based cleanup of per-job state trees (reference
+    scheduler_queue.py:85-121): idle > orphan_age deleted, fresh and
+    running trees kept."""
+    import os
+    import time as _time
+
+    from searchgov_spider_ray.pipelines.scheduler import JobScheduler
+    from searchgov_spider_ray.sources.crawl_sites import CrawlSite, CrawlSites
+
+    sites = CrawlSites(
+        [CrawlSite(name="keep me", allowed_domains=["a.gov"], starting_urls=["https://a.gov/"])]
+    )
+    work = tmp_path / "work"
+    now = _time.time()
+    for name, age in (("stale-job", 8 * 86400), ("fresh-job", 3600), ("keep-me", 9 * 86400)):
+        d = work / name / "checkpoint"
+        d.mkdir(parents=True)
+        f = d / "state.bin"
+        f.write_bytes(b"x")
+        os.utime(f, (now - age, now - age))
+        os.utime(d, (now - age, now - age))
+        os.utime(work / name, (now - age, now - age))
+    sched = JobScheduler(sites, tmp_path / "corpus", work)
+    # mark keep-me as running → protected despite its age
+    from searchgov_spider_ray.pipelines.scheduler import JobState
+
+    sched.manifest.jobs["keep-me"] = JobState(job_id="keep-me", status="running")
+    deleted = sched.gc_orphans(orphan_age_seconds=604800, now=now)
+    assert deleted == ["stale-job"]
+    assert not (work / "stale-job").exists()
+    assert (work / "fresh-job").exists()
+    assert (work / "keep-me").exists()
+
+
+def test_force_bool_coercion():
+    from searchgov_spider_ray.sources.crawl_sites import CrawlSite, force_bool
+
+    assert force_bool("true") and force_bool("True") and force_bool(True)
+    assert not force_bool("false") and not force_bool("1") and not force_bool(None)
+    s = CrawlSite(
+        name="s",
+        allowed_domains=["a.gov"],
+        starting_urls=["https://a.gov/"],
+        allow_query_string="True",
+        handle_javascript="false",
+        prevent_follow="yes",
+    )
+    assert s.allow_query_string is True
+    assert s.handle_javascript is False
+    assert s.prevent_follow is False
