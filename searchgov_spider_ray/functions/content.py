@@ -48,13 +48,69 @@ def sanitize_series(texts: pd.Series) -> pd.Series:
     return s.str.strip()
 
 
+# --- encoding detection chain (reference helpers/encoding.py:10-34) ---
+#
+# The reference detects with cchardet (absent in this container); we
+# prefer it when importable and otherwise use charset_normalizer (same
+# public detection contract: bytes -> encoding name or None). Both
+# backends feed the reference's VISCII -> cp1258 remap.
+try:  # pragma: no cover - cchardet not in this container
+    import cchardet as _chardet_backend  # type: ignore
+
+    def _detect_raw(data: bytes) -> str | None:
+        return _chardet_backend.detect(data).get("encoding")
+
+except ImportError:
+    try:
+        from charset_normalizer import from_bytes as _cn_from_bytes
+
+        def _detect_raw(data: bytes) -> str | None:
+            best = _cn_from_bytes(data).best()
+            return best.encoding if best is not None else None
+
+    except ImportError:  # pragma: no cover - cn is in this container
+
+        def _detect_raw(data: bytes) -> str | None:
+            return None
+
+
+def detect_encoding(data: bytes) -> str | None:
+    """Detect the encoding of a byte string; VISCII is remapped to
+    cp1258 exactly as the reference does (encoding.py:10-19: python
+    lacks a VISCII codec, cp1258 is its closest superset)."""
+    encoding = _detect_raw(data)
+    if str(encoding).upper() == "VISCII":
+        return "cp1258"
+    return encoding if encoding else None
+
+
+def decode_http_response(response_bytes: bytes) -> str:
+    """Reference decode chain (encoding.py:22-34): utf-8, else decode
+    with the detected encoding, else ``str(bytes)`` (the reference's
+    total fallback — yields the ``b'...'`` repr, pinned by parity)."""
+    try:
+        return response_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        try:
+            return response_bytes.decode(detect_encoding(response_bytes))
+        except (UnicodeDecodeError, TypeError, LookupError):
+            return str(response_bytes)
+
+
 def decode_body(body: bytes) -> str:
-    """utf-8 decode with latin-1 fallback (reference decodes utf-8, falls
-    back to cchardet detection then str(); cchardet is unavailable here,
-    latin-1 is the total fallback — every byte string decodes)."""
+    """Engine hot-path decode: utf-8, else detected encoding, else
+    latin-1 (total fallback — every byte string decodes to TEXT, unlike
+    the reference's str(bytes) repr; corpus bodies are utf-8 so the two
+    chains agree on the crawl path)."""
     try:
         return body.decode("utf-8")
     except UnicodeDecodeError:
+        enc = detect_encoding(body)
+        if enc and enc.lower() not in ("utf-8", "utf_8", "ascii"):
+            try:
+                return body.decode(enc)
+            except (UnicodeDecodeError, LookupError):
+                pass
         return body.decode("latin-1")
 
 

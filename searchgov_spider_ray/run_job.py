@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--round-seconds", type=float, default=30.0)
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--shard-capacity", type=int, default=1 << 19)
+    ap.add_argument(
+        "--json-logging",
+        action="store_true",
+        help="emit JSON log lines (reference JSON_LOGGING_ENABLED extension)",
+    )
+    ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
     import ray
@@ -56,7 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         num_shards=args.num_shards,
         shard_capacity=args.shard_capacity,
     )
-    runner = CrawlJobRunner(sites[args.job], args.corpus, args.out, cfg)
+    site = sites[args.job]
+    if args.json_logging:
+        from .json_logging import JsonLogging
+
+        JsonLogging(log_level=args.log_level).log_job_start(site)
+    runner = CrawlJobRunner(site, args.corpus, args.out, cfg)
     try:
         res = runner.run(resume=args.resume)
     finally:

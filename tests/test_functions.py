@@ -109,7 +109,28 @@ class TestContent:
 
     def test_decode_body(self):
         assert content.decode_body("héllo".encode("utf-8")) == "héllo"
-        assert content.decode_body(b"\xff\xfe") == "ÿþ"
+        # bare UTF-16 BOM: detection chain decodes it to empty text
+        # (reference chain: utf-8 fails -> detect utf-16 -> decode)
+        assert content.decode_body(b"\xff\xfe") == ""
+        # detection miss falls through to latin-1 (total fallback)
+        assert content.decode_body(b"\xff\xfe\xfd" * 2) != ""
+
+    def test_detect_encoding_viscii_remap(self, monkeypatch):
+        # reference encoding.py:15-17 — python lacks VISCII, use cp1258
+        monkeypatch.setattr(content, "_detect_raw", lambda data: "VISCII")
+        assert content.detect_encoding(b"xin chao") == "cp1258"
+        monkeypatch.setattr(content, "_detect_raw", lambda data: None)
+        assert content.detect_encoding(b"") is None
+
+    def test_decode_http_response_chain(self, monkeypatch):
+        # utf-8 first (encoding.py:25-26)
+        assert content.decode_http_response("héllo".encode("utf-8")) == "héllo"
+        # detected-encoding branch (encoding.py:27-30)
+        monkeypatch.setattr(content, "_detect_raw", lambda data: "cp1252")
+        assert content.decode_http_response("café".encode("cp1252")) == "café"
+        # total fallback = str(bytes) repr, reference encoding.py:31-32
+        monkeypatch.setattr(content, "_detect_raw", lambda data: None)
+        assert content.decode_http_response(b"\xff\xfe") == str(b"\xff\xfe")
 
     def test_language_code(self):
         assert content.get_language_code("en-US") == "en"
