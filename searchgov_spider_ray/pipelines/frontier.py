@@ -8,9 +8,11 @@ for the reference's Scrapy event loop (SURVEY.md §3.1). Each round:
       fetched ──▶ order lineage ∥ emit rows ∥ link extraction
       emit(w/ image) ──ImageAttach──▶ DecodePHash──▶ corpus sink  (actor pools)
       links ──canonicalize+scope+robots──▶ denied ∥ candidates
-      candidates ──groupby(url_hash)──▶ intra-round first-wins    (shuffle: url_hash)
-                 ──DedupRouter(shard actors)──▶ novel mask        (URL-seen membership)
-                 ──groupby(parent)──▶ sibling rank + seq assign   (shuffle: parent)
+      candidates ──FusedDedupRouter(shard actors)──▶ intra-round
+                   first-wins + URL-seen novelty in ONE RPC pass
+                   (local min-adm_key winners offered to hash-routed
+                   shards; multi-offer corrections broadcast back)
+                 ──sort(adm_key)──▶ seq assign                    (wide rounds only)
       frontier_{k+1} = carry ∪ novel  ──▶ checkpoint (frontier, shards, manifest)
 
 Ordering equivalence with the single-threaded simulator
@@ -28,9 +30,9 @@ Scale notes (the 100 TB story):
   zero-copy from the object store and join on precomputed uint64 url
   hashes (searchsorted over an Arrow-backed numpy view — no python
   strings in the hot path).
-* Mutating stages (DedupRouter) are materialized exactly once per
-  round; shard actors memoize (round, batch-digest) → mask so Ray task
-  retries replay instead of double-admitting.
+* Mutating stages (FusedDedupRouter) are materialized exactly once
+  per round; shard actors memoize (round, batch-digest) → mask so Ray
+  task retries replay instead of double-admitting.
 * Hot-domain skew: politeness bounds per-domain FETCH by design; the
   CPU-heavy stages after fetch (decode, link parse, dedup) are keyed
   by url_hash / parent, which salt across the cluster regardless of
@@ -54,7 +56,14 @@ import ray.data as rd
 from ..functions.hashing import sha256_hex, xxhash64, xxhash64_array
 from ..functions.urlnorm import canonicalize, canonicalize_batch, host_of
 from ..sources.crawl_sites import CrawlSite
-from ..stages.dedup import DedupRouter, dump_shards, make_shard_pool, restore_shards
+from ..stages.dedup import (
+    CorrectionFix,
+    FusedDedupRouter,
+    collect_corrections,
+    dump_shards,
+    make_shard_pool,
+    restore_shards,
+)
 from ..stages.decode import DecodePHash
 from ..stages.fetch import CorpusFetcher, ImageAttach, JsFetcher
 from ..stages.links import extract_links_batch
@@ -96,11 +105,12 @@ class CrawlConfig:
     # are ~100 B narrow metadata — 64 k rows ≈ 6 MB per batch)
     dedup_batch_size: int = 65536
     max_rounds: int = 2000
-    # Candidate-row count above which the round's dedup/seq stages use
-    # the distributed sort-based paths instead of the single-block
-    # kernels (see _intra_dedup_wide / _assign_seq_wide). The narrow
-    # kernels win below this (one task, no sort exchange); the wide
-    # paths keep per-task memory bounded on 10^8+-candidate rounds.
+    # Candidate-row count above which the round's seq assignment uses
+    # the distributed sort-based path (_assign_seq_wide) instead of the
+    # single-block kernel. The narrow kernel wins below this (one task,
+    # no sort exchange); the wide path keeps per-task memory bounded on
+    # 10^8+-candidate rounds. (Intra+cross dedup no longer dispatches —
+    # the fused shard-offer pass is exchange-free at every size.)
     wide_round_rows: int = 4_000_000
     # Fetched-page count above which the emit/image-landing chain runs
     # on a worker thread OVERLAPPED with the link chain (the streaming
@@ -113,6 +123,12 @@ class CrawlConfig:
     # vectorized grant kernel per partition — see
     # stages/politeness.py PolitenessSelectPartition)
     politeness_parts: int = 64
+    # Frontier-row count up to which the politeness grant runs
+    # exchange-free (per-block top-B candidates merged on the driver,
+    # broadcast thresholds — stages/politeness.py block_grant_candidates)
+    # instead of the groupby(part) exchange. Driver memory for the merge
+    # is bounded by this row count.
+    politeness_driver_rows: int = 4_000_000
 
 
 @dataclass
@@ -193,14 +209,13 @@ def _intra_dedup_kernel(batch: pa.Table) -> pa.Table:
     candidate table by admission order (parent_depth, parent_seq,
     link_seq), keep the FIRST occurrence of each url_hash, flag losers.
 
-    Runs over the whole round's candidate table as one block
-    (repartition(1) upstream — candidates are narrow metadata rows;
-    ~60 MB per 350 k rows). At 10^9-candidate rounds this becomes a
-    distributed ``sort(url_hash, admission_key)`` plus a per-block
-    first-wins with a boundary fix-up pass — same semantics, pinned by
-    the same simulator goldens. A per-group ``map_groups`` here costs
-    one Python call per distinct URL and is the difference between
-    35 and 3000 URLs/s (measured)."""
+    Retained as the single-block PARITY ORACLE for the runtime path
+    (stages/dedup.py FusedDedupRouter + CorrectionFix — local
+    first-wins, hash-routed shard offers, deterministic min-adm_key
+    corrections); tests run both over the same candidates and compare.
+    A per-group ``map_groups`` here would cost one Python call per
+    distinct URL and is the difference between 35 and 3000 URLs/s
+    (measured)."""
     if len(batch) == 0:
         return batch.append_column("intra_first", pa.array([], type=pa.bool_()))
     d = batch["parent_depth"].to_numpy().astype(np.int64)
@@ -242,98 +257,19 @@ def _pack_admission(batch: pa.Table) -> pa.Table:
     return batch.append_column("adm_key", pa.array(key, type=pa.uint64()))
 
 
-def _intra_dedup_wide(cands: rd.Dataset) -> rd.Dataset:
-    """Distributed first-wins intra-round dedup for wide rounds: global
-    ``sort(url_hash)`` (range exchange), vectorized per-block first-wins,
-    then an O(#blocks) driver fix-up for url_hash groups that straddle a
-    block boundary.
-
-    Inside a sorted block every url_hash group is complete EXCEPT the
-    block's min- and max-hash groups; their block-local winners are
-    'tentative' (their block-local losers are global losers regardless —
-    the local winner dominates them). The driver collects ≤2 tentative
-    rows per block, resolves min-adm_key per hash exactly, and a final
-    map flips the global losers. Output contract matches
-    _intra_dedup_kernel: input rows + boolean ``intra_first``."""
-    keyed = cands.map_batches(_pack_admission, batch_format="pyarrow")
-
-    def local(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            t = t.append_column("intra_first", pa.array([], type=pa.bool_()))
-            return t.append_column("tentative", pa.array([], type=pa.bool_()))
-        h = t["url_hash"].to_numpy().astype(np.uint64)
-        a = t["adm_key"].to_numpy()
-        order = np.lexsort((a, h))
-        h_ord = h[order]
-        first_pos = np.unique(h_ord, return_index=True)[1]
-        winners = order[first_pos]
-        flag = np.zeros(len(t), dtype=bool)
-        flag[winners] = True
-        tent = np.zeros(len(t), dtype=bool)
-        boundary = (h[winners] == h_ord[0]) | (h[winners] == h_ord[-1])
-        tent[winners[boundary]] = True
-        return t.append_column("intra_first", pa.array(flag)).append_column(
-            "tentative", pa.array(tent)
-        )
-
-    # sort + per-block first-wins in ONE execution (map_batches with
-    # batch_size=None preserves the sorted block boundaries); the ≤2
-    # tentative rows per block come back via raw block-ref tasks — no
-    # second executor launch for an O(#blocks)-row pass
-    marked = (
-        keyed.sort("url_hash")
-        .map_batches(local, batch_format="pyarrow", batch_size=None)
-        .materialize()
-    )
-    def _tent_rows(t: pa.Table) -> pa.Table:
-        # raw block refs include materialize-synthesized empty blocks
-        # that carry the pre-map schema — guard before filtering
-        if len(t) == 0 or "tentative" not in t.column_names:
-            return pa.table(
-                {"url_hash": pa.array([], type=pa.uint64()), "adm_key": pa.array([], type=pa.uint64())}
-            )
-        return t.filter(t["tentative"]).select(["url_hash", "adm_key"])
-
-    tent_tables = _map_block_refs(marked, _tent_rows)
-    tent_df = pa.concat_tables(tent_tables).to_pandas() if tent_tables else pd.DataFrame()
-    losers: set[tuple[int, int]] = set()
-    if len(tent_df):
-        for h, grp in tent_df.groupby("url_hash"):
-            if len(grp) > 1:
-                keys = sorted(int(x) for x in grp["adm_key"])
-                losers.update((int(h), kk) for kk in keys[1:])
-    losers_ref = ray.put(losers)
-
-    class _Fix:
-        def __init__(self):
-            self._l = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._l is None:
-                self._l = ray.get(losers_ref)
-            flag = t["intra_first"].to_numpy(zero_copy_only=False).copy()
-            if self._l:
-                tent = t["tentative"].to_numpy(zero_copy_only=False)
-                idx = np.flatnonzero(tent)
-                if len(idx):
-                    h = t["url_hash"].to_numpy().astype(np.uint64)
-                    a = t["adm_key"].to_numpy()
-                    for i in idx:
-                        if (int(h[i]), int(a[i])) in self._l:
-                            flag[i] = False
-            out = t.drop_columns(["intra_first", "tentative", "adm_key"])
-            return out.append_column("intra_first", pa.array(flag))
-
-    return marked.map_batches(_Fix(), batch_format="pyarrow")
-
-
-def _assign_seq_wide(novel: rd.Dataset, depth_counters: dict[int, int]) -> rd.Dataset:
+def _assign_seq_wide(
+    novel: rd.Dataset, depth_counters: dict[int, int], has_adm_key: bool = False
+) -> rd.Dataset:
     """Distributed admission-order seq assignment for wide rounds:
     global ``sort(adm_key)``, per-block per-depth counts, driver-side
     cumulative bases (O(#blocks × #depths) rows), then per-block rank
     assignment against the broadcast base table — the block-level
     prefix-sum upgrade of _assign_seq_kernel."""
-    keyed = novel.map_batches(_pack_admission, batch_format="pyarrow")
+    # the fused dedup path already carries adm_key; pack only if absent
+    if has_adm_key:
+        keyed = novel
+    else:
+        keyed = novel.map_batches(_pack_admission, batch_format="pyarrow")
     s = keyed.sort("adm_key").materialize()
 
     def summary(t: pa.Table) -> pa.Table:
@@ -617,7 +553,13 @@ class CrawlJobRunner:
             idx = np.where(shard_of == s)[0]
             sub = hashes[idx]
             digest = int(xxhash64(sub.tobytes()))
-            novel[idx] = ray.get(self.shards[int(s)].test_and_add.remote(-1, digest, sub))
+            # seeds arrive pre-deduped in one driver-side call per
+            # shard, so the plain provisional mask is already final
+            novel[idx] = ray.get(
+                self.shards[int(s)].offer.remote(
+                    -1, digest, sub, np.zeros(len(sub), dtype=np.uint64)
+                )
+            )
         frontier_rows = {k: [] for k in FRONTIER_COLUMNS}
         seq = 0
         for i, url in enumerate(rows):
@@ -747,33 +689,54 @@ class CrawlJobRunner:
 
         cfg = self.cfg
         frontier = rd.read_parquet(str(self.ckpt.frontier_dir(k)))
+        rows_in = self.ckpt.read_manifest(k)["frontier_rows"]
 
-        # 1. politeness grant: coarse-partition by hash(domain) so the
-        # exchange key is int32 and the vectorized kernel runs once per
-        # PARTITION, not per domain (grant semantics identical to the
-        # per-domain kernel — parity pinned in tests)
-        from ..stages.politeness import PolitenessSelectPartition, politeness_partition_key
-
-        sel = PolitenessSelectPartition(self.robots, cfg.round_seconds)
-        n_parts = cfg.politeness_parts
-
-        def add_part(t: pa.Table) -> pa.Table:
-            # dictionary-encode so only DISTINCT domains are hashed —
-            # no per-row Python string materialization
-            enc = pc.dictionary_encode(t["domain"].combine_chunks())
-            part_of = politeness_partition_key(enc.dictionary.to_pylist(), n_parts)
-            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.append_column("part", pa.array(part_of[idx], type=pa.int32()))
-
-        def politeness_grant(group: pd.DataFrame) -> pd.DataFrame:
-            return sel(group)
-
-        marked = (
-            frontier.map_batches(add_part, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(politeness_grant, batch_format="pandas")
-            .materialize()
+        # 1. politeness grant. Normal rounds: NO exchange — each block
+        # surfaces its per-domain top-B (depth, seq) packs via raw
+        # block-ref tasks, the driver merges them into one exact
+        # threshold per domain, and a broadcast searchsorted tag pass
+        # marks grants (grant set identical to the partition kernel —
+        # parity pinned in tests). Huge frontiers keep the coarse
+        # hash-partition exchange so driver memory stays bounded
+        # (candidate lists are O(domains × B × blocks) ≤ frontier rows).
+        from ..stages.politeness import (
+            PolitenessSelectPartition,
+            TagGrant,
+            block_grant_candidates,
+            merge_grant_thresholds,
+            politeness_partition_key,
         )
+
+        if rows_in <= cfg.politeness_driver_rows:
+            fmat = frontier.materialize()
+            cand_parts = _map_block_refs(
+                fmat, block_grant_candidates(self.robots, cfg.round_seconds)
+            )
+            thr_ref = ray.put(
+                merge_grant_thresholds(cand_parts, self.robots, cfg.round_seconds)
+            )
+            marked = fmat.map_batches(TagGrant(thr_ref), batch_format="pyarrow")
+        else:
+            sel = PolitenessSelectPartition(self.robots, cfg.round_seconds)
+            n_parts = cfg.politeness_parts
+
+            def add_part(t: pa.Table) -> pa.Table:
+                # dictionary-encode so only DISTINCT domains are hashed —
+                # no per-row Python string materialization
+                enc = pc.dictionary_encode(t["domain"].combine_chunks())
+                part_of = politeness_partition_key(enc.dictionary.to_pylist(), n_parts)
+                idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                return t.append_column("part", pa.array(part_of[idx], type=pa.int32()))
+
+            def politeness_grant(group: pd.DataFrame) -> pd.DataFrame:
+                return sel(group)
+
+            marked = (
+                frontier.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(politeness_grant, batch_format="pandas")
+                .materialize()
+            )
         _mark("politeness")
         granted = marked.map_batches(
             lambda t: t.filter(t["granted"]).drop_columns(["granted"]),
@@ -786,7 +749,6 @@ class CrawlJobRunner:
 
         # 2. fetch (task-based hash join vs the broadcast corpus; block
         # count = fetch parallelism, so split wide rounds first)
-        rows_in = self.ckpt.read_manifest(k)["frontier_rows"]
         if rows_in > 128:
             # even small rounds split: each fetch/links task gathers its
             # rows' payload row-groups, so block count = gather parallelism
@@ -916,36 +878,39 @@ class CrawlJobRunner:
             return n_fetched
         wide = n_scoped > cfg.wide_round_rows
 
-        # 6. intra-round first-wins dedup: single-block vectorized pass
-        # for normal rounds, distributed sort + boundary fix-up for wide
-        # ones (same semantics, same simulator goldens — forced-wide
-        # parity is pinned in tests)
-        if wide:
-            grouped = _intra_dedup_wide(cands).materialize()
-        else:
-            grouped = cands.repartition(1).map_batches(
-                _intra_dedup_kernel, batch_format="pyarrow", batch_size=None
-            ).materialize()
-        _mark("intra_dedup")
-        intra_dups = grouped.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
-        winners = grouped.map_batches(
-            lambda t: t.filter(t["intra_first"]).drop_columns(["intra_first"]),
-            batch_format="pyarrow",
+        # 6+7. FUSED intra-round first-wins + URL-seen membership in ONE
+        # RPC pass (no sort exchange): per-batch local first-wins by min
+        # adm_key, local winners offered to the shard actors (provisional
+        # novelty answered immediately, offers logged), then the shards'
+        # multi-offer corrections broadcast back and applied — the
+        # deterministic winner of every url_hash is the min-adm_key row,
+        # exactly the admission order the old sort-based path produced
+        # (parity pinned by the simulator goldens + forced-path tests).
+        # Mutating stage — materialized exactly once; the (round,
+        # batch-digest) memo covers task retries.
+        offered = (
+            cands.map_batches(_pack_admission, batch_format="pyarrow")
+            .map_batches(
+                FusedDedupRouter(self.shards, k),
+                batch_format="pyarrow",
+                batch_size=cfg.dedup_batch_size,
+            )
+            .materialize()
         )
-
-        # 7. URL-seen membership (mutating — materialize exactly once).
-        # Repartition for shard-call parallelism; arrival order no
-        # longer matters because intra-round dups are already resolved.
-        marked2 = winners.repartition(min(8, cfg.fetch_max_parallelism)).map_batches(
-            DedupRouter(self.shards, k), batch_format="pyarrow", batch_size=cfg.dedup_batch_size
-        ).materialize()
-        _mark("urlseen")
+        corr_ref = ray.put(collect_corrections(self.shards, k))
+        fixed = offered.map_batches(CorrectionFix(corr_ref), batch_format="pyarrow")
+        _mark("dedup_fused")
+        intra_dups = fixed.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
+        marked2 = fixed.map_batches(
+            lambda t: t.filter(t["intra_first"]), batch_format="pyarrow"
+        )
         dup_denied = marked2.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")
         # one denial-lineage write per round: scope/robots ∪ intra-round
         # dups ∪ cross-round dups (same schema, single sink execution)
         _write_round(denied.union(intra_dups, dup_denied), self.out_dir / "denied", k)
         novel = marked2.map_batches(
-            lambda t: t.filter(t["novel"]).drop_columns(["novel"]), batch_format="pyarrow"
+            lambda t: t.filter(t["novel"]).drop_columns(["novel", "intra_first"]),
+            batch_format="pyarrow",
         )
 
         _mark("denied_sink")
@@ -953,7 +918,7 @@ class CrawlJobRunner:
         # rounds, block-level prefix sum for wide ones)
         counters = dict(self.depth_counters)
         if wide:
-            new_frontier = _assign_seq_wide(novel, counters).materialize()
+            new_frontier = _assign_seq_wide(novel, counters, has_adm_key=True).materialize()
         else:
             new_frontier = novel.repartition(1).map_batches(
                 lambda t, _c=counters: _assign_seq_kernel(t, _c),

@@ -94,6 +94,117 @@ class PolitenessSelectPartition:
         return g.assign(granted=rank < budgets[seg])
 
 
+# --- exchange-free politeness (per-block top-B + driver threshold merge) ---
+#
+# Grant rule per domain: sort by (depth, seq), grant the first
+# B = budget(domain) rows. Because (depth, seq) is unique per frontier
+# row, "granted" ⇔ pack(depth, seq) ≤ the B-th smallest pack within
+# the domain. B is SMALL (≈ round_seconds / crawl_delay), so each
+# block only needs to surface its per-domain B smallest packs; the
+# driver merges those candidate lists exactly and broadcasts one
+# threshold per domain — no groupby exchange over the frontier at all.
+# Driver memory is O(Σ_blocks Σ_domains min(B, rows)) ≤ frontier rows,
+# so the frontier loop dispatches to this path only below
+# ``politeness_driver_rows`` and keeps the partition-exchange kernel
+# above it (same dispatch discipline as wide_round_rows).
+
+_GRANT_SEQ_BITS = 56
+
+
+def pack_depth_seq(depth: np.ndarray, seq: np.ndarray) -> np.ndarray:
+    """uint64 pack of (depth, seq): depth(8b) | seq(56b) — unsigned and
+    collision-free (depth ≤ 250 by validation, seq < 2^56 guarded)."""
+    d = depth.astype(np.uint64)
+    s = seq.astype(np.uint64)
+    if len(d) and (int(d.max()) >= 256 or int(s.max()) >= (1 << _GRANT_SEQ_BITS)):
+        raise ValueError("grant key field overflow — widen pack_depth_seq")
+    return (d << np.uint64(_GRANT_SEQ_BITS)) | s
+
+
+def block_grant_candidates(robots: RobotsRules, round_seconds: float):
+    """Block-ref kernel: per domain in the block, the min(B, count)
+    smallest (depth, seq) packs — the only rows that can influence the
+    domain's global grant threshold."""
+
+    def kernel(t) -> dict[str, np.ndarray]:
+        if len(t) == 0:
+            return {"domain": np.array([], dtype=object), "pack": np.array([], dtype=np.uint64)}
+        dom = np.asarray(t["domain"].to_pylist(), dtype=object)
+        pack = pack_depth_seq(t["depth"].to_numpy(), t["seq"].to_numpy())
+        order = np.lexsort((pack, pd.util.hash_array(dom, categorize=True)))
+        # hash order groups equal domains; runs detected on the sorted values
+        dom_s, pack_s = dom[order], pack[order]
+        new = np.concatenate(([True], dom_s[1:] != dom_s[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        budgets = np.fromiter(
+            (robots.budget(d, round_seconds) for d in dom_s[starts]),
+            dtype=np.int64,
+            count=len(starts),
+        )
+        rank = np.arange(len(dom_s), dtype=np.int64) - starts[seg]
+        keep = rank < budgets[seg]
+        return {"domain": dom_s[keep], "pack": pack_s[keep]}
+
+    return kernel
+
+
+def merge_grant_thresholds(
+    parts: list[dict], robots: RobotsRules, round_seconds: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-block candidate lists into one exact grant threshold
+    per domain: the B-th smallest pack (UINT64_MAX when the domain has
+    fewer than B rows — grant everything). Returns (sorted domain
+    array, threshold array) for searchsorted lookup in the tag pass."""
+    doms = np.concatenate([p["domain"] for p in parts]) if parts else np.array([], dtype=object)
+    packs = (
+        np.concatenate([p["pack"] for p in parts]) if parts else np.array([], dtype=np.uint64)
+    )
+    if len(doms) == 0:
+        return np.array([], dtype=object), np.array([], dtype=np.uint64)
+    order = np.lexsort((packs, doms.astype("U")))
+    dom_s, pack_s = doms[order], packs[order]
+    new = np.concatenate(([True], dom_s[1:] != dom_s[:-1]))
+    seg = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(dom_s)))
+    uniq = dom_s[starts]
+    budgets = np.fromiter(
+        (robots.budget(d, round_seconds) for d in uniq), dtype=np.int64, count=len(uniq)
+    )
+    thr = np.full(len(uniq), np.iinfo(np.uint64).max, dtype=np.uint64)
+    capped = counts > budgets  # candidates beyond budget exist -> exact B-th pack
+    thr_idx = starts + np.minimum(budgets, counts) - 1
+    thr[capped] = pack_s[thr_idx[capped]]
+    return uniq.astype("U"), thr
+
+
+class TagGrant:
+    """map_batches tag pass: granted ⇔ pack(depth, seq) ≤ the domain's
+    broadcast threshold (searchsorted lookup; domains absent from the
+    threshold table never occur — every frontier domain contributed
+    candidates)."""
+
+    def __init__(self, thr_ref):
+        self.thr_ref = thr_ref
+        self._tab = None
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import ray
+
+        if self._tab is None:
+            self._tab = ray.get(self.thr_ref)
+        dom_sorted, thr = self._tab
+        if len(t) == 0:
+            return t.append_column("granted", pa.array([], type=pa.bool_()))
+        dom = np.asarray(t["domain"].to_pylist(), dtype="U")
+        pack = pack_depth_seq(t["depth"].to_numpy(), t["seq"].to_numpy())
+        idx = np.searchsorted(dom_sorted, dom)
+        granted = pack <= thr[idx]
+        return t.append_column("granted", pa.array(granted))
+
+
 def politeness_partition_key(domains, n_parts: int) -> np.ndarray:
     """int32 coarse-partition key per domain string (vectorized cython
     hash; each domain's rows land wholly in one partition)."""

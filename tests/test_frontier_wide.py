@@ -1,8 +1,10 @@
 """Forced-wide-round parity: with ``wide_round_rows=0`` every round
-takes the distributed sort-based intra-dedup (_intra_dedup_wide) and
-block-prefix-sum seq assignment (_assign_seq_wide) instead of the
-single-block kernels — the output must be byte-identical to the
-reference simulator goldens (same contract as the narrow path)."""
+takes the distributed sort + block-prefix-sum seq assignment
+(_assign_seq_wide) instead of the single-block kernel — the output
+must be byte-identical to the reference simulator goldens (same
+contract as the narrow path). Dedup itself no longer dispatches on
+round size: the fused shard-offer pass (tests/test_fused_dedup.py)
+runs at every size."""
 
 from __future__ import annotations
 

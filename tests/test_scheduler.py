@@ -241,6 +241,27 @@ def test_politeness_partition_kernel_parity():
         assert "part" not in out.columns
     assert got_granted == ref_granted
 
+    # exchange-free driver path: per-block top-B candidates over
+    # ARBITRARY block splits -> merged thresholds -> pack<=thr lookup
+    # must grant the identical set (frontier.py politeness dispatch)
+    from searchgov_spider_ray.stages.politeness import (
+        block_grant_candidates,
+        merge_grant_thresholds,
+        pack_depth_seq,
+    )
+
+    kernel = block_grant_candidates(robots, 10.0)
+    blocks = [
+        pa.Table.from_pandas(df.iloc[i : i + 611], preserve_index=False)
+        for i in range(0, len(df), 611)
+    ]
+    dom_sorted, thr = merge_grant_thresholds([kernel(b) for b in blocks], robots, 10.0)
+    dom = df["domain"].to_numpy(dtype="U")
+    pack = pack_depth_seq(df["depth"].to_numpy(), df["seq"].to_numpy())
+    idx = np.searchsorted(dom_sorted, dom)
+    driver_granted = set(df["url"].to_numpy(object)[pack <= thr[idx]])
+    assert driver_granted == ref_granted
+
 
 def test_gc_orphans(tmp_path):
     """Age-based cleanup of per-job state trees (reference
