@@ -905,26 +905,43 @@ class CrawlJobRunner:
             lambda t: t.filter(t["intra_first"]), batch_format="pyarrow"
         )
         dup_denied = marked2.map_batches(_DupDeniedKernel(k), batch_format="pyarrow")
-        # one denial-lineage write per round: scope/robots ∪ intra-round
-        # dups ∪ cross-round dups (same schema, single sink execution)
-        _write_round(denied.union(intra_dups, dup_denied), self.out_dir / "denied", k)
         novel = marked2.map_batches(
             lambda t: t.filter(t["novel"]).drop_columns(["novel", "intra_first"]),
             batch_format="pyarrow",
         )
 
-        _mark("denied_sink")
-        # 8. admission-order seq assignment (single-block for normal
-        # rounds, block-level prefix sum for wide ones)
-        counters = dict(self.depth_counters)
-        if wide:
-            new_frontier = _assign_seq_wide(novel, counters, has_adm_key=True).materialize()
-        else:
-            new_frontier = novel.repartition(1).map_batches(
-                lambda t, _c=counters: _assign_seq_kernel(t, _c),
-                batch_format="pyarrow",
-                batch_size=None,
-            ).materialize()
+        # one denial-lineage write per round: scope/robots ∪ intra-round
+        # dups ∪ cross-round dups (same schema, single sink execution).
+        # On big rounds it runs on a worker thread OVERLAPPED with seq
+        # assignment — both are independent lazy views over the
+        # materialized offer table; joined before the checkpoint write
+        # so a completed manifest always implies complete lineage.
+        def _write_denied() -> None:
+            _write_round(denied.union(intra_dups, dup_denied), self.out_dir / "denied", k)
+
+        _overlap_denied = (
+            n_scoped >= cfg.overlap_min_fetched
+            and not os.environ.get("GRAFT_NO_OVERLAP")
+        )
+        with _cf.ThreadPoolExecutor(1) as _dpool:
+            if _overlap_denied:
+                denied_future = _dpool.submit(_write_denied)
+            else:
+                _write_denied()
+                denied_future = _dpool.submit(lambda: None)
+            _mark("denied_sink")
+            # 8. admission-order seq assignment (single-block for normal
+            # rounds, block-level prefix sum for wide ones)
+            counters = dict(self.depth_counters)
+            if wide:
+                new_frontier = _assign_seq_wide(novel, counters, has_adm_key=True).materialize()
+            else:
+                new_frontier = novel.repartition(1).map_batches(
+                    lambda t, _c=counters: _assign_seq_kernel(t, _c),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                ).materialize()
+            denied_future.result()
         # per-depth counts via raw block-ref tasks over the materialized
         # frontier (no Aggregate exchange, no executor spin-up)
         def _depth_counts(t: pa.Table) -> dict[int, int]:
