@@ -118,20 +118,39 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
 
 
 # --- document fingerprinting ---------------------------------------------
-def fingerprint(text: str, window: int = 64) -> int:
-    """Winnowing-style fingerprint: min xxhash64 over sliding windows of
-    ``window`` chars (one representative hash per doc; identical prefixes
-    of near-dup docs collide). Falls back to whole-text hash for short
-    docs."""
-    if len(text) <= window:
-        return xxhash64(text)
+# Winnowing fingerprint over a Karp-Rabin polynomial rolling hash:
+#   h(s) = sum_j code(s_j) * B^(m-1-j)  mod P,  code(c) = ord(c) & 255
+# P = 2^31-1 (Mersenne) and code < 2^8 keep every partial product < 2^39,
+# so a 64-char window sums exactly in int64 with a single final mod —
+# which makes the definition expressible verbatim in ANSI SQL (the DuckDB
+# oracle in pipelines/queries.py replays it with a recursive power table).
+_FP_P = 2147483647  # 2^31 - 1
+_FP_B = 131
+_FP_WINDOW = 64
+_FP_STEP = 32
+_FP_POWS = np.empty(_FP_WINDOW, dtype=np.int64)
+_FP_POWS[0] = 1
+for _k in range(1, _FP_WINDOW):
+    _FP_POWS[_k] = (_FP_POWS[_k - 1] * _FP_B) % _FP_P
+del _k
+
+
+def fingerprint(text: str, window: int = _FP_WINDOW) -> int:
+    """Winnowing-style fingerprint: min Karp-Rabin hash over sliding
+    windows of ``window`` chars stepping by window/2 (one representative
+    hash per doc; identical regions of near-dup docs collide). Falls back
+    to the whole-text hash for short docs. Vectorized per doc: codepoints
+    via utf-32 view, all windows hashed in one strided matmul mod P."""
+    n = len(text)
+    if n == 0:
+        return 0
+    codes = (np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) & 255).astype(np.int64)
+    if n <= window:
+        return int(codes @ _FP_POWS[n - 1 :: -1] % _FP_P)
     step = max(1, window // 2)
-    best = 0xFFFFFFFFFFFFFFFF
-    for i in range(0, len(text) - window + 1, step):
-        h = xxhash64(text[i : i + window])
-        if h < best:
-            best = h
-    return best
+    win = np.lib.stride_tricks.sliding_window_view(codes, window)[::step]
+    h = win @ _FP_POWS[::-1] % _FP_P
+    return int(h.min())
 
 
 def content_hashes(texts: pd.Series) -> np.ndarray:

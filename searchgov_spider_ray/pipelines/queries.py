@@ -527,11 +527,13 @@ def doc_fingerprints_q(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = doc_fingerprints(ds)
+    # Karp-Rabin fingerprints are < 2^31 (mod P); int64 matches the
+    # DuckDB oracle's BIGINT.
     return out.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index("fingerprint"),
             "fingerprint",
-            pc.cast(pc.bit_wise_and(t["fingerprint"], pa.scalar(0x7FFFFFFFFFFFFFFF, type=pa.uint64())), pa.int64()),
+            pc.cast(t["fingerprint"], pa.int64()),
         ),
         batch_format="pyarrow",
     )
@@ -1108,6 +1110,44 @@ ORACLES = {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    # Karp-Rabin winnowing fingerprint, replayed exactly: code(c)=ord(c)&255,
+    # h(window)=sum code*B^(w-1-j) mod P with B=131, P=2^31-1, window 64,
+    # step 32; whole-text hash for docs of <= 64 chars. The recursive CTE
+    # builds the B^k power table; every partial product < 2^39 so the
+    # BIGINT sums are exact (mirrors functions/textstats.py fingerprint()).
+    "doc_fingerprints": """
+        WITH RECURSIVE pw(k, v) AS (
+            SELECT 0, CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT k + 1, (v * 131) % 2147483647 FROM pw WHERE k < 63
+        ),
+        doc AS (
+            SELECT doc_id, coalesce(text, '') AS text,
+                   length(coalesce(text, '')) AS n
+            FROM documents
+        ),
+        short AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(sum((ord(substr(d.text, CAST(d.n - pw.k AS INT), 1)) & 255) * pw.v), 0)
+                        % 2147483647 AS BIGINT) AS fingerprint
+            FROM doc d LEFT JOIN pw ON pw.k < d.n
+            WHERE d.n <= 64
+            GROUP BY d.doc_id
+        ),
+        long AS (
+            SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint FROM (
+                SELECT d.doc_id, s.i,
+                       sum((ord(substr(d.text, CAST(s.i + 64 - pw.k AS INT), 1)) & 255) * pw.v)
+                           % 2147483647 AS h
+                FROM doc d, range(0, 8192, 32) s(i), pw
+                WHERE d.n > 64 AND s.i <= d.n - 64
+                GROUP BY d.doc_id, s.i
+            ) GROUP BY doc_id
+        )
+        SELECT doc_id, fingerprint FROM short
+        UNION ALL
+        SELECT doc_id, fingerprint FROM long
     """,
     "sitemap_diff": """
         WITH cur AS (
