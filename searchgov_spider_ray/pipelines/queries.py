@@ -1161,3 +1161,61 @@ ORACLES = {
         SELECT url FROM cur WHERE url NOT IN (SELECT url FROM prev)
     """,
 }
+
+
+def _lang_id_oracle_sql() -> str:
+    """Replay detect_lang (functions/textstats.py) verbatim in SQL: cosine
+    between char-trigram counts of lower(first 256 chars) and the inline
+    profile vectors, argmax with first-lang tie-break, score > 0.05 else
+    NULL. Dots and squared norms are integer sums (exact), norms/scores are
+    the same IEEE-double expressions Python evaluates, so lang_pred matches
+    bit-for-bit. The VALUES table is generated from _LANG_VECS so SQL and
+    Python can never drift."""
+    from ..functions.textstats import _LANG_VECS
+
+    rows = []
+    for rnk, (lang, vec) in enumerate(_LANG_VECS.items()):
+        for g, c in vec.items():
+            rows.append("('%s', %d, '%s', %d)" % (lang, rnk, g.replace("'", "''"), c))
+    values = ",\n                ".join(rows)
+    return f"""
+        WITH doc AS (
+            SELECT doc_id, lower(substr(text, 1, 256)) AS t, length(text) AS n
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, substr(t, CAST(i.range AS INT) + 1, 3) AS g,
+                   count(*) AS c
+            FROM doc, range(254) i
+            WHERE n >= 8 AND i.range <= length(t) - 3
+            GROUP BY doc_id, substr(t, CAST(i.range AS INT) + 1, 3)
+        ),
+        norms AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM grams GROUP BY doc_id),
+        prof(lang, rnk, g, c) AS (
+            VALUES {values}
+        ),
+        vnorms AS (SELECT lang, rnk, sqrt(sum(c * c)) AS vn FROM prof GROUP BY lang, rnk),
+        dots AS (
+            SELECT gr.doc_id, p.lang, p.rnk, sum(gr.c * p.c) AS dot
+            FROM grams gr JOIN prof p ON gr.g = p.g
+            GROUP BY gr.doc_id, p.lang, p.rnk
+        ),
+        best AS (
+            SELECT dt.doc_id, dt.lang,
+                   dt.dot / (n.nrm * v.vn) AS score,
+                   row_number() OVER (
+                       PARTITION BY dt.doc_id
+                       ORDER BY dt.dot / (n.nrm * v.vn) DESC, dt.rnk ASC
+                   ) AS rn
+            FROM dots dt
+            JOIN norms n ON dt.doc_id = n.doc_id
+            JOIN vnorms v ON dt.lang = v.lang
+        )
+        SELECT d.doc_id, b.lang AS lang_pred
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1 AND score > 0.05) b
+          ON d.doc_id = b.doc_id
+    """
+
+
+ORACLES["doc_lang_id"] = _lang_id_oracle_sql()
