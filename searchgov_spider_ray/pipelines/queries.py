@@ -1111,6 +1111,25 @@ ORACLES = {
         FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
+    # Closed-form golden for the HTML->i14y parser over the synthetic pages
+    # docparse_html_q builds from the documents table: doc_id is
+    # sha256(url) (stages/docparse.py _doc), title is the <title> text,
+    # language is the content_language passthrough (response_language wins
+    # over the html lang attr), basename/extension split the url filename.
+    "docparse_html": """
+        WITH u AS (
+            SELECT doc_id AS i, lang,
+                   'https://docs.example.gov/d' || CAST(doc_id AS VARCHAR) || '.html' AS url
+            FROM documents
+        )
+        SELECT sha256(url) AS doc_id,
+               url AS path,
+               lang AS language,
+               'Doc ' || CAST(i AS VARCHAR) AS title,
+               'd' || CAST(i AS VARCHAR) || '.html' AS basename,
+               'html' AS extension
+        FROM u
+    """,
     # Karp-Rabin winnowing fingerprint, replayed exactly: code(c)=ord(c)&255,
     # h(window)=sum code*B^(w-1-j) mod P with B=131, P=2^31-1, window 64,
     # step 32; whole-text hash for docs of <= 64 chars. The recursive CTE
