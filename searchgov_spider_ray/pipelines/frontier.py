@@ -728,13 +728,20 @@ class CrawlJobRunner:
                 idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
                 return t.append_column("part", pa.array(part_of[idx], type=pa.int32()))
 
-            def politeness_grant(group: pd.DataFrame) -> pd.DataFrame:
-                return sel(group)
+            def politeness_grant(group: pa.Table) -> pa.Table:
+                # pandas kernel, arrow boundary: pandas-format map_groups
+                # would stamp b'pandas' schema metadata on every output
+                # block, and pyarrow Schemas WITH metadata are unhashable —
+                # Ray Data then falls back to a full unify_schemas scan on
+                # every downstream concat ("Failed to hash the schemas"
+                # warnings). Convert here and strip the metadata instead.
+                out = pa.Table.from_pandas(sel(group.to_pandas()), preserve_index=False)
+                return out.replace_schema_metadata(None)
 
             marked = (
                 frontier.map_batches(add_part, batch_format="pyarrow")
                 .groupby("part")
-                .map_groups(politeness_grant, batch_format="pandas")
+                .map_groups(politeness_grant, batch_format="pyarrow")
                 .materialize()
             )
         _mark("politeness")

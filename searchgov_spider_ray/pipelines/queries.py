@@ -27,8 +27,18 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    # zero-copy: the driver-generated sf parquet carries b'pandas' schema
+    # metadata, and pyarrow Schemas with metadata are unhashable — Ray
+    # Data's schema dedup (set(schemas)) then fails and every downstream
+    # concat pays a full unify_schemas scan. Fuses with the read.
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow"
+    )
 
 
 def _cents(x: np.ndarray | pd.Series) -> np.ndarray:
