@@ -486,6 +486,39 @@ def events_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_sliding_counts(sf_dir: str):
+    """Sliding-window aggregate (RANGE frame): for every event, the
+    count and fixed-point value sum of the same user's events in the
+    trailing hour — SQL's ``COUNT(*) OVER (PARTITION BY user_id ORDER
+    BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)``
+    expressed as a keyed ``map_groups`` whose kernel is two vectorized
+    ``searchsorted`` probes + a cumsum (no per-row loop, no quadratic
+    rescans). At 100 TB this shuffles once by user_id; each group kernel
+    is O(n log n) in the group's rows."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def windows(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        vm = _micros(g["value"])
+        # RANGE frame semantics: every row with ts in [ts_i - 1h, ts_i]
+        # is in row i's frame (peers at ts_i included regardless of sort
+        # position) — exactly the two searchsorted boundaries below.
+        right = np.searchsorted(ts, ts, side="right")
+        left = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        cs = np.concatenate(([0], np.cumsum(vm)))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cnt_1h": (right - left).astype("int64"),
+                "sum_value_micros_1h": (cs[right] - cs[left]).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+
+
 def top_parts_per_brand(sf_dir: str):
     """Per-group top-k: 3 largest parts per brand (deterministic
     tie-break on p_partkey) — the ROW_NUMBER()/QUALIFY operator as a
@@ -898,6 +931,7 @@ QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "events_sessions": events_sessions,
+    "events_sliding_counts": events_sliding_counts,
     "top_parts_per_brand": top_parts_per_brand,
     "doc_minhash_near_dup": doc_minhash_near_dup,
     "doc_simhash_near_dup": doc_simhash_near_dup,
@@ -1062,6 +1096,15 @@ ORACLES = {
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
                CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
         FROM sess GROUP BY user_id, sid
+    """,
+    "events_sliding_counts": """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+               CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+                   AS sum_value_micros_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
     "top_parts_per_brand": """
         SELECT p_brand, p_partkey, p_size

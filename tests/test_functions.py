@@ -224,3 +224,41 @@ class TestInSorted:
         from searchgov_spider_ray.pipelines.queries import _in_sorted
 
         assert _in_sorted(np.array([], dtype=np.int64), np.array([1, 2], dtype=np.int64)).tolist() == [False, False]
+
+
+class TestSlidingWindow:
+    """events_sliding_counts RANGE-frame edge semantics: peers at an
+    identical ts share one frame, the 1-hour-preceding boundary is
+    inclusive, and 1h+1us is exclusive — pinned against hand-computed
+    expectations (the sf fixtures only exercise random gaps)."""
+
+    def test_range_frame_boundaries(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchgov_spider_ray.pipelines.queries import events_sliding_counts
+
+        ts = pd.to_datetime(
+            format="ISO8601",
+            arg=[
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:30:00",
+                "2024-01-01 01:00:00",  # exactly 1h after e0: inclusive
+                "2024-01-01 01:00:00",  # peer row, same frame as above
+                "2024-01-01 02:00:00.000001",  # 1h+1us after the peers: exclusive
+            ]
+        ).astype("datetime64[us]")
+        df = pd.DataFrame(
+            {
+                "event_id": pd.Series(range(5), dtype="int64"),
+                "ts": ts,
+                "user_id": pd.Series([7] * 5, dtype="int64"),
+                "value": [1.25] * 5,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+
+        out = events_sliding_counts(str(tmp_path)).to_pandas().sort_values("event_id")
+        assert out["cnt_1h"].tolist() == [1, 2, 4, 4, 1]
+        assert out["sum_value_micros_1h"].tolist() == [n * 1_250_000 for n in (1, 2, 4, 4, 1)]
