@@ -12,7 +12,6 @@ are the scale additions for training-data curation.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
 
@@ -35,23 +34,43 @@ def _avalanche(x: np.ndarray) -> np.ndarray:
     return x
 
 
-# Explicit siphash key for pd.util.hash_array: pandas' default key is
-# not contractually stable across versions, and MinHash/SimHash
-# signatures may be persisted (checkpointed dedup state) and compared
-# across runs — pin it. Value = pandas' current documented default, so
-# existing signatures stay valid.
-_HASH_KEY = "0123456789123456"
+# ASCII whitespace tokenizer (explicit class, NOT \s): Python's \s and
+# str.split() match unicode whitespace (NBSP etc.) while RE2/DuckDB \s
+# is ASCII-only — an explicit class keeps the Python kernels and the
+# SQL oracles bit-identical on any input (same discipline as
+# doc_quality_scores in pipelines/queries.py).
+import re as _re
+
+_WS_RE = _re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _tokenize(text: str) -> list[str]:
+    return [w for w in _WS_RE.split((text or "").lower()) if w]
 
 
 def _word_hashes(words: np.ndarray) -> np.ndarray:
-    """uint64 hash per word, vectorized: pandas' cython ``hash_array``
-    with ``categorize=True`` hashes each DISTINCT word once (the
-    vocabulary trick) — no per-word Python in the hot path. Pinned
-    hash key → deterministic across runs, platforms, and pandas
-    versions."""
+    """uint64 hash per word: polynomial fold over the word's unicode
+    code points (mod 2^64) + avalanche finish. Fully in-repo integer
+    arithmetic — no pandas/siphash dependency — so signatures are
+    stable across library versions AND replayable bit-exactly by the
+    DuckDB oracles (pipelines/queries.py _minhash_oracle_sql). Each
+    DISTINCT word is hashed once (np.unique vocabulary trick); the
+    fold is vectorized over words, looping only over max word length."""
     if len(words) == 0:
         return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(words, categorize=True, hash_key=_HASH_KEY).astype(np.uint64)
+    uniq, inv = np.unique(words, return_inverse=True)
+    u = uniq.astype(np.str_)
+    width = u.dtype.itemsize // 4
+    cps = u.view(np.uint32).reshape(len(u), width).astype(np.uint64)
+    # words contain no NULs, so padding zeros are exactly the tail
+    lengths = (cps != 0).sum(axis=1)
+    acc = np.zeros(len(u), dtype=np.uint64)
+    for j in range(width):
+        active = lengths > j
+        if not active.any():
+            break
+        acc[active] = acc[active] * _COMB_MULT + cps[active, j]
+    return _avalanche(acc)[inv]
 
 
 def _rolling_shingles(wh: np.ndarray, k: int) -> np.ndarray:
@@ -76,7 +95,7 @@ def shingle_hash_sets(texts, k: int = 5) -> list[np.ndarray]:
     batch: one vectorized word-hash pass over the batch's concatenated
     words, then numpy rolling combines per doc. Docs shorter than k
     words hash their full word sequence; empty docs get an empty set."""
-    tokenized = [(t or "").lower().split() for t in texts]
+    tokenized = [_tokenize(t) for t in texts]
     nonempty = [np.asarray(w, dtype=object) for w in tokenized if w]
     wh = _word_hashes(np.concatenate(nonempty)) if nonempty else np.empty(0, dtype=np.uint64)
     out: list[np.ndarray] = []
@@ -141,7 +160,7 @@ def simhash(text: str, k: int = 3) -> int:
 def simhash_batch(texts, k: int = 3) -> np.ndarray:
     """Vectorized-per-batch SimHash: one vocabulary word-hash pass,
     then per-doc numpy bit voting."""
-    tokenized = [(t or "").lower().split() for t in texts]
+    tokenized = [_tokenize(t) for t in texts]
     nonempty = [np.asarray(w, dtype=object) for w in tokenized if w]
     wh = _word_hashes(np.concatenate(nonempty)) if nonempty else np.empty(0, dtype=np.uint64)
     out = np.empty(len(tokenized), dtype=np.uint64)

@@ -1291,3 +1291,245 @@ def _lang_id_oracle_sql() -> str:
 
 
 ORACLES["doc_lang_id"] = _lang_id_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# MinHash / SimHash oracles: full bit-exact SQL replay
+# --------------------------------------------------------------------------
+#
+# The near-dup kernels (functions/simdedup.py) are pure integer
+# arithmetic mod 2^64 — polynomial word/shingle folds + splitmix64
+# avalanche, (a*x+b) mod 2^61-1 MinHash permutations, bit-vote SimHash
+# — precisely so DuckDB can replay them exactly (same discipline as
+# doc_fingerprints/doc_lang_id). 64-bit wrap multiplication is done
+# with a hi/lo 32-bit split so every HUGEINT intermediate stays below
+# 2^127; xor/shift run natively on UBIGINT.
+
+_U64 = 18446744073709551616  # 2^64
+_U32 = 4294967296  # 2^32
+
+
+def _sql_mm64(x: str, m: int, add: str = "0") -> str:
+    """SQL for ``(x*m + add) mod 2^64`` with exact 64-bit wrap."""
+    return (
+        f"CAST(((CAST({x} AS HUGEINT) % {_U32}) * {m} + "
+        f"(CAST({x} AS HUGEINT) // {_U32}) * {m} % {_U32} * {_U32} + {add}) "
+        f"% {_U64} AS UBIGINT)"
+    )
+
+
+def _sql_avalanche_select(inp: str, out: str) -> str:
+    """Lateral-alias chain replaying simdedup._avalanche(inp) AS out."""
+    from ..functions.simdedup import _AV1, _AV2
+
+    return (
+        f"xor({inp}, {inp} >> 30) AS _a1, "
+        f"{_sql_mm64('_a1', int(_AV1))} AS _a2, "
+        f"xor(_a2, _a2 >> 27) AS _a3, "
+        f"{_sql_mm64('_a3', int(_AV2))} AS _a4, "
+        f"xor(_a4, _a4 >> 31) AS {out}"
+    )
+
+
+def _sql_shingle_ctes(k: int) -> str:
+    """Shared WITH-clause body: documents → ASCII-whitespace tokens →
+    in-repo word hashes (vocabulary pass, like _word_hashes) → per-doc
+    k-word rolling shingle hashes, one row per occurrence (doc_id, j,
+    sh). Docs shorter than k words use their full word sequence
+    (keff = min(k, nw)); wordless docs produce no rows (handled by the
+    callers' empty-doc unions)."""
+    from ..functions.simdedup import _COMB_MULT
+
+    M = int(_COMB_MULT)
+    return f"""
+        doc AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   lower(coalesce(text, '')) AS t
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(words) AS word,
+                   unnest(range(1, len(words) + 1)) AS ord
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'),
+                                   x -> x <> '') AS words
+                FROM doc
+            )
+        ),
+        wh0 AS (
+            SELECT word,
+                   list_reduce(
+                       [CAST(0 AS UBIGINT)] ||
+                       list_transform(range(1, length(word) + 1),
+                                      i -> CAST(unicode(word[i]) AS UBIGINT)),
+                       (acc, cp) -> {_sql_mm64('acc', M, add='cp')}
+                   ) AS h0
+            FROM (SELECT DISTINCT word FROM toks)
+        ),
+        whash AS (
+            SELECT word, {_sql_avalanche_select('h0', 'wh')}
+            FROM wh0
+        ),
+        dw AS (
+            SELECT t.doc_id, list(w.wh ORDER BY t.ord) AS whs, count(*) AS nw
+            FROM toks t JOIN whash w USING (word)
+            GROUP BY t.doc_id
+        ),
+        spos AS (
+            SELECT doc_id, whs, keff, unnest(range(1, nw - keff + 2)) AS j
+            FROM (SELECT doc_id, whs, nw, LEAST({k}, nw) AS keff FROM dw)
+        ),
+        sh0 AS (
+            SELECT doc_id, j,
+                   list_reduce([CAST(0 AS UBIGINT)] || whs[j : j + keff - 1],
+                               (acc, x) -> {_sql_mm64('acc', M, add='x')}) AS r0
+            FROM spos
+        ),
+        shingles AS (
+            SELECT doc_id, j, {_sql_avalanche_select('r0', 'sh')}
+            FROM sh0
+        )"""
+
+
+def _minhash_oracle_sql(num_perm: int = 128, threshold: float = 0.8, k: int = 5) -> str:
+    """Replay minhash_lsh_pairs (pipelines/training.py) verbatim:
+    distinct shingle sets → 128-permutation MinHash ((a*x mod 2^64 + b
+    mod 2^64) mod 2^61-1, a/b from the same seeded MinHasher) → 16-band
+    keys (polynomial fold + avalanche) → bucket candidates (upper
+    triangle ≤200/bucket, min-id star above — _pairs_from_bands'
+    cap) → exact-Jaccard verify ≥ threshold with IEEE-double division
+    identical to numpy's, emitted as jaccard_micros."""
+    from ..functions.simdedup import _COMB_MULT, _MERSENNE, MinHasher
+    from .training import _derive_bands
+
+    M = int(_COMB_MULT)
+    mh = MinHasher(num_perm=num_perm)
+    bands = _derive_bands(num_perm, threshold)
+    r = num_perm // bands
+    perm_rows = ",\n                ".join(
+        f"({i}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    return f"""
+        WITH {_sql_shingle_ctes(k)},
+        sets AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        scnt AS (SELECT doc_id, count(*) AS ns FROM sets GROUP BY doc_id),
+        perms(pid, a, b) AS (
+            VALUES {perm_rows}
+        ),
+        sig AS (
+            SELECT s.doc_id, p.pid,
+                   min(CAST((p.a * s.sh + p.b) % {_U64} % {_MERSENNE} AS UBIGINT)) AS v
+            FROM sets s, perms p
+            GROUP BY s.doc_id, p.pid
+        ),
+        sig_all AS (
+            SELECT * FROM sig
+            UNION ALL
+            SELECT d.doc_id, p.pid, CAST({_U64 - 1} AS UBIGINT) AS v
+            FROM (SELECT doc_id FROM doc EXCEPT SELECT doc_id FROM dw) d, perms p
+        ),
+        sigl AS (SELECT doc_id, list(v ORDER BY pid) AS vs FROM sig_all GROUP BY doc_id),
+        bk0 AS (SELECT doc_id, unnest(range(0, {bands})) AS band_id, vs FROM sigl),
+        bk1 AS (
+            SELECT doc_id, band_id,
+                   list_reduce([CAST(0 AS UBIGINT)] ||
+                               vs[band_id * {r} + 1 : band_id * {r} + {r}],
+                               (acc, x) -> {_sql_mm64('acc', M, add='x')}) AS r0
+            FROM bk0
+        ),
+        bkey AS (
+            SELECT doc_id, band_id, {_sql_avalanche_select('r0', 'band_key')}
+            FROM bk1
+        ),
+        bstat AS (
+            SELECT doc_id, band_id, band_key,
+                   count(*) OVER (PARTITION BY band_id, band_key) AS cnt,
+                   min(doc_id) OVER (PARTITION BY band_id, band_key) AS mn
+            FROM bkey
+        ),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bstat a JOIN bstat b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+                WHERE a.cnt <= 200
+                UNION ALL
+                SELECT mn, doc_id FROM bstat WHERE cnt > 200 AND doc_id <> mn
+            )
+        ),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS ni
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.doc_a
+            JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(jac * 1000000 + 0.5) AS BIGINT) AS jaccard_micros
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CASE WHEN coalesce(na.ns, 0) + coalesce(nb.ns, 0) = 0 THEN 1.0
+                        ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
+                             / CAST(coalesce(na.ns, 0) + coalesce(nb.ns, 0)
+                                    - coalesce(i.ni, 0) AS DOUBLE)
+                   END AS jac
+            FROM cand c
+            LEFT JOIN scnt na ON na.doc_id = c.doc_a
+            LEFT JOIN scnt nb ON nb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        )
+        WHERE jac >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(k: int = 3, max_hamming: int = 3) -> str:
+    """Replay simhash_pairs (pipelines/training.py) verbatim: per-doc
+    bit votes over ALL k-shingle occurrences (2*ones - n > 0 sets the
+    bit), 4×16-bit pigeonhole bands, buckets of 2..200 docs (larger
+    buckets are skipped, as in _simhash_pairs_kernel), Hamming via
+    bit_count(xor) ≤ max_hamming."""
+    return f"""
+        WITH {_sql_shingle_ctes(k)},
+        bitpos AS (SELECT doc_id, sh, unnest(range(0, 64)) AS bit FROM shingles),
+        votes AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (sh >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM bitpos GROUP BY doc_id, bit
+        ),
+        sim0 AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0
+                                 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                                 ELSE 0 END) AS UBIGINT) AS h
+            FROM votes GROUP BY doc_id
+        ),
+        simh AS (
+            SELECT * FROM sim0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS UBIGINT) AS h
+            FROM (SELECT doc_id FROM doc EXCEPT SELECT doc_id FROM dw)
+        ),
+        keyed AS (
+            SELECT doc_id, h, band_id, (h >> (band_id * 16)) % 65536 AS band_key
+            FROM (SELECT doc_id, h, unnest(range(0, 4)) AS band_id FROM simh)
+        ),
+        bstat AS (
+            SELECT doc_id, h, band_id, band_key,
+                   count(*) OVER (PARTITION BY band_id, band_key) AS cnt
+            FROM keyed
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM bstat a JOIN bstat b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.cnt BETWEEN 2 AND 200
+          AND bit_count(xor(a.h, b.h)) <= {max_hamming}
+    """
+
+
+ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
+ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
