@@ -49,6 +49,9 @@ BENCH_SPEC = dict(
     body_filler=6000,
     image_rate_mod=4,
     max_image_side=192,
+    # zstd pages (images stay raw): ~40x smaller page payload stream;
+    # spec key change re-keys the corpus cache dir
+    pages_codec="zstd",
 )
 
 # corpus cache dir is keyed by the spec so a spec change regenerates

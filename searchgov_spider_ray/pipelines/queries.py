@@ -557,6 +557,17 @@ def doc_simhash_near_dup(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def doc_dup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment: connected components over the
+    MinHash near-dup pair graph, every doc labeled with its cluster
+    representative (min doc_id; singletons label themselves). Oracle:
+    the same pair SQL + a recursive reachability CTE."""
+    from .training import dup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_clusters(ds)
+
+
 def doc_lang_id(sf_dir: str):
     from .training import LangIdStage
 
@@ -935,6 +946,7 @@ QUERIES = {
     "top_parts_per_brand": top_parts_per_brand,
     "doc_minhash_near_dup": doc_minhash_near_dup,
     "doc_simhash_near_dup": doc_simhash_near_dup,
+    "doc_dup_clusters": doc_dup_clusters,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1531,5 +1543,30 @@ def _simhash_oracle_sql(k: int = 3, max_hamming: int = 3) -> str:
     """
 
 
+def _dup_clusters_oracle_sql() -> str:
+    """Connected components via recursive reachability: enumerate every
+    (vertex, reachable-label) pair over the symmetric MinHash pair
+    graph, take min per vertex — exact at sf0.01 scale."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            {_minhash_oracle_sql()}
+        ),
+        verts AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(v, lbl) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.v
+        )
+        SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY v
+    """
+
+
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
+ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()

@@ -541,6 +541,202 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate-cluster assignment (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def _cc_kernel(t: pa.Table) -> pa.Table:
+    """Single-block connected components over one table of vertex rows
+    (src, NULL dst) ∪ symmetric edge rows (src, dst): vectorized
+    min-label propagation — ``np.minimum.at`` per sweep, O(E) a sweep,
+    sweeps bounded by component diameter (near-dup clusters are
+    near-cliques, so 2-3 sweeps in practice)."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst_raw = t["dst"].to_numpy(zero_copy_only=False)
+    is_edge = ~pd.isna(dst_raw)
+    verts = np.unique(np.concatenate([src, dst_raw[is_edge].astype(np.int64)]))
+    labels = verts.copy()
+    a = np.searchsorted(verts, src[is_edge])
+    b = np.searchsorted(verts, dst_raw[is_edge].astype(np.int64))
+    while True:
+        prev = labels.copy()
+        m = np.minimum(labels[a], labels[b])
+        np.minimum.at(labels, a, m)
+        np.minimum.at(labels, b, m)
+        # pointer halving: chase one level of indirection per sweep so
+        # chains collapse in O(log diameter) sweeps
+        labels = np.minimum(labels, labels[np.searchsorted(verts, labels)])
+        if np.array_equal(labels, prev):
+            break
+    return pa.table(
+        {
+            "doc_id": pa.array(verts, type=pa.int64()),
+            "cluster_id": pa.array(labels, type=pa.int64()),
+        }
+    )
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    vertices: rd.Dataset,
+    id_col: str = "doc_id",
+    wide_doc_rows: int = WIDE_DOC_ROWS,
+    n_parts: int | None = None,
+    max_iters: int = 64,
+) -> rd.Dataset:
+    """(doc_id, cluster_id) for every vertex, cluster_id = min doc_id
+    reachable through the pair graph (singletons map to themselves).
+    The dedup-cluster step that follows pair generation: pick one
+    representative per cluster, drop the rest.
+
+    Narrow/wide dispatch like the pair kernels: below ``wide_doc_rows``
+    vertices, one single-block vectorized min-label kernel; above it,
+    distributed hash-partitioned min-label message passing — per
+    iteration, edge messages carry each endpoint's current label to the
+    other endpoint (partition by src to attach, partition by dst to
+    combine), converging in O(log diameter) iterations with per-round
+    early exit. Nothing is materialized on the driver; each iteration
+    is two coarse exchanges over (vertex, label) rows."""
+    n_parts = n_parts or _n_parts_default()
+
+    def vert_rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        return pa.table({"src": ids, "dst": pa.nulls(len(t), type=pa.int64())})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["doc_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["doc_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    graph = vertices.map_batches(vert_rows, batch_format="pyarrow").union(
+        pairs.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    n_verts = vertices.count()
+    if n_verts <= wide_doc_rows:
+        return graph.repartition(1).map_batches(
+            _cc_kernel, batch_format="pyarrow", batch_size=None
+        )
+
+    # ---- wide path: distributed min-label message passing ----
+    def part_of(v: np.ndarray) -> np.ndarray:
+        from ..functions.simdedup import _avalanche
+
+        return (_avalanche(v.astype(np.uint64) * _PART_SALT) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    labels = vertices.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pc.cast(t[id_col], pa.int64()),
+                "lbl": pc.cast(t[id_col], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(part_of(v)),
+                "v": t["v"],
+                "lbl": t["lbl"],
+                "dst": pa.nulls(len(t), type=pa.int64()),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(part_of(s)),
+                "v": t["src"],
+                "lbl": pa.nulls(len(t), type=pa.int64()),
+                "dst": t["dst"],
+            }
+        )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["dst"].isna()]
+        edg = group[~group["dst"].isna()]
+        if edg.empty:
+            return pd.DataFrame({"v": pd.Series([], dtype="int64"), "lbl": pd.Series([], dtype="int64")})
+        m = dict(zip(lab["v"], lab["lbl"]))
+        return pd.DataFrame(
+            {
+                "v": edg["dst"].astype("int64"),
+                "lbl": edg["v"].map(m).astype("int64"),
+            }
+        )
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        incumbent = group[group["is_lab"] == 1].set_index("v")["lbl"]
+        out = group.groupby("v", sort=False)["lbl"].min().reset_index()
+        out["changed"] = (out["v"].map(incumbent) != out["lbl"]).astype("int8")
+        return out
+
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_label, batch_format="pyarrow").union(
+            edges.map_batches(tag_edge, batch_format="pyarrow")
+        )
+        msgs = tagged.groupby("part").map_groups(attach, batch_format="pandas")
+
+        def tag_v(t: pa.Table, is_lab: int) -> pa.Table:
+            v = t["v"].to_numpy()
+            return pa.table(
+                {
+                    "part": pa.array(part_of(v)),
+                    "v": t["v"],
+                    "lbl": t["lbl"],
+                    "is_lab": pa.array(np.full(len(t), is_lab, dtype=np.int8)),
+                }
+            )
+
+        merged = (
+            labels.map_batches(lambda t: tag_v(t, 1), batch_format="pyarrow")
+            .union(msgs.map_batches(lambda t: tag_v(t, 0), batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = merged.filter(lambda r: r["changed"] == 1).count()
+        labels = merged.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["v"], "cluster_id": pc.cast(t["lbl"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dup_clusters(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kwargs,
+) -> rd.Dataset:
+    """MinHash near-dup pairs → connected components: every doc mapped
+    to its duplicate-cluster representative (min doc_id). Exact dups
+    are subsumed: identical texts share all MinHash bands, so they are
+    always candidate pairs with Jaccard 1.0."""
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    return connected_components(
+        pairs.select_columns(["doc_a", "doc_b"]), ds.select_columns([id_col]), id_col, **kwargs
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding ANN
 # --------------------------------------------------------------------------
 

@@ -157,6 +157,31 @@ class TestForcedWideParity:
         assert len(wide) > 0
         assert key(narrow) == key(wide)
 
+    def test_connected_components_wide_matches_narrow(self, ray_session):
+        # a path graph (1-2-3-4), a separate pair, and singletons —
+        # exercises multi-hop propagation, not just cliques
+        pairs = rd.from_pandas(
+            pd.DataFrame({"doc_a": [1, 2, 3, 10], "doc_b": [2, 3, 4, 11]})
+        )
+        verts = rd.from_pandas(pd.DataFrame({"doc_id": list(range(1, 15))}))
+        narrow = training.connected_components(pairs, verts).to_pandas()
+        wide = training.connected_components(
+            pairs, verts, wide_doc_rows=0, n_parts=5
+        ).to_pandas()
+        key = lambda df: sorted(
+            (int(v), int(c)) for v, c in zip(df["doc_id"], df["cluster_id"])
+        )
+        expect = [(i, 1 if i in (1, 2, 3, 4) else (10 if i in (10, 11) else i)) for i in range(1, 15)]
+        assert key(narrow) == sorted(expect)
+        assert key(wide) == key(narrow)
+
+    def test_dup_clusters_planted(self, docs_ds):
+        out = training.dup_clusters(docs_ds, threshold=0.6).to_pandas()
+        lbl = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+        assert lbl[20] == lbl[21] == lbl[22] == 20  # near-dup cluster
+        assert lbl[23] == lbl[5] == 5  # exact dup subsumed
+        assert lbl[0] == 0 and lbl[7] == 7  # singletons
+
     def test_embedding_near_dup_wide_matches_narrow(self, emb_ds):
         narrow = training.embedding_near_dup_pairs(emb_ds, threshold=0.99, n_tables=4).to_pandas()
         wide = training.embedding_near_dup_pairs(
