@@ -519,6 +519,53 @@ def events_sliding_counts(sf_dir: str):
     return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
 
 
+def events_asof_attribution(sf_dir: str):
+    """As-of join (inner): each click event matched to the same user's
+    most recent view event at or before the click — the attribution
+    join. One hash shuffle by user_id; the per-group kernel is a sorted
+    searchsorted probe (O(n log n) per group, no per-row loop).
+    Deterministic tie-break: among equal view timestamps the max
+    view_id wins (sort by (ts, event_id), side='right' probe)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], value_set=pa.array(["click", "view"]))),
+        batch_format="pyarrow",
+    )
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        v = group[group["event_type"] == "view"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        c = group[group["event_type"] == "click"]
+        empty = pd.DataFrame(
+            {
+                "click_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "view_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if v.empty or c.empty:
+            return empty
+        vts = v["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cts = c["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        idx = np.searchsorted(vts, cts, side="right") - 1
+        ok = idx >= 0
+        if not ok.any():
+            return empty
+        vid = v["event_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "click_id": c["event_id"].to_numpy()[ok],
+                "user_id": c["user_id"].to_numpy()[ok],
+                "view_id": vid[idx[ok]],
+                "gap_us": (cts[ok] - vts[idx[ok]]).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(kernel, batch_format="pandas")
+
+
 def top_parts_per_brand(sf_dir: str):
     """Per-group top-k: 3 largest parts per brand (deterministic
     tie-break on p_partkey) — the ROW_NUMBER()/QUALIFY operator as a
@@ -566,6 +613,34 @@ def doc_dup_clusters(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dup_clusters(ds)
+
+
+# rebalancing sample: downsample the dominant language, keep most of
+# the tail — shared by the query and its oracle generator
+_SAMPLE_RATE_MICROS = {"en": 250_000}
+_SAMPLE_DEFAULT_MICROS = 750_000
+
+
+def doc_sample_stratified(sf_dir: str):
+    """Deterministic hash-stratified sample of documents by language
+    (en downsampled to 25%, others kept at 75%): no shuffle, no RNG
+    state — the same rows survive under any partitioning or resume."""
+    from .training import sample_stratified
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sample_stratified(
+        ds, strata_col="lang", key_col="doc_id",
+        rate_micros=_SAMPLE_RATE_MICROS, default_micros=_SAMPLE_DEFAULT_MICROS,
+    )
+
+
+def doc_top_terms(sf_dir: str):
+    """Per-doc top-3 distinctive terms ranked (tf DESC, df ASC, term
+    ASC) — integer-exact TF-IDF core; see training.top_distinctive_terms."""
+    from .training import top_distinctive_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_distinctive_terms(ds, k=3)
 
 
 def doc_lang_id(sf_dir: str):
@@ -943,10 +1018,13 @@ QUERIES = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
+    "events_asof_attribution": events_asof_attribution,
     "top_parts_per_brand": top_parts_per_brand,
     "doc_minhash_near_dup": doc_minhash_near_dup,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_sample_stratified": doc_sample_stratified,
+    "doc_top_terms": doc_top_terms,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1117,6 +1195,19 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "events_asof_attribution": """
+        SELECT click_id, user_id, view_id, gap_us FROM (
+            SELECT c.event_id AS click_id, c.user_id,
+                   v.event_id AS view_id,
+                   CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us,
+                   row_number() OVER (PARTITION BY c.event_id
+                                      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+            FROM events c
+            JOIN events v ON v.user_id = c.user_id AND v.ts <= c.ts
+                         AND v.event_type = 'view'
+            WHERE c.event_type = 'click'
+        ) WHERE rn = 1
     """,
     "top_parts_per_brand": """
         SELECT p_brand, p_partkey, p_size
@@ -1567,6 +1658,50 @@ def _dup_clusters_oracle_sql() -> str:
     """
 
 
+def _sample_stratified_oracle_sql() -> str:
+    """Replay sample_stratified: avalanche(doc_id * SALT) % 1e6 vs the
+    per-stratum rate CASE, generated from the same rate dict."""
+    from .training import _PART_SALT
+
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {m}" for s, m in _SAMPLE_RATE_MICROS.items()
+    )
+    return f"""
+        SELECT doc_id, lang FROM (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   {_sql_mm64('doc_id', int(_PART_SALT))} AS h0,
+                   {_sql_avalanche_select('h0', 'hv')}
+            FROM documents
+        )
+        WHERE hv % 1000000 < CASE {cases} ELSE {_SAMPLE_DEFAULT_MICROS} END
+    """
+
+
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()
+ORACLES["doc_sample_stratified"] = _sample_stratified_oracle_sql()
+ORACLES["doc_top_terms"] = """
+    WITH doc AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               lower(coalesce(text, '')) AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'),
+                                  x -> x <> '')) AS term
+        FROM doc
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rank
+        FROM tf JOIN dft USING (term)
+    ) WHERE rank <= 3
+"""

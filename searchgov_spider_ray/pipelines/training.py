@@ -719,6 +719,107 @@ def connected_components(
     )
 
 
+def sample_stratified(
+    ds: rd.Dataset,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    rate_micros: dict[str, int] | None = None,
+    default_micros: int = 1_000_000,
+) -> rd.Dataset:
+    """Deterministic hash-stratified sampling: keep a row iff
+    ``avalanche(key * SALT) % 1e6 < rate_micros[stratum]`` — the
+    training-data rebalancing sampler. Embarrassingly parallel: no
+    shuffle, no RNG state, the same rows survive under any
+    partitioning, resume, or cluster size; rates are exact in
+    expectation per stratum. SQL-replayable (pipelines/queries.py
+    replays the avalanche bit-exactly)."""
+    from ..functions.simdedup import _avalanche
+
+    rates = rate_micros or {}
+
+    def kernel(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        h = _avalanche(keys.astype(np.uint64) * _PART_SALT) % np.uint64(1_000_000)
+        strata = t[strata_col].to_pandas().map(rates).fillna(default_micros).to_numpy(np.uint64)
+        return t.filter(pa.array(h < strata))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def top_distinctive_terms(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_parts: int | None = None,
+) -> rd.Dataset:
+    """Per-doc top-k distinctive terms: rank by (tf DESC, df ASC, term
+    ASC) — the integer-exact core of TF-IDF (max term frequency, min
+    corpus document frequency) with no float scoring, so the DuckDB
+    oracle replays it bit-for-bit. Two coarse exchanges: hash-partition
+    by term to attach corpus DF (one vectorized pandas transform per
+    PARTITION, not per term), then by doc to rank; the (doc, term, tf)
+    explosion is pre-aggregated inside map_batches so the shuffle
+    carries one row per distinct pair, not per token."""
+    from ..functions.simdedup import _tokenize
+
+    n_parts = n_parts or _n_parts_default()
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        toks = [_tokenize(t) for t in batch[text_col].fillna("")]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64, count=len(toks))
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "term": pd.Series([], dtype="object"),
+                    "tf": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, lens).astype(np.int64),
+                "term": np.concatenate([np.asarray(w, dtype=object) for w in toks if w]),
+            }
+        )
+        out = flat.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        out["tf"] = out["tf"].astype("int64")
+        out["part"] = (
+            pd.util.hash_array(out["term"].to_numpy(), categorize=True)
+            % np.uint64(n_parts)
+        ).astype(np.int32)
+        return out
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.copy()
+        group["df"] = group.groupby("term", sort=False)["doc_id"].transform("size").astype("int64")
+        group["part"] = (
+            _avalanche_ids(group["doc_id"].to_numpy(np.int64)) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return group
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1).astype("int64")
+        return g[["doc_id", "term", "tf", "df", "rank"]]
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    with_df = tf.groupby("part").map_groups(attach_df, batch_format="pandas")
+    return with_df.groupby("part").map_groups(topk, batch_format="pandas")
+
+
+def _avalanche_ids(v: np.ndarray) -> np.ndarray:
+    from ..functions.simdedup import _avalanche
+
+    return _avalanche(v.astype(np.uint64) * _PART_SALT)
+
+
 def dup_clusters(
     ds: rd.Dataset,
     id_col: str = "doc_id",

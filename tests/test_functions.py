@@ -262,3 +262,102 @@ class TestSlidingWindow:
         out = events_sliding_counts(str(tmp_path)).to_pandas().sort_values("event_id")
         assert out["cnt_1h"].tolist() == [1, 2, 4, 4, 1]
         assert out["sum_value_micros_1h"].tolist() == [n * 1_250_000 for n in (1, 2, 4, 4, 1)]
+
+
+class TestAsofAttribution:
+    """events_asof_attribution edge semantics: equal-ts view is
+    eligible (<=), equal-ts tie broken toward max view_id, clicks with
+    no prior view dropped (inner as-of)."""
+
+    def test_boundaries_and_ties(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from searchgov_spider_ray.pipelines.queries import events_asof_attribution
+
+        ts = pd.to_datetime(
+            [
+                "2024-01-01 00:00:00",  # e0 click: before any view -> dropped
+                "2024-01-01 00:10:00",  # e1 view
+                "2024-01-01 00:10:00",  # e2 view, same ts as e1 -> tie
+                "2024-01-01 00:10:00",  # e3 click at the views' exact ts -> matches e2
+                "2024-01-01 00:20:00",  # e4 click -> still e2
+                "2024-01-01 00:30:00",  # e5 scroll: ignored entirely
+            ]
+        ).astype("datetime64[us]")
+        df = pd.DataFrame(
+            {
+                "event_id": pd.Series(range(6), dtype="int64"),
+                "ts": ts,
+                "user_id": pd.Series([9] * 6, dtype="int64"),
+                "event_type": ["click", "view", "view", "click", "click", "scroll"],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+
+        out = events_asof_attribution(str(tmp_path)).to_pandas().sort_values("click_id")
+        assert out["click_id"].tolist() == [3, 4]
+        assert out["view_id"].tolist() == [2, 2]
+        assert out["gap_us"].tolist() == [0, 600_000_000]
+
+
+class TestStratifiedSample:
+    """sample_stratified is a pure function of (key, stratum): identical
+    survivors under any partitioning, exact per-row predicate."""
+
+    def test_partition_invariance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from searchgov_spider_ray.pipelines.training import sample_stratified
+
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(1000), dtype="int64"),
+                "lang": ["en" if i % 3 == 0 else "de" for i in range(1000)],
+            }
+        )
+        rates = {"en": 200_000}
+        one = sample_stratified(
+            rd.from_pandas(df).repartition(1), rate_micros=rates, default_micros=800_000
+        ).to_pandas()
+        many = sample_stratified(
+            rd.from_pandas(df).repartition(13), rate_micros=rates, default_micros=800_000
+        ).to_pandas()
+        assert sorted(one["doc_id"]) == sorted(many["doc_id"])
+        # rough rate sanity: strata land near their targets
+        en = one[one["lang"] == "en"]
+        de = one[one["lang"] == "de"]
+        assert 0.1 < len(en) / 334 < 0.3
+        assert 0.7 < len(de) / 666 < 0.9
+
+
+class TestTopTerms:
+    def test_tf_then_df_then_term(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from searchgov_spider_ray.pipelines.training import top_distinctive_terms
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                    "text": [
+                        "apple apple banana cherry",  # tf: apple 2 wins; banana/cherry tie on tf
+                        "banana banana cherry",
+                        "cherry date",
+                    ],
+                }
+            )
+        )
+        out = top_distinctive_terms(docs, k=2).to_pandas()
+        d0 = out[out["doc_id"] == 0].sort_values("rank")
+        # rank 1: apple (tf 2); rank 2: banana (tf 1, df 2) beats cherry (df 3)
+        assert d0["term"].tolist() == ["apple", "banana"]
+        assert d0["tf"].tolist() == [2, 1]
+        assert d0["df"].tolist() == [1, 2]
+        d2 = out[out["doc_id"] == 2].sort_values("rank")
+        # date (df 1) outranks cherry (df 3) at equal tf
+        assert d2["term"].tolist() == ["date", "cherry"]
