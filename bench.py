@@ -207,6 +207,9 @@ def run_query_bench() -> dict[str, float]:
         "doc_dedup_summary",
         "doc_token_counts",
         "doc_minhash_near_dup",
+        "doc_dup_clusters",
+        "doc_top_terms",
+        "events_asof_attribution",
         "ann_topk_brute",
         "ann_topk_ivf",
     ]

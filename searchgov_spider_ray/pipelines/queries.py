@@ -338,14 +338,54 @@ def doc_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "ws_tokens": df["text"].fillna("").str.count(r"\S+").astype(np.int64),
+                "ws_tokens": t.str.count(r"\S+").astype(np.int64),
+                # BPE-ish pretokenizer count (GPT-2 pattern simplified to
+                # explicit ASCII classes so RE2/DuckDB replays it): runs
+                # of letters, runs of digits, single other non-space
+                "bpe_tokens": t.str.count(
+                    r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
+                ).astype(np.int64),
             }
         )
 
     return ds.map_batches(kernel, batch_format="pandas")
+
+
+def doc_length_percentiles(sf_dir: str):
+    """Exact distributed percentiles (p50/p90/p99, discrete 'lower'
+    definition: the smallest value whose cumulative count reaches
+    ceil(p/100 * n)) over document length — the counting-sort shape:
+    per-block value counts inside map_batches, one tiny combine task,
+    cumulative threshold scan. At 100 TB the partials stay at
+    (blocks x distinct lengths) rows; no sort, no full-data shuffle."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.astype("int64"), "cnt": vc.to_numpy().astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    combined = _combine_partials(partials, ["v"], ["cnt"])
+
+    def pcts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v", kind="mergesort")
+        cum = df["cnt"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        out_p, out_v = [], []
+        for p in (50, 90, 99):
+            k = -(-p * n // 100)  # ceil(p*n/100) in exact int math
+            i = int(np.searchsorted(cum, k, side="left"))
+            out_p.append(p)
+            out_v.append(int(df["v"].to_numpy()[i]))
+        return pd.DataFrame(
+            {"pct": pd.Series(out_p, dtype="int64"), "n_chars": pd.Series(out_v, dtype="int64")}
+        )
+
+    return combined.repartition(1).map_batches(pcts, batch_format="pandas", batch_size=None)
 
 
 def doc_char_stats(sf_dir: str):
@@ -1025,6 +1065,7 @@ QUERIES = {
     "doc_dup_clusters": doc_dup_clusters,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_top_terms": doc_top_terms,
+    "doc_length_percentiles": doc_length_percentiles,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1113,7 +1154,9 @@ ORACLES = {
     """,
     "doc_token_counts": """
         SELECT doc_id,
-               CAST(length(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS ws_tokens
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS ws_tokens,
+               CAST(length(regexp_extract_all(COALESCE(text, ''),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v]')) AS BIGINT) AS bpe_tokens
         FROM documents
     """,
     "doc_char_stats": """
@@ -1681,6 +1724,19 @@ ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()
 ORACLES["doc_sample_stratified"] = _sample_stratified_oracle_sql()
+ORACLES["doc_length_percentiles"] = """
+    WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+    w AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+               (SELECT count(*) FROM documents) AS n
+        FROM c
+    )
+    SELECT p.pct, CAST(min(w.v) AS BIGINT) AS n_chars
+    FROM (VALUES (CAST(50 AS BIGINT)), (90), (99)) p(pct), w
+    WHERE w.cum >= (p.pct * w.n + 99) // 100
+    GROUP BY p.pct
+"""
+
 ORACLES["doc_top_terms"] = """
     WITH doc AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
