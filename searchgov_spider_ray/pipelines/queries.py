@@ -571,12 +571,24 @@ def events_asof_attribution(sf_dir: str):
         lambda b: b.filter(pc.is_in(b["event_type"], value_set=pa.array(["click", "view"]))),
         batch_format="pyarrow",
     )
+    n_parts = 64
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(np.int64)) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return df
 
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized merge_asof per coarse partition (not per user):
+        # pandas' grouped as-of is a single C pass over both sorted
+        # sides. Views sorted by (ts, event_id) so the backward match at
+        # an equal timestamp deterministically takes the max view_id.
         v = group[group["event_type"] == "view"].sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
-        c = group[group["event_type"] == "click"]
+        c = group[group["event_type"] == "click"].sort_values("ts", kind="mergesort")
         empty = pd.DataFrame(
             {
                 "click_id": pd.Series([], dtype="int64"),
@@ -587,23 +599,38 @@ def events_asof_attribution(sf_dir: str):
         )
         if v.empty or c.empty:
             return empty
-        vts = v["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        cts = c["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        idx = np.searchsorted(vts, cts, side="right") - 1
-        ok = idx >= 0
-        if not ok.any():
+        m = pd.merge_asof(
+            c[["event_id", "user_id", "ts"]],
+            v[["event_id", "user_id", "ts"]].rename(
+                columns={"event_id": "view_id", "ts": "view_ts"}
+            ),
+            left_on="ts",
+            right_on="view_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["view_id"])
+        if m.empty:
             return empty
-        vid = v["event_id"].to_numpy()
+        gap = (
+            m["ts"].astype("datetime64[us]").astype("int64")
+            - m["view_ts"].astype("datetime64[us]").astype("int64")
+        )
         return pd.DataFrame(
             {
-                "click_id": c["event_id"].to_numpy()[ok],
-                "user_id": c["user_id"].to_numpy()[ok],
-                "view_id": vid[idx[ok]],
-                "gap_us": (cts[ok] - vts[idx[ok]]).astype("int64"),
+                "click_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "view_id": m["view_id"].astype("int64"),
+                "gap_us": gap.astype("int64"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(kernel, batch_format="pandas")
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
 
 
 def top_parts_per_brand(sf_dir: str):

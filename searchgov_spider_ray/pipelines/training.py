@@ -760,7 +760,13 @@ def top_distinctive_terms(
     by term to attach corpus DF (one vectorized pandas transform per
     PARTITION, not per term), then by doc to rank; the (doc, term, tf)
     explosion is pre-aggregated inside map_batches so the shuffle
-    carries one row per distinct pair, not per token."""
+    carries one row per distinct pair, not per token.
+
+    Partitioning assumption: stopword-grade terms concentrate their
+    (doc, term) rows in one term-partition. If that skews at corpus
+    scale, compute DF separately as per-block partials (term,
+    partial_df) — a tiny combine — and broadcast-join it onto the doc
+    side instead of co-partitioning doc rows by term."""
     from ..functions.simdedup import _tokenize
 
     n_parts = n_parts or _n_parts_default()
