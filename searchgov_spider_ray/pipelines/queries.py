@@ -498,32 +498,54 @@ def doc_ngram_jaccard(sf_dir: str):
     return ds.groupby("source").map_groups(pairs, batch_format="pandas")
 
 
+def _add_user_part(df: pd.DataFrame, n_parts: int = 64) -> pd.DataFrame:
+    df = df.copy()
+    df["part"] = (
+        pd.util.hash_array(df["user_id"].to_numpy(np.int64)) % np.uint64(n_parts)
+    ).astype(np.int32)
+    return df
+
+
 def events_sessions(sf_dir: str):
     """Gap-based sessionization: per-user sessions split on >30 min
-    idle gaps (groupby(user) → map_groups sort + cumsum — the classic
-    streaming-window operator expressed as a keyed batch transform)."""
+    idle gaps. One coarse hash exchange by user, then ONE vectorized
+    run-detection kernel per PARTITION (sort by (user, ts), boundary =
+    user change or gap, segment reduce) — no per-user Python call."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
-        agg = g.groupby(sid).agg(
-            session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
-        )
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "duration_us": pd.Series([], dtype="int64"),
+                }
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > 1_800_000_000)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
         return pd.DataFrame(
             {
-                "user_id": np.repeat(g["user_id"].iloc[0], len(agg)),
-                "session_start": agg["session_start"].astype("datetime64[us]"),
-                "n_events": agg["n_events"].astype("int64"),
-                "duration_us": (
-                    agg["session_end"].astype("datetime64[us]").astype("int64")
-                    - agg["session_start"].astype("datetime64[us]").astype("int64")
-                ),
+                "user_id": uid[starts],
+                "session_start": ts[starts].astype("datetime64[us]"),
+                "n_events": (ends - starts).astype("int64"),
+                "duration_us": (ts[ends - 1] - ts[starts]).astype("int64"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 def events_sliding_counts(sf_dir: str):
@@ -531,32 +553,61 @@ def events_sliding_counts(sf_dir: str):
     count and fixed-point value sum of the same user's events in the
     trailing hour — SQL's ``COUNT(*) OVER (PARTITION BY user_id ORDER
     BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)``
-    expressed as a keyed ``map_groups`` whose kernel is two vectorized
-    ``searchsorted`` probes + a cumsum (no per-row loop, no quadratic
-    rescans). At 100 TB this shuffles once by user_id; each group kernel
-    is O(n log n) in the group's rows."""
+    computed with ONE fully vectorized kernel per coarse hash
+    PARTITION (not per user): sort by (user, ts), then remap each
+    user's timestamps onto a disjoint monotone axis (cumulative
+    per-user offset > window width) so two global ``searchsorted``
+    probes + a cumsum answer every user's frames at once — no per-user
+    Python, no quadratic rescans. One shuffle; O(n log n) per
+    partition."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    WIN = 3_600_000_000  # 1 hour in µs
 
-    def windows(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts", kind="mergesort")
+    def windows(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "cnt_1h": pd.Series([], dtype="int64"),
+                    "sum_value_micros_1h": pd.Series([], dtype="int64"),
+                }
+            )
+        uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         vm = _micros(g["value"])
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1  # group index per row
+        # disjoint monotone axis: each user's ts shifted so consecutive
+        # users are > WIN apart — RANGE frames can never cross users
+        spans = ts[np.append(starts[1:], n) - 1] - ts[starts]
+        base = np.concatenate(([0], np.cumsum(spans + WIN + 1)[:-1]))
+        shifted = ts - ts[starts][grp] + base[grp]
         # RANGE frame semantics: every row with ts in [ts_i - 1h, ts_i]
         # is in row i's frame (peers at ts_i included regardless of sort
         # position) — exactly the two searchsorted boundaries below.
-        right = np.searchsorted(ts, ts, side="right")
-        left = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        right = np.searchsorted(shifted, shifted, side="right")
+        left = np.searchsorted(shifted, shifted - WIN, side="left")
         cs = np.concatenate(([0], np.cumsum(vm)))
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
+                "user_id": uid,
                 "cnt_1h": (right - left).astype("int64"),
                 "sum_value_micros_1h": (cs[right] - cs[left]).astype("int64"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+    return (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(windows, batch_format="pandas")
+    )
 
 
 def events_asof_attribution(sf_dir: str):
