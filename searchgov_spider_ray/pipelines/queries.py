@@ -174,6 +174,66 @@ def priority_by_region(sf_dir: str):
     return _combine_partials(partials, ["r_name", "o_orderpriority"], ["n"])
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for BUILDING
+    customers. The customer side is a broadcast sorted-key filter
+    (small side), but orders ⨝ lineitem is a LARGE-LARGE
+    hash-partitioned join (pipelines/relational.hash_join): lineitem
+    revenue is pre-aggregated per (block, orderkey) inside map_batches,
+    joined to filtered orders partition-by-partition, combined inside
+    the join partition (post kernel — nothing wide leaves the
+    exchange), then a 640-row global top-10."""
+    from .relational import hash_join
+
+    cutoff = pd.Timestamp("1998-06-01")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    bkeys = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64))
+    ref = ray.put(bkeys)
+
+    class _OrderFilter:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._k is None:
+                self._k = ray.get(ref)
+            t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_in_sorted(self._k, keys)))
+            return t.select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _OrderFilter(), batch_format="pyarrow"
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        part = pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"), "rev": rev})
+        return part.groupby("o_orderkey", as_index=False).agg(revenue_cents=("rev", "sum"))
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderkey", "o_orderdate"], as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+
+    joined = hash_join(li, orders, on="o_orderkey", post=combine)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return df[["o_orderkey", "revenue_cents", "o_orderdate"]]
+
+    # per-partition rows are already combined; global top-10 over the
+    # small (≤ n_parts × keys) result in one task
+    return joined.repartition(1).map_batches(topk, batch_format="pandas", batch_size=None)
+
+
 def customers_without_orders(sf_dir: str):
     """Anti-join via broadcast key set (sitemap-diff pattern, SURVEY.md
     §2.4 A5)."""
@@ -1123,6 +1183,7 @@ QUERIES = {
     "top_spenders": top_spenders,
     "priority_by_region": priority_by_region,
     "customers_without_orders": customers_without_orders,
+    "q3_shipping_priority": q3_shipping_priority,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "part_stats_small": part_stats_small,
     "events_hourly": events_hourly,
@@ -1190,6 +1251,21 @@ ORACLES = {
     "customers_without_orders": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue_cents DESC, o_orderkey
+        LIMIT 10
     """,
     "supplier_balance_by_nation": """
         SELECT n_name,

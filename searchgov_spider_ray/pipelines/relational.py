@@ -1,0 +1,89 @@
+"""Large-large relational primitives Ray Data 2.49 lacks natively.
+
+``hash_join``: a hash-partitioned equi-join where BOTH sides are big —
+the case broadcast joins (``priority_by_region``'s searchsorted lookup,
+``stages/fetch.py``'s corpus index) don't cover. Each side is tagged and
+padded to one unified schema, unioned, coarse-partitioned by a pure
+function of the join key (so every key's rows from both sides co-locate,
+same discipline as training.py's pair kernels), and merged with ONE
+vectorized pandas merge per partition — no per-key Python, no driver
+materialization. An optional ``post`` kernel runs inside each partition
+right after the merge so partial aggregates can collapse before leaving
+the exchange (combiner pushdown).
+
+Skew note: a pathologically hot join key concentrates its rows in one
+partition; for known-skewed keys, salt the hot keys on the N:1 side and
+replicate the 1-side rows per salt — the standard fix, left to callers
+because it needs key statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.simdedup import _avalanche
+
+_JOIN_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_part(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    return (_avalanche(keys.astype(np.uint64) * _JOIN_SALT) % np.uint64(n_parts)).astype(
+        np.int32
+    )
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    n_parts: int = 64,
+    how: str = "inner",
+    post: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> rd.Dataset:
+    """Hash-partitioned equi-join on integer key ``on``; non-key column
+    names must be disjoint. ``post`` (optional) is applied to each
+    partition's merged frame before it leaves the exchange."""
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [c for c in right.schema().names if c != on]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"hash_join column name clash: {sorted(clash)}")
+    l_schema = {c: left.schema().types[left.schema().names.index(c)] for c in lcols}
+    r_schema = {c: right.schema().types[right.schema().names.index(c)] for c in rcols}
+
+    def prep(side: int, own: list[str], other_schema: dict):
+        def kernel(t: pa.Table) -> pa.Table:
+            keys = pc.cast(t[on], pa.int64())
+            n = len(t)
+            cols = {
+                on: keys,
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                "__part": pa.array(
+                    _key_part(keys.to_numpy(zero_copy_only=False), n_parts)
+                ),
+            }
+            for c in own:
+                cols[c] = t[c]
+            for c, typ in other_schema.items():
+                cols[c] = pa.nulls(n, type=typ)
+            return pa.table(cols)
+
+        return kernel
+
+    tagged = left.map_batches(prep(0, lcols, r_schema), batch_format="pyarrow").union(
+        right.map_batches(prep(1, rcols, l_schema), batch_format="pyarrow")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][[on, *lcols]]
+        r = group[group["__side"] == 1][[on, *rcols]]
+        out = l.merge(r, on=on, how=how)
+        return post(out) if post is not None else out
+
+    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")

@@ -190,3 +190,38 @@ class TestForcedWideParity:
         key = lambda df: sorted((int(a), int(b)) for a, b in zip(df["vec_a"], df["vec_b"]))
         assert (10, 50) in key(wide)
         assert key(narrow) == key(wide)
+
+
+class TestHashJoin:
+    """pipelines/relational.hash_join: large-large equi-join semantics —
+    inner match, 1:N fan-out, disjoint-column guard, post combiner."""
+
+    def test_inner_join_and_post(self, ray_session):
+        from searchgov_spider_ray.pipelines.relational import hash_join
+
+        left = rd.from_pandas(
+            pd.DataFrame({"k": pd.Series([1, 1, 2, 3], dtype="int64"),
+                          "lv": pd.Series([10, 11, 20, 30], dtype="int64")})
+        )
+        right = rd.from_pandas(
+            pd.DataFrame({"k": pd.Series([1, 2, 2, 4], dtype="int64"),
+                          "rv": pd.Series([100, 200, 201, 400], dtype="int64")})
+        )
+        out = hash_join(left, right, on="k", n_parts=3).to_pandas()
+        got = sorted(map(tuple, out[["k", "lv", "rv"]].to_numpy()))
+        # k=1: 2x1 fan-out; k=2: 1x2; k=3/4 unmatched dropped
+        assert got == [(1, 10, 100), (1, 11, 100), (2, 20, 200), (2, 20, 201)]
+
+        agg = hash_join(
+            left, right, on="k", n_parts=3,
+            post=lambda df: df.groupby("k", as_index=False).agg(s=("rv", "sum")),
+        ).to_pandas()
+        assert sorted(map(tuple, agg[["k", "s"]].to_numpy())) == [(1, 200), (2, 401)]
+
+    def test_column_clash_raises(self, ray_session):
+        from searchgov_spider_ray.pipelines.relational import hash_join
+
+        a = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+        b = rd.from_pandas(pd.DataFrame({"k": [1], "v": [3]}))
+        with pytest.raises(ValueError, match="clash"):
+            hash_join(a, b, on="k")
