@@ -80,9 +80,19 @@ def hash_join(
         right.map_batches(prep(1, rcols, l_schema), batch_format="pyarrow")
     )
 
+    def restore_ints(df: pd.DataFrame, schema: dict) -> pd.DataFrame:
+        # the union pads each side's missing columns with nulls, which
+        # promotes integer columns to float64 through pandas; cast back
+        # once the pad rows are filtered out (original nulls, if any,
+        # keep the column float — same as a plain to_pandas would)
+        for c, typ in schema.items():
+            if pa.types.is_integer(typ) and df[c].notna().all():
+                df[c] = df[c].astype("int64")
+        return df
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0][[on, *lcols]]
-        r = group[group["__side"] == 1][[on, *rcols]]
+        l = restore_ints(group[group["__side"] == 0][[on, *lcols]].copy(), l_schema)
+        r = restore_ints(group[group["__side"] == 1][[on, *rcols]].copy(), r_schema)
         out = l.merge(r, on=on, how=how)
         return post(out) if post is not None else out
 
