@@ -821,6 +821,50 @@ def doc_top_terms(sf_dir: str):
     return top_distinctive_terms(ds, k=3)
 
 
+# the curation pipeline's quality gate, shared by the Ray kernel and
+# the SQL oracle: integer-only comparisons (no ratio floats to drift)
+_CURATION_MIN_WORDS = 30
+
+
+def doc_curation_pipeline(sf_dir: str):
+    """Flagship training-data curation composition: quality gate
+    (integer word/punct/alpha thresholds) → MinHash near-dup clustering
+    (keep the min-id representative per cluster) → deterministic
+    hash-stratified sampling. Every stage is the already-verified
+    operator; the composition itself is oracle-checked end-to-end
+    (quality predicate replay → pair SQL → recursive components →
+    avalanche sample predicate)."""
+    from .relational import hash_join
+    from .training import dup_clusters, sample_stratified
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        n_chars = t.str.len().astype(np.int64)
+        n_words = t.str.count(r"\S+").astype(np.int64)
+        n_alpha = t.str.count(r"[A-Za-z]").astype(np.int64)
+        n_punct = t.str.count(r"[^A-Za-z0-9_ \t\n\r\f\v]").astype(np.int64)
+        keep = (
+            (n_words >= _CURATION_MIN_WORDS)
+            & (n_punct * 20 <= n_chars)
+            & (n_alpha * 4 >= 3 * n_chars)
+        )
+        return df[keep]
+
+    filtered = ds.map_batches(qual, batch_format="pandas").materialize()
+    clusters = dup_clusters(filtered.select_columns(["doc_id", "text"]), threshold=0.8)
+    reps = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    surviving = hash_join(reps, filtered.select_columns(["doc_id", "lang"]), on="doc_id")
+    return sample_stratified(
+        surviving, strata_col="lang", key_col="doc_id",
+        rate_micros=_SAMPLE_RATE_MICROS, default_micros=_SAMPLE_DEFAULT_MICROS,
+    )
+
+
 def doc_lang_id(sf_dir: str):
     from .training import LangIdStage
 
@@ -1205,6 +1249,7 @@ QUERIES = {
     "doc_sample_stratified": doc_sample_stratified,
     "doc_top_terms": doc_top_terms,
     "doc_length_percentiles": doc_length_percentiles,
+    "doc_curation_pipeline": doc_curation_pipeline,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1631,21 +1676,23 @@ def _sql_avalanche_select(inp: str, out: str) -> str:
     )
 
 
-def _sql_shingle_ctes(k: int) -> str:
+def _sql_shingle_ctes(k: int, doc_where: str = "") -> str:
     """Shared WITH-clause body: documents → ASCII-whitespace tokens →
     in-repo word hashes (vocabulary pass, like _word_hashes) → per-doc
     k-word rolling shingle hashes, one row per occurrence (doc_id, j,
     sh). Docs shorter than k words use their full word sequence
     (keff = min(k, nw)); wordless docs produce no rows (handled by the
-    callers' empty-doc unions)."""
+    callers' empty-doc unions). ``doc_where`` restricts the doc set
+    (the curation pipeline passes its quality predicate)."""
     from ..functions.simdedup import _COMB_MULT
 
     M = int(_COMB_MULT)
+    where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
         doc AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    lower(coalesce(text, '')) AS t
-            FROM documents
+            FROM documents {where}
         ),
         toks AS (
             SELECT doc_id, unnest(words) AS word,
@@ -1692,7 +1739,9 @@ def _sql_shingle_ctes(k: int) -> str:
         )"""
 
 
-def _minhash_oracle_sql(num_perm: int = 128, threshold: float = 0.8, k: int = 5) -> str:
+def _minhash_oracle_sql(
+    num_perm: int = 128, threshold: float = 0.8, k: int = 5, doc_where: str = ""
+) -> str:
     """Replay minhash_lsh_pairs (pipelines/training.py) verbatim:
     distinct shingle sets → 128-permutation MinHash ((a*x mod 2^64 + b
     mod 2^64) mod 2^61-1, a/b from the same seeded MinHasher) → 16-band
@@ -1712,7 +1761,7 @@ def _minhash_oracle_sql(num_perm: int = 128, threshold: float = 0.8, k: int = 5)
         for i, (a, b) in enumerate(zip(mh.a, mh.b))
     )
     return f"""
-        WITH {_sql_shingle_ctes(k)},
+        WITH {_sql_shingle_ctes(k, doc_where)},
         sets AS (SELECT DISTINCT doc_id, sh FROM shingles),
         scnt AS (SELECT doc_id, count(*) AS ns FROM sets GROUP BY doc_id),
         perms(pid, a, b) AS (
@@ -1874,10 +1923,59 @@ def _sample_stratified_oracle_sql() -> str:
     """
 
 
+_CURATION_PRED_SQL = (
+    "length(regexp_extract_all(coalesce(text, ''), '\\S+')) >= 30"
+    " AND length(regexp_extract_all(coalesce(text, ''),"
+    " '[^A-Za-z0-9_ \\t\\n\\r\\f\\v]')) * 20 <= length(coalesce(text, ''))"
+    " AND length(regexp_extract_all(coalesce(text, ''),"
+    " '[A-Za-z]')) * 4 >= 3 * length(coalesce(text, ''))"
+)
+
+
+def _curation_oracle_sql() -> str:
+    """End-to-end replay of doc_curation_pipeline: quality predicate →
+    MinHash pair SQL restricted to the surviving docs → recursive
+    connected components → min-id representatives → avalanche sample
+    predicate."""
+    from .training import _PART_SALT
+
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {m}" for s, m in _SAMPLE_RATE_MICROS.items()
+    )
+    return f"""
+        WITH RECURSIVE pairs AS (
+            {_minhash_oracle_sql(doc_where=_CURATION_PRED_SQL)}
+        ),
+        verts AS (
+            SELECT CAST(doc_id AS BIGINT) AS v FROM documents
+            WHERE {_CURATION_PRED_SQL}
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(v, lbl) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.v
+        ),
+        reps AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING min(lbl) = v)
+        SELECT doc_id, lang FROM (
+            SELECT r.doc_id, d.lang,
+                   {_sql_mm64('r.doc_id', int(_PART_SALT))} AS h0,
+                   {_sql_avalanche_select('h0', 'hv')}
+            FROM documents d JOIN reps r ON CAST(d.doc_id AS BIGINT) = r.doc_id
+        )
+        WHERE hv % 1000000 < CASE {cases} ELSE {_SAMPLE_DEFAULT_MICROS} END
+    """
+
+
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()
 ORACLES["doc_sample_stratified"] = _sample_stratified_oracle_sql()
+ORACLES["doc_curation_pipeline"] = _curation_oracle_sql()
 ORACLES["doc_length_percentiles"] = """
     WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
     w AS (

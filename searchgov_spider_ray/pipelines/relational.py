@@ -49,13 +49,26 @@ def hash_join(
     """Hash-partitioned equi-join on integer key ``on``; non-key column
     names must be disjoint. ``post`` (optional) is applied to each
     partition's merged frame before it leaves the exchange."""
+    def _arrow_type(t) -> pa.DataType:
+        # Ray's Schema.types carries Arrow types for Arrow-backed blocks
+        # but numpy dtypes / Python classes for pandas-backed ones
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
     lcols = [c for c in left.schema().names if c != on]
     rcols = [c for c in right.schema().names if c != on]
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"hash_join column name clash: {sorted(clash)}")
-    l_schema = {c: left.schema().types[left.schema().names.index(c)] for c in lcols}
-    r_schema = {c: right.schema().types[right.schema().names.index(c)] for c in rcols}
+    l_schema = {
+        c: _arrow_type(left.schema().types[left.schema().names.index(c)]) for c in lcols
+    }
+    r_schema = {
+        c: _arrow_type(right.schema().types[right.schema().names.index(c)]) for c in rcols
+    }
 
     def prep(side: int, own: list[str], other_schema: dict):
         def kernel(t: pa.Table) -> pa.Table:
