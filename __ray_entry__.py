@@ -47,8 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; crawl /
-    MinHash / SimHash / ANN entries are deliberately omitted (stateful
-    or approximate — the driver records the weaker rows-only check, and
+    """DuckDB-equivalent SQL for every SQL-expressible query — this now
+    includes bit-exact integer-arithmetic replays of MinHash/SimHash
+    near-dup, dup clustering, fingerprints, lang-ID, stratified
+    sampling, and the composed curation pipeline. Only the stateful
+    crawl/multimodal/monitor entries are omitted (rows-only check;
     pytest pins their semantics against fixtures/simulator)."""
     return dict(ORACLES)

@@ -208,6 +208,7 @@ def run_query_bench() -> dict[str, float]:
         "doc_token_counts",
         "doc_minhash_near_dup",
         "doc_dup_clusters",
+        "doc_curation_pipeline",
         "doc_top_terms",
         "events_asof_attribution",
         "ann_topk_brute",

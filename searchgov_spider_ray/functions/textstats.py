@@ -66,10 +66,10 @@ def detect_lang(text: str | None, prefix: int = 256) -> str | None:
 
 
 # --- token counting -------------------------------------------------------
-_WS_TOKEN = re.compile(r"\S+")
+_WS_TOKEN = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII: matches RE2 \S
 # BPE-ish pre-tokenizer: words / numbers / single non-space symbols
 # (the GPT-2 pre-tokenizer shape, public).
-_BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+_BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\v]")
 
 
 def token_counts(texts: pd.Series) -> pd.DataFrame:
@@ -89,7 +89,7 @@ _STOPWORDS = (
     "would their we him been has when who will more no if out so said what"
 ).split()
 _STOP_RE = re.compile(r"\b(?:" + "|".join(_STOPWORDS) + r")\b", re.IGNORECASE)
-_PUNCT_RE = re.compile(r"[^\w\s]")
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9_ \t\n\r\f\v]")  # explicit ASCII \w/\s
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 
 
@@ -155,7 +155,7 @@ def fingerprint(text: str, window: int = _FP_WINDOW) -> int:
 
 def content_hashes(texts: pd.Series) -> np.ndarray:
     """Exact-dedup key: xxhash64 of whitespace-normalized lowercase text."""
-    norm = texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    norm = texts.fillna("").str.lower().str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip()
     out = np.empty(len(norm), dtype=np.uint64)
     for i, t in enumerate(norm.to_numpy()):
         out[i] = xxhash64(t)

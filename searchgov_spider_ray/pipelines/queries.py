@@ -402,7 +402,7 @@ def doc_token_counts(sf_dir: str):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "ws_tokens": t.str.count(r"\S+").astype(np.int64),
+                "ws_tokens": t.str.count(r"[^ \t\n\r\f\v]+").astype(np.int64),
                 # BPE-ish pretokenizer count (GPT-2 pattern simplified to
                 # explicit ASCII classes so RE2/DuckDB replays it): runs
                 # of letters, runs of digits, single other non-space
@@ -484,8 +484,8 @@ def doc_quality_scores(sf_dir: str):
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("")
         n_chars = t.str.len().astype(np.int64)
-        n_words = t.str.count(r"\S+").astype(np.int64)
-        n_punct = t.str.count(r"[^A-Za-z0-9_\s]").astype(np.int64)
+        n_words = t.str.count(r"[^ \t\n\r\f\v]+").astype(np.int64)
+        n_punct = t.str.count(r"[^A-Za-z0-9_ \t\n\r\f\v]").astype(np.int64)
         n_stop = t.str.lower().str.count(stop_re).astype(np.int64)
         n_alpha = t.str.count(r"[A-Za-z]").astype(np.int64)
         dc = np.maximum(n_chars.to_numpy(), 1).astype(np.float64)
@@ -842,7 +842,7 @@ def doc_curation_pipeline(sf_dir: str):
     def qual(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("")
         n_chars = t.str.len().astype(np.int64)
-        n_words = t.str.count(r"\S+").astype(np.int64)
+        n_words = t.str.count(r"[^ \t\n\r\f\v]+").astype(np.int64)
         n_alpha = t.str.count(r"[A-Za-z]").astype(np.int64)
         n_punct = t.str.count(r"[^A-Za-z0-9_ \t\n\r\f\v]").astype(np.int64)
         keep = (
@@ -1353,7 +1353,8 @@ ORACLES = {
     """,
     "doc_token_counts": """
         SELECT doc_id,
-               CAST(length(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS ws_tokens,
+               CAST(length(regexp_extract_all(COALESCE(text, ''),
+                    '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS ws_tokens,
                CAST(length(regexp_extract_all(COALESCE(text, ''),
                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v]')) AS BIGINT) AS bpe_tokens
         FROM documents
@@ -1924,7 +1925,7 @@ def _sample_stratified_oracle_sql() -> str:
 
 
 _CURATION_PRED_SQL = (
-    "length(regexp_extract_all(coalesce(text, ''), '\\S+')) >= 30"
+    "length(regexp_extract_all(coalesce(text, ''), '[^ \\t\\n\\r\\f\\v]+')) >= 30"
     " AND length(regexp_extract_all(coalesce(text, ''),"
     " '[^A-Za-z0-9_ \\t\\n\\r\\f\\v]')) * 20 <= length(coalesce(text, ''))"
     " AND length(regexp_extract_all(coalesce(text, ''),"
