@@ -65,6 +65,128 @@ def detect_lang(text: str | None, prefix: int = 256) -> str | None:
     return best if best_score > 0.05 else None
 
 
+# Vectorized batch variant of detect_lang. Trigrams are packed into a
+# single uint64 key per gram (three codepoints, 21 bits each — max
+# codepoint 0x10FFFF < 2^21), counted with one lexsort + run-length pass
+# over the whole batch. All dot products and squared norms are exact
+# integer sums far below 2^53, and the score uses the identical
+# ``dot / (norm * vnorm)`` double expression with first-profile
+# tie-breaking (np.argmax returns the first max, matching the scalar
+# ``score > best_score`` loop) — so results are bit-identical to
+# detect_lang and to the DuckDB oracle that replays it.
+_LANG_NAMES = list(_LANG_VECS)
+_LANG_VNORMS = np.array(
+    [sum(v * v for v in vec.values()) ** 0.5 for vec in _LANG_VECS.values()], dtype=np.float64
+)
+
+
+def _pack3(codes: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (codes[pos] << np.uint64(42)) | (codes[pos + 1] << np.uint64(21)) | codes[pos + 2]
+
+
+def _prof_tables() -> tuple[np.ndarray, np.ndarray]:
+    keys = sorted({g for vec in _LANG_VECS.values() for g in vec})
+    karr = np.empty(len(keys), dtype=np.uint64)
+    for i, g in enumerate(keys):
+        c = np.frombuffer(g.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        karr[i] = (c[0] << np.uint64(42)) | (c[1] << np.uint64(21)) | c[2]
+    order = np.argsort(karr)
+    karr = karr[order]
+    mat = np.zeros((len(keys), len(_LANG_NAMES)), dtype=np.int64)
+    for r, i in enumerate(order):
+        for j, vec in enumerate(_LANG_VECS.values()):
+            mat[r, j] = vec.get(keys[i], 0)
+    return karr, mat
+
+
+_PROF_KEYS, _PROF_MAT = _prof_tables()
+
+
+def detect_lang_batch(texts: pd.Series, prefix: int = 256) -> np.ndarray:
+    """Vectorized detect_lang over a Series: object array of 2-letter
+    codes / None, bit-identical to the scalar function per row.
+
+    One pass: dictionary-encode codepoints through a dense LUT (max
+    codepoint is 0x10FFFF, so the LUT is at most ~9 MB and never needs a
+    sort), form trigram ids by slice-shift arithmetic (< K^3), then ONE
+    np.sort of ``doc_idx * K^3 + gram_id`` yields per-(doc, gram) counts
+    by run-length — no lexsort, no gathers in the hot path."""
+    raw = texts.to_numpy(dtype=object)
+    n_docs = len(raw)
+    out = np.full(n_docs, None, dtype=object)
+    eligible = np.fromiter(
+        (isinstance(t, str) and len(t) >= 8 for t in raw), dtype=bool, count=n_docs
+    )
+    if not eligible.any():
+        return out
+    # prefix FIRST, then lower() — str.lower can change length (e.g. İ),
+    # and the scalar kernel + SQL oracle both slice before lowering.
+    el = np.flatnonzero(eligible)
+    lowered = [raw[i][:prefix].lower() for i in el]
+    lens = np.fromiter((len(t) for t in lowered), dtype=np.int64, count=len(lowered))
+    joined = "".join(lowered)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    n = len(codes)
+    # dense codepoint dictionary: rank in sorted distinct-codepoint order
+    present = np.zeros(int(codes.max()) + 1, dtype=bool)
+    present[codes] = True
+    uc = np.flatnonzero(present)
+    k = len(uc)
+    if len(lowered) * k * k * k >= 2**63:  # combined key would overflow (needs
+        # ~50k distinct codepoints AND ~75k docs in one batch) — scalar fallback
+        out[el] = [detect_lang(raw[i], prefix) for i in el]
+        return out
+    lut = np.zeros(len(present), dtype=np.int64)
+    lut[uc] = np.arange(k)
+    cr = lut[codes]
+    # trigram ids at every position, minus the 2 positions per doc that
+    # straddle a boundary (lens >= 8 always: len(text) >= 8 pre-slice and
+    # str.lower never maps one char to zero)
+    gram = (cr[: n - 2] * k + cr[1 : n - 1]) * k + cr[2:]
+    ends = np.cumsum(lens)
+    valid = np.ones(n - 2, dtype=bool)
+    valid[ends[:-1] - 1] = False
+    valid[ends[:-1] - 2] = False
+    doc_idx = np.repeat(np.arange(len(lowered)), lens)[: n - 2][valid]
+    combined = np.sort(doc_idx * (k * k * k) + gram[valid])
+    total = len(combined)
+    new = np.empty(total, dtype=bool)
+    new[0] = True
+    np.not_equal(combined[1:], combined[:-1], out=new[1:])
+    run_idx = np.flatnonzero(new)
+    cnts = np.diff(np.append(run_idx, total))
+    run_docs = combined[run_idx] // (k * k * k)
+    run_grams = combined[run_idx] % (k * k * k)
+    norm = np.sqrt(np.bincount(run_docs, weights=(cnts * cnts).astype(np.float64), minlength=len(lowered)))
+    norm[norm == 0.0] = 1.0
+    # profile grams re-encoded into this batch's dictionary (a gram whose
+    # codepoint is absent from the batch can never match — dropped)
+    prof_rows = []
+    prof_ids = []
+    for r, key in enumerate(_PROF_KEYS):
+        c0, c1, c2 = int(key >> np.uint64(42)), int((key >> np.uint64(21)) & np.uint64(0x1FFFFF)), int(key & np.uint64(0x1FFFFF))
+        if c0 < len(present) and c1 < len(present) and c2 < len(present) and present[c0] and present[c1] and present[c2]:
+            prof_ids.append((lut[c0] * k + lut[c1]) * k + lut[c2])
+            prof_rows.append(r)
+    scores = np.zeros((len(lowered), len(_LANG_NAMES)), dtype=np.float64)
+    if prof_ids:
+        pid = np.array(prof_ids, dtype=np.int64)
+        order = np.argsort(pid)
+        pid, prow = pid[order], np.array(prof_rows, dtype=np.int64)[order]
+        p = np.searchsorted(pid, run_grams)
+        p_c = np.minimum(p, len(pid) - 1)
+        hit = pid[p_c] == run_grams
+        dots = np.zeros_like(scores)
+        np.add.at(dots, run_docs[hit], cnts[hit, None].astype(np.float64) * _PROF_MAT[prow[p_c[hit]]])
+        scores = dots / (norm[:, None] * _LANG_VNORMS[None, :])
+    best = np.argmax(scores, axis=1)
+    best_score = scores[np.arange(len(lowered)), best]
+    names = np.array(_LANG_NAMES, dtype=object)
+    picked = np.where(best_score > 0.05, names[best], None)
+    out[el] = picked
+    return out
+
+
 # --- token counting -------------------------------------------------------
 _WS_TOKEN = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII: matches RE2 \S
 # BPE-ish pre-tokenizer: words / numbers / single non-space symbols

@@ -1120,15 +1120,17 @@ def text_stats(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -
 
 class LangIdStage:
     """Actor-shaped language-ID stage (profiles built once per worker;
-    here the 'model' is the trigram profile table)."""
+    here the 'model' is the trigram profile table). The whole batch is
+    scored in one vectorized pass (packed-trigram lexsort + profile
+    matmul), bit-identical to the scalar detect_lang per row."""
 
     def __init__(self):
         from ..functions import textstats as _ts
 
-        self._detect = _ts.detect_lang
+        self._detect = _ts.detect_lang_batch
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lang_pred"] = [self._detect(t) for t in batch["text"]]
+        batch["lang_pred"] = self._detect(batch["text"])
         return batch
 
 
