@@ -19,7 +19,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from .hashing import xxhash64
+from .hashing import xxhash64, xxhash64_array
 
 # --- language ID: cosine over character-trigram profiles ------------------
 # Tiny deterministic profiles for the languages present in the synthetic
@@ -278,7 +278,4 @@ def fingerprint(text: str, window: int = _FP_WINDOW) -> int:
 def content_hashes(texts: pd.Series) -> np.ndarray:
     """Exact-dedup key: xxhash64 of whitespace-normalized lowercase text."""
     norm = texts.fillna("").str.lower().str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip()
-    out = np.empty(len(norm), dtype=np.uint64)
-    for i, t in enumerate(norm.to_numpy()):
-        out[i] = xxhash64(t)
-    return out
+    return xxhash64_array(norm.to_numpy(dtype=object))

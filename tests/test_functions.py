@@ -37,6 +37,20 @@ class TestXXHash64:
         assert arr.dtype == np.uint64
         assert [int(v) for v in arr] == [xxhash64(u) for u in urls]
 
+    def test_array_matches_scalar_all_tail_classes(self):
+        # every length 0..96 hits every (stripe, 8-byte, 4-byte, 1-byte)
+        # tail combination of the spec; mixed lengths exercise the
+        # length-sorted lockstep prefixes and the un-permute
+        import random
+
+        rng = random.Random(123)
+        vals = [bytes(rng.randrange(256) for _ in range(n)) for n in range(97)]
+        vals += [bytes(rng.randrange(256) for _ in range(n)) for n in (255, 256, 4096, 4097)]
+        rng.shuffle(vals)
+        for seed in (0, 7, 2**64 - 1):
+            arr = xxhash64_array(vals, seed)
+            assert [int(v) for v in arr] == [xxhash64(v, seed) for v in vals]
+
     def test_ids(self):
         assert sha256_hex("abc") == (
             "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
