@@ -189,9 +189,10 @@ def detect_lang_batch(texts: pd.Series, prefix: int = 256) -> np.ndarray:
 
 # --- token counting -------------------------------------------------------
 _WS_TOKEN = re.compile(r"[^ \t\n\r\f\v]+")  # explicit ASCII: matches RE2 \S
-# BPE-ish pre-tokenizer: words / numbers / single non-space symbols
-# (the GPT-2 pre-tokenizer shape, public).
-_BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\v]")
+# BPE-ish pre-tokenizer: letter runs / digit runs / single non-space
+# symbols (the GPT-2 pre-tokenizer shape, public) — digit RUNS, matching
+# the doc_token_counts kernel and its DuckDB oracle (queries.py) exactly.
+_BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]")
 
 
 def token_counts(texts: pd.Series) -> pd.DataFrame:

@@ -865,6 +865,18 @@ def doc_curation_pipeline(sf_dir: str):
     )
 
 
+def doc_pack_windows(sf_dir: str):
+    """Sequence packing: concatenate docs in doc_id order and cut fixed
+    512-token context windows (LLM pre-training concat-and-chunk),
+    emitting one (doc_id, window_id, tok_start, n_toks) row per span.
+    Distributed two-pass prefix sum over coarse range partitions —
+    see training.pack_windows."""
+    from .training import pack_windows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_windows(ds, capacity=512)
+
+
 def doc_lang_id(sf_dir: str):
     from .training import LangIdStage
 
@@ -1250,6 +1262,7 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "doc_length_percentiles": doc_length_percentiles,
     "doc_curation_pipeline": doc_curation_pipeline,
+    "doc_pack_windows": doc_pack_windows,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1566,6 +1579,30 @@ ORACLES = {
         SELECT doc_id, fingerprint FROM short
         UNION ALL
         SELECT doc_id, fingerprint FROM long
+    """,
+    "doc_pack_windows": """
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(COALESCE(text, ''),
+                        '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS t
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, t,
+                   SUM(t) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS s
+            FROM toks WHERE t > 0
+        ),
+        spans AS (
+            SELECT doc_id, t, s,
+                   (s // 512) + unnest(range(CAST(0 AS BIGINT),
+                        CAST(((s + t - 1) // 512) - (s // 512) + 1 AS BIGINT))) AS window_id
+            FROM cum
+        )
+        SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+               CAST(GREATEST(window_id*512 - s, 0) AS BIGINT) AS tok_start,
+               CAST(LEAST((window_id+1)*512, s+t) - GREATEST(window_id*512, s) AS BIGINT) AS n_toks
+        FROM spans
     """,
     "sitemap_diff": """
         WITH cur AS (

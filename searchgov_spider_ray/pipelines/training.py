@@ -1143,3 +1143,92 @@ def doc_fingerprints(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "te
         return batch.select([id_col]).append_column("fingerprint", pa.array(fps, type=pa.uint64()))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into fixed token windows)
+# --------------------------------------------------------------------------
+
+
+def pack_windows(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    part_size: int = 4096,
+) -> rd.Dataset:
+    """Pack the corpus into fixed ``capacity``-token context windows the
+    way LLM pre-training does: concatenate documents in deterministic
+    ``id_col`` order and cut every ``capacity`` whitespace tokens, so a
+    document may span windows. Emits one row per (doc, window) span:
+    ``(doc_id, window_id, tok_start, n_toks)`` where ``tok_start`` is
+    the offset of the span inside the document. Zero-token docs emit
+    nothing.
+
+    Distributed as a classic two-pass prefix sum — no all-corpus sort,
+    no driver materialization of doc data:
+
+    1. one streaming pass computes per-RANGE-partition token totals
+       (``p = doc_id // part_size``) via in-batch partial sums; only
+       the tiny (n_docs/part_size)-row partial table reaches the
+       driver, where exclusive partition offsets are an O(P) cumsum
+       (at 10^10 docs raise ``part_size`` so P stays ~10^5-10^6);
+    2. a ``groupby(p)`` exchange co-locates each contiguous id range,
+       and ONE vectorized kernel per partition (never per doc) turns
+       local cumsums + the broadcast partition offset into window
+       spans by integer arithmetic (exact — replayable in SQL, see
+       the doc_pack_windows oracle in pipelines/queries.py).
+    """
+    import re as _re
+
+    ws = _re.compile(r"[^ \t\n\r\f\v]+")
+
+    def tok_kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "t": batch[text_col].fillna("").str.count(ws).astype("int64"),
+                "p": ids // part_size,
+            }
+        )
+
+    toks = ds.map_batches(tok_kernel, batch_format="pandas")
+
+    def part_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("p", sort=False)["t"].sum()
+        return pd.DataFrame({"p": g.index.astype("int64"), "part_t": g.to_numpy()})
+
+    partials = toks.map_batches(part_partials, batch_format="pandas").to_pandas()
+    totals = partials.groupby("p", sort=True)["part_t"].sum()
+    offsets = totals.cumsum() - totals  # exclusive prefix per partition
+    off_keys = offsets.index.to_numpy(dtype=np.int64)
+    off_vals = offsets.to_numpy(dtype=np.int64)
+    off_ref = ray.put((off_keys, off_vals))
+    cap = int(capacity)
+
+    def span_kernel(group: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = ray.get(off_ref)
+        g = group.sort_values(id_col, kind="mergesort")
+        t = g["t"].to_numpy(dtype=np.int64)
+        base = vals[np.searchsorted(keys, int(g["p"].iloc[0]))]
+        s = base + np.cumsum(t) - t  # global token start per doc
+        keep = t > 0
+        t, s, ids = t[keep], s[keep], g[id_col].to_numpy(dtype=np.int64)[keep]
+        first_w = s // cap
+        n_spans = (s + t - 1) // cap - first_w + 1
+        doc_rep = np.repeat(np.arange(len(ids)), n_spans)
+        local = np.arange(int(n_spans.sum())) - np.repeat(np.cumsum(n_spans) - n_spans, n_spans)
+        win = first_w[doc_rep] + local
+        tok_start = np.maximum(win * cap - s[doc_rep], 0)
+        n_toks = np.minimum((win + 1) * cap, (s + t)[doc_rep]) - np.maximum(win * cap, s[doc_rep])
+        return pd.DataFrame(
+            {
+                id_col: ids[doc_rep],
+                "window_id": win,
+                "tok_start": tok_start,
+                "n_toks": n_toks,
+            }
+        )
+
+    return toks.groupby("p").map_groups(span_kernel, batch_format="pandas")

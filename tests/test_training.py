@@ -225,3 +225,36 @@ class TestHashJoin:
         b = rd.from_pandas(pd.DataFrame({"k": [1], "v": [3]}))
         with pytest.raises(ValueError, match="clash"):
             hash_join(a, b, on="k")
+
+
+class TestPackWindows:
+    def test_invariants_and_partitioning(self, ray_session):
+        rng = np.random.RandomState(11)
+        n = 300
+        texts = [" ".join(f"w{j}" for j in range(rng.randint(0, 120))) for _ in range(n)]
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+        out = (
+            training.pack_windows(rd.from_pandas(df), capacity=64, part_size=37)
+            .to_pandas()
+            .sort_values(["doc_id", "window_id"])
+            .reset_index(drop=True)
+        )
+        toks = df["text"].str.count(r"[^ \t\n\r\f\v]+").astype(np.int64)
+        # every nonzero-token doc appears; zero-token docs don't
+        assert set(out["doc_id"]) == set(df.loc[toks > 0, "doc_id"])
+        # per-doc spans reassemble the doc exactly, in order, no overlap
+        for d, g in out.groupby("doc_id"):
+            assert g["tok_start"].iloc[0] == 0
+            assert (g["tok_start"].to_numpy()[1:] ==
+                    (g["tok_start"] + g["n_toks"]).to_numpy()[:-1]).all()
+            assert g["n_toks"].sum() == toks[d]
+        # every window except the last is exactly full
+        per_win = out.groupby("window_id")["n_toks"].sum()
+        assert (per_win.iloc[:-1] == 64).all()
+        assert per_win.sum() == toks.sum()
+        # concat order is doc_id order: each doc's global start (= total
+        # tokens of smaller ids) falls inside its first span's window
+        firsts = out.loc[out.groupby("doc_id")["window_id"].idxmin()].sort_values("doc_id")
+        exp = np.concatenate(([0], np.cumsum(toks[toks > 0].to_numpy())[:-1]))
+        w0 = firsts["window_id"].to_numpy()
+        assert ((exp >= w0 * 64) & (exp < w0 * 64 + 64)).all()
