@@ -276,6 +276,46 @@ def fingerprint(text: str, window: int = _FP_WINDOW) -> int:
     return int(h.min())
 
 
+def fingerprint_batch(texts) -> np.ndarray:
+    """Vectorized winnowing fingerprints for a sequence of texts —
+    bit-identical to ``fingerprint`` per row. All docs' codepoints are
+    concatenated once; short docs (≤64 chars) become right-aligned rows
+    of one zero-padded matrix (a leading zero contributes 0 to the
+    polynomial, preserving the exact hash); long docs' windows are rows
+    of a global sliding view gathered at per-doc strided starts. One
+    matmul mod P each, then per-doc min via ``np.minimum.reduceat``."""
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    strs = [t if isinstance(t, str) else "" for t in texts]
+    lens = np.fromiter((len(t) for t in strs), dtype=np.int64, count=n_docs)
+    if not lens.any():
+        return out
+    joined = "".join(strs)
+    codes = (np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) & 255).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    short = np.flatnonzero((lens > 0) & (lens <= _FP_WINDOW))
+    if len(short):
+        mat = np.zeros((len(short), _FP_WINDOW), dtype=np.int64)
+        # right-align each short doc so code[j] pairs with B^(n-1-j)
+        cols = np.arange(_FP_WINDOW)[None, :]
+        mask = cols >= (_FP_WINDOW - lens[short])[:, None]
+        flat = np.concatenate([codes[starts[i] : starts[i] + lens[i]] for i in short])
+        mat[mask] = flat
+        out[short] = (mat @ _FP_POWS[::-1] % _FP_P).astype(np.uint64)
+    long = np.flatnonzero(lens > _FP_WINDOW)
+    if len(long):
+        step = _FP_WINDOW // 2
+        view = np.lib.stride_tricks.sliding_window_view(codes, _FP_WINDOW)
+        nwin = (lens[long] - _FP_WINDOW) // step + 1
+        doc_rep = np.repeat(np.arange(len(long)), nwin)
+        local = np.arange(int(nwin.sum())) - np.repeat(np.cumsum(nwin) - nwin, nwin)
+        win_starts = starts[long][doc_rep] + local * step
+        h = view[win_starts] @ _FP_POWS[::-1] % _FP_P
+        bounds = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        out[long] = np.minimum.reduceat(h, bounds).astype(np.uint64)
+    return out
+
+
 def content_hashes(texts: pd.Series) -> np.ndarray:
     """Exact-dedup key: xxhash64 of whitespace-normalized lowercase text."""
     norm = texts.fillna("").str.lower().str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip()

@@ -1135,11 +1135,10 @@ class LangIdStage:
 
 
 def doc_fingerprints(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    from ..functions.textstats import fingerprint_batch
+
     def kernel(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        fps = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            fps[i] = fingerprint(t or "")
+        fps = fingerprint_batch(batch[text_col].to_pylist())
         return batch.select([id_col]).append_column("fingerprint", pa.array(fps, type=pa.uint64()))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
