@@ -877,6 +877,17 @@ def doc_pack_windows(sf_dir: str):
     return pack_windows(ds, capacity=512)
 
 
+def events_user_hll(sf_dir: str):
+    """HyperLogLog register table over events.user_id — the sketch
+    STATE is integer-exact and deterministic, so the oracle replays it
+    bit-for-bit (avalanche hash, leading-zero rank via bin/instr);
+    the float estimate on top is pinned by pytest vs exact distinct."""
+    from .training import hll_registers
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return hll_registers(ds, "user_id")
+
+
 def doc_lang_id(sf_dir: str):
     from .training import LangIdStage
 
@@ -1263,6 +1274,7 @@ QUERIES = {
     "doc_length_percentiles": doc_length_percentiles,
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_pack_windows": doc_pack_windows,
+    "events_user_hll": events_user_hll,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -2009,6 +2021,30 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def _hll_oracle_sql() -> str:
+    """Replay hll_registers bit-for-bit: salted splitmix64 avalanche,
+    bucket = top 12 bits, rho = leading-zero rank of the low 52 bits
+    (exact integer logic via bin/instr — no float log), max per bucket."""
+    from ..functions.sketch import HLL_SALT, _W_BITS
+
+    w_mod = 1 << _W_BITS
+    return f"""
+        SELECT bucket, MAX(rho) AS rho FROM (
+            SELECT CAST(hv >> {_W_BITS} AS BIGINT) AS bucket,
+                   CAST(CAST(hv AS HUGEINT) % {w_mod} AS BIGINT) AS w,
+                   CASE WHEN CAST(hv AS HUGEINT) % {w_mod} = 0 THEN {_W_BITS + 1}
+                        ELSE CAST(instr(lpad(bin(CAST(CAST(hv AS HUGEINT) % {w_mod} AS BIGINT)),
+                             {_W_BITS}, '0'), '1') AS BIGINT) END AS rho
+            FROM (
+                SELECT {_sql_mm64('user_id', int(HLL_SALT))} AS h0,
+                       {_sql_avalanche_select('h0', 'hv')}
+                FROM events
+            )
+        ) GROUP BY bucket
+    """
+
+
+ORACLES["events_user_hll"] = _hll_oracle_sql()
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()

@@ -258,3 +258,44 @@ class TestPackWindows:
         exp = np.concatenate(([0], np.cumsum(toks[toks > 0].to_numpy())[:-1]))
         w0 = firsts["window_id"].to_numpy()
         assert ((exp >= w0 * 64) & (exp < w0 * 64 + 64)).all()
+
+
+class TestHLL:
+    def test_estimate_within_error_bound(self, ray_session):
+        from searchgov_spider_ray.functions.sketch import HLL_M, hll_estimate, hll_partial
+
+        for n_true in (50, 1000, 20000):
+            keys = np.arange(n_true, dtype=np.int64) * 7919 + 13
+            regs = np.zeros(HLL_M, dtype=np.int64)
+            b, r = hll_partial(keys)
+            np.maximum.at(regs, b, r)
+            est = hll_estimate(regs)
+            # p=12 → σ ≈ 1.63%; allow 5σ
+            assert abs(est - n_true) / n_true < 0.082, (n_true, est)
+
+    def test_merge_equals_single_pass_and_dup_insensitive(self, ray_session):
+        from searchgov_spider_ray.functions.sketch import hll_merge, hll_partial
+
+        keys = np.arange(5000, dtype=np.int64)
+        whole = hll_merge([hll_partial(keys)])
+        parts = hll_merge([hll_partial(keys[:2000]), hll_partial(keys[2000:]),
+                           hll_partial(keys[::3])])  # re-inserting dups changes nothing
+        assert (whole == parts).all()
+
+    def test_distributed_matches_local(self, ray_session):
+        import ray.data as rd
+
+        from searchgov_spider_ray.functions.sketch import HLL_M, hll_estimate, hll_partial
+        from searchgov_spider_ray.pipelines import training
+
+        df = pd.DataFrame({"user_id": np.arange(3000, dtype=np.int64) % 997})
+        ds = rd.from_pandas(df).repartition(7)
+        got = training.hll_registers(ds, "user_id").to_pandas().sort_values("bucket")
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        b, r = hll_partial(df["user_id"].to_numpy())
+        np.maximum.at(regs, b, r)
+        nz = np.flatnonzero(regs)
+        assert got["bucket"].tolist() == nz.tolist()
+        assert got["rho"].tolist() == regs[nz].tolist()
+        est = training.approx_distinct(ds, "user_id")
+        assert abs(est - 997) / 997 < 0.082
