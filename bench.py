@@ -52,6 +52,9 @@ BENCH_SPEC = dict(
     # zstd pages (images stay raw): ~40x smaller page payload stream;
     # spec key change re-keys the corpus cache dir
     pages_codec="zstd",
+    # small image row groups bound sparse-round payload-gather read
+    # amplification (was ~500 rows ≈ 12 MB per 25 KB image hit)
+    image_rg_rows=64,
 )
 
 # corpus cache dir is keyed by the spec so a spec change regenerates

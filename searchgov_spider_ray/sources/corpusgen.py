@@ -57,6 +57,12 @@ class CorpusSpec:
     # for measured scaling on one box. Image payloads stay uncompressed
     # (pseudorandom bytes, 0% gain, pure decompress overhead).
     pages_codec: str = "zstd"
+    # Image-file parquet row-group rows. Payload gathers read whole row
+    # groups, so sparse rounds pay (rg_rows × image_size) per image hit:
+    # at the default ~500-row groups a 400-seed round read ~5 GB for
+    # 400×25 KB of images (measured ~6 s flat). Small groups bound the
+    # amplification; dense rounds still stream the file sequentially.
+    image_rg_rows: int = 64
 
     def domains(self) -> list[str]:
         return [f"site{i}.example.gov" for i in range(self.n_domains)]
@@ -331,10 +337,10 @@ def generate_corpus(out_dir: str | Path, spec: CorpusSpec | None = None, chunk: 
             # stored as int64 per input_hint (two's-complement of uint64).
             irows["phash"].append(np.uint64(phash64(decoded)).astype(np.int64).item())
             if len(irows["image_id"]) >= 10_000:
-                iwriter.write_table(pa.table(irows, schema=img_schema))
+                iwriter.write_table(pa.table(irows, schema=img_schema), row_group_size=spec.image_rg_rows)
                 irows = {k: [] for k in img_schema.names}
         if irows["image_id"]:
-            iwriter.write_table(pa.table(irows, schema=img_schema))
+            iwriter.write_table(pa.table(irows, schema=img_schema), row_group_size=spec.image_rg_rows)
     finally:
         iwriter.close()
     if HAVE_LANCE:  # pragma: no cover - lance absent in this container
