@@ -877,6 +877,41 @@ def doc_pack_windows(sf_dir: str):
     return pack_windows(ds, capacity=512)
 
 
+def events_range_join(sf_dir: str):
+    """Interval (range) join — the non-equi join Ray Data lacks: every
+    event matched to each OVERLAPPING 2-hour activity window anchored at
+    a busy hour (hours with ≥20 events; windows overlap, so this can't
+    collapse to an equi-join on a bucket key). The window side is tiny
+    and broadcast; each point batch matches via two searchsorted probes
+    (relational.range_join_intervals)."""
+    from .relational import range_join_intervals
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["ts"].dt.floor("h").value_counts()
+        return pd.DataFrame({"hh": g.index, "n": g.to_numpy()})
+
+    hourly = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["hh"], ["n"]
+    ).to_pandas()
+    busy = hourly[hourly["n"] >= 20]
+    start_us = busy["hh"].astype("datetime64[us]").astype("int64").to_numpy()
+    iv = pd.DataFrame({"win_start": start_us, "win_end": start_us + 2 * 3600 * 1_000_000})
+
+    pts = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = range_join_intervals(pts, iv, ts_col="ts_us")
+    return joined.select_columns(["event_id", "win_start"])
+
+
 def events_user_hll(sf_dir: str):
     """HyperLogLog register table over events.user_id — the sketch
     STATE is integer-exact and deterministic, so the oracle replays it
@@ -1275,6 +1310,7 @@ QUERIES = {
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_pack_windows": doc_pack_windows,
     "events_user_hll": events_user_hll,
+    "events_range_join": events_range_join,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1591,6 +1627,20 @@ ORACLES = {
         SELECT doc_id, fingerprint FROM short
         UNION ALL
         SELECT doc_id, fingerprint FROM long
+    """,
+    "events_range_join": """
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hh, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        busy AS (
+            SELECT epoch_us(hh) AS win_start,
+                   epoch_us(hh) + 7200000000 AS win_end
+            FROM h WHERE n >= 20
+        )
+        SELECT e.event_id, b.win_start
+        FROM events e
+        JOIN busy b ON epoch_us(e.ts) >= b.win_start AND epoch_us(e.ts) < b.win_end
     """,
     "doc_pack_windows": """
         WITH toks AS (

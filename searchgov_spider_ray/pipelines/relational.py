@@ -110,3 +110,64 @@ def hash_join(
         return post(out) if post is not None else out
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+
+
+def range_join_intervals(
+    points: rd.Dataset,
+    intervals: pd.DataFrame,
+    ts_col: str,
+    start_col: str = "win_start",
+    end_col: str = "win_end",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Range (interval) join Ray Data lacks natively: match each point
+    row to every interval with ``start <= ts < end``. The interval side
+    is the small side (window/campaign/maintenance tables — thousands to
+    millions of rows), broadcast ONCE via ``ray.put`` as two sorted
+    int64 arrays; each point batch finds its matches with two
+    ``np.searchsorted`` probes and a bounded ``np.repeat`` expansion —
+    no shuffle at all, no per-row Python.
+
+    Requires intervals sorted by start with a BOUNDED maximum length L
+    (computed here): a point at ``ts`` can only match intervals whose
+    start lies in ``(ts - L, ts]``, which is a contiguous run of the
+    start-sorted table. Fan-out per point is bounded by the max overlap
+    degree, so output stays proportional to the true match count.
+    For an interval side too big to broadcast, range-partition BOTH
+    sides by time with intervals replicated into every partition they
+    overlap (same replication trick as the wide as-of join) — not
+    needed at any realistic window-table size.
+    """
+    import ray
+
+    iv = intervals.sort_values(start_col, kind="mergesort").reset_index(drop=True)
+    starts = iv[start_col].to_numpy(dtype=np.int64)
+    ends = iv[end_col].to_numpy(dtype=np.int64)
+    max_len = int((ends - starts).max()) if len(iv) else 0
+    iv_ref = ray.put((starts, ends, iv))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        starts_, ends_, iv_ = ray.get(iv_ref)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(starts_) or not len(ts):
+            return pa.table(
+                {
+                    **{c: t[c].take(pa.array([], type=pa.int64())) for c in t.column_names},
+                    **{c: pa.array([], type=pa.from_numpy_dtype(iv_[c].dtype)) for c in iv_.columns},
+                }
+            )
+        # candidate run: starts in [ts - L, ts]; the lower bound may
+        # admit already-ended intervals — the ``ok`` filter drops them
+        lo = np.searchsorted(starts_, ts - max_len, side="left")
+        hi = np.searchsorted(starts_, ts, side="right")
+        n_cand = np.maximum(hi - lo, 0)
+        row_rep = np.repeat(np.arange(len(ts)), n_cand)
+        cand = np.arange(int(n_cand.sum())) - np.repeat(np.cumsum(n_cand) - n_cand, n_cand) + lo[row_rep]
+        ok = ts[row_rep] < ends_[cand]  # start <= ts is implied by cand <= hi
+        row_rep, cand = row_rep[ok], cand[ok]
+        out = t.take(pa.array(row_rep, type=pa.int64()))
+        for c in iv_.columns:
+            out = out.append_column(c, pa.array(iv_[c].to_numpy()[cand]))
+        return out
+
+    return points.map_batches(kernel, batch_format="pyarrow")

@@ -299,3 +299,33 @@ class TestHLL:
         assert got["rho"].tolist() == regs[nz].tolist()
         est = training.approx_distinct(ds, "user_id")
         assert abs(est - 997) / 997 < 0.082
+
+
+class TestRangeJoin:
+    def test_matches_bruteforce_with_overlaps(self, ray_session):
+        import ray.data as rd
+
+        from searchgov_spider_ray.pipelines.relational import range_join_intervals
+
+        rng = np.random.RandomState(5)
+        ts = np.sort(rng.randint(0, 10_000, size=400)).astype(np.int64)
+        pts = pd.DataFrame({"event_id": np.arange(400, dtype=np.int64), "ts_us": ts})
+        # overlapping, variable-length intervals incl. zero-length
+        starts = np.sort(rng.randint(0, 10_000, size=60)).astype(np.int64)
+        lens = rng.randint(0, 900, size=60).astype(np.int64)
+        iv = pd.DataFrame({"win_start": starts, "win_end": starts + lens})
+        got = (
+            range_join_intervals(rd.from_pandas(pts).repartition(5), iv, ts_col="ts_us")
+            .to_pandas()[["event_id", "win_start", "win_end"]]
+            .sort_values(["event_id", "win_start", "win_end"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for e, t in zip(pts["event_id"], pts["ts_us"]):
+            for s, en in zip(iv["win_start"], iv["win_end"]):
+                if s <= t < en:
+                    rows.append((e, s, en))
+        exp = pd.DataFrame(rows, columns=["event_id", "win_start", "win_end"]).sort_values(
+            ["event_id", "win_start", "win_end"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
