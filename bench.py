@@ -214,6 +214,9 @@ def run_query_bench() -> dict[str, float]:
         "doc_curation_pipeline",
         "doc_top_terms",
         "events_asof_attribution",
+        "events_range_join",
+        "events_user_hll",
+        "doc_pack_windows",
         "ann_topk_brute",
         "ann_topk_ivf",
     ]
