@@ -1192,7 +1192,10 @@ def pack_windows(
             }
         )
 
-    toks = ds.map_batches(tok_kernel, batch_format="pandas")
+    # materialize the NARROW (id, t, p) table once — both the partial
+    # pass and the groupby consume it, and 24 B/row beats re-tokenizing
+    # the text column a second time at any scale
+    toks = ds.map_batches(tok_kernel, batch_format="pandas").materialize()
 
     def part_partials(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("p", sort=False)["t"].sum()
