@@ -852,13 +852,19 @@ def doc_curation_pipeline(sf_dir: str):
         )
         return df[keep]
 
-    filtered = ds.map_batches(qual, batch_format="pandas").materialize()
+    # NO mid-pipeline materialize of the text corpus: each consumer
+    # branch re-streams read+filter from storage (the quality regexes
+    # are one cheap vectorized pass), so the object store never holds
+    # the filtered corpus. Only the NARROW (doc_id, lang) side — what
+    # the final join actually reuses — is pinned.
+    filtered = ds.map_batches(qual, batch_format="pandas")
+    qualified_meta = filtered.select_columns(["doc_id", "lang"]).materialize()
     clusters = dup_clusters(filtered.select_columns(["doc_id", "text"]), threshold=0.8)
     reps = clusters.map_batches(
         lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    surviving = hash_join(reps, filtered.select_columns(["doc_id", "lang"]), on="doc_id")
+    surviving = hash_join(reps, qualified_meta, on="doc_id")
     return sample_stratified(
         surviving, strata_col="lang", key_col="doc_id",
         rate_micros=_SAMPLE_RATE_MICROS, default_micros=_SAMPLE_DEFAULT_MICROS,
