@@ -700,11 +700,12 @@ class CrawlJobRunner:
         # hash-partition exchange so driver memory stays bounded
         # (candidate lists are O(domains × B × blocks) ≤ frontier rows).
         from ..stages.politeness import (
-            PolitenessSelectPartition,
             TagGrant,
             block_grant_candidates,
             merge_grant_thresholds,
+            partition_grant_thresholds,
             politeness_partition_key,
+            prune_grant_candidates,
         )
 
         if rows_in <= cfg.politeness_driver_rows:
@@ -717,7 +718,14 @@ class CrawlJobRunner:
             )
             marked = fmat.map_batches(TagGrant(thr_ref), batch_format="pyarrow")
         else:
-            sel = PolitenessSelectPartition(self.robots, cfg.round_seconds)
+            # huge frontiers: same threshold+tag structure, but the
+            # per-block candidate merge happens in a PRUNED exchange
+            # instead of on the driver. Only per-batch per-domain top-B
+            # (domain, pack) rows shuffle — ≤ B rows per domain per
+            # batch, so a 10^9-row hot domain is skew-bounded at the
+            # source and the frontier itself never moves. The resulting
+            # threshold table is O(domains) and broadcasts like the
+            # narrow path's.
             n_parts = cfg.politeness_parts
 
             def add_part(t: pa.Table) -> pa.Table:
@@ -728,22 +736,27 @@ class CrawlJobRunner:
                 idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
                 return t.append_column("part", pa.array(part_of[idx], type=pa.int32()))
 
-            def politeness_grant(group: pa.Table) -> pa.Table:
-                # pandas kernel, arrow boundary: pandas-format map_groups
-                # would stamp b'pandas' schema metadata on every output
-                # block, and pyarrow Schemas WITH metadata are unhashable —
-                # Ray Data then falls back to a full unify_schemas scan on
-                # every downstream concat ("Failed to hash the schemas"
-                # warnings). Convert here and strip the metadata instead.
-                out = pa.Table.from_pandas(sel(group.to_pandas()), preserve_index=False)
-                return out.replace_schema_metadata(None)
-
-            marked = (
-                frontier.map_batches(add_part, batch_format="pyarrow")
+            thr_tab = (
+                frontier.map_batches(
+                    prune_grant_candidates(self.robots, cfg.round_seconds),
+                    batch_format="pyarrow",
+                )
+                .map_batches(add_part, batch_format="pyarrow")
                 .groupby("part")
-                .map_groups(politeness_grant, batch_format="pyarrow")
-                .materialize()
+                .map_groups(
+                    partition_grant_thresholds(self.robots, cfg.round_seconds),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
             )
+            dom_np = thr_tab["domain"].to_numpy(dtype="U")
+            order = np.argsort(dom_np, kind="mergesort")
+            thr_ref = ray.put(
+                (dom_np[order], thr_tab["thr"].to_numpy(dtype=np.uint64)[order])
+            )
+            marked = frontier.map_batches(
+                TagGrant(thr_ref), batch_format="pyarrow"
+            ).materialize()
         _mark("politeness")
         granted = marked.map_batches(
             lambda t: t.filter(t["granted"]).drop_columns(["granted"]),

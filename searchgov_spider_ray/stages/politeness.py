@@ -34,6 +34,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..pipelines.simulator import DEFAULT_CRAWL_DELAY, RobotsRules
 
@@ -203,6 +204,51 @@ class TagGrant:
         idx = np.searchsorted(dom_sorted, dom)
         granted = pack <= thr[idx]
         return t.append_column("granted", pa.array(granted))
+
+
+def prune_grant_candidates(robots: RobotsRules, round_seconds: float):
+    """map_batches kernel for the PRUNED wide politeness exchange: emit
+    only each batch's per-domain min(B, count) smallest packs as narrow
+    (domain, pack) rows. The union over batches contains every row that
+    can set a domain's global threshold, so the shuffle moves at most
+    B × batches rows per domain — never the frontier. A hot domain with
+    10^9 frontier rows contributes ≤ B rows per batch (skew bounded at
+    the source)."""
+    kernel = block_grant_candidates(robots, round_seconds)
+
+    def prune(t: pa.Table) -> pa.Table:
+        d = kernel(t)
+        return pa.table(
+            {
+                "domain": pa.array(d["domain"], type=pa.string()),
+                "pack": pa.array(d["pack"], type=pa.uint64()),
+            }
+        )
+
+    return prune
+
+
+def partition_grant_thresholds(robots: RobotsRules, round_seconds: float):
+    """map_groups kernel over one coarse partition of PRUNED candidate
+    rows: exact per-domain grant threshold (B-th smallest pack, or
+    UINT64_MAX when under budget) — merge_grant_thresholds semantics,
+    one vectorized call per partition."""
+
+    def kernel(part: pa.Table) -> pa.Table:
+        d = {
+            "domain": np.asarray(part["domain"].to_pylist(), dtype=object),
+            "pack": part["pack"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        }
+        uniq, thr = merge_grant_thresholds([d], robots, round_seconds)
+        out = pa.table(
+            {
+                "domain": pa.array(uniq.astype(object), type=pa.string()),
+                "thr": pa.array(thr, type=pa.uint64()),
+            }
+        )
+        return out.replace_schema_metadata(None)
+
+    return kernel
 
 
 def politeness_partition_key(domains, n_parts: int) -> np.ndarray:

@@ -62,6 +62,36 @@ def test_wide_round_parity(job, corpus_dir, tmp_path):
         runner.close()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_wide_politeness_parity(corpus_dir, tmp_path):
+    """politeness_driver_rows=0 forces the pruned-exchange threshold
+    path every round; order/seen/denied must still match the simulator
+    goldens exactly."""
+    job = "plain"
+    corpus = load_corpus_dict(pq.read_table(corpus_dir / "corpus_pages.parquet"))
+    robots = RobotsRules.from_table(pq.read_table(corpus_dir / "robots.parquet"))
+    sites = {s.name: s for s in CrawlSites.from_file(corpus_dir / "seeds.json").sites}
+    images = pq.read_table(corpus_dir / "corpus_images.parquet").to_pylist()
+    captions = {r["image_id"]: r["caption"] for r in images}
+
+    out = tmp_path / "out"
+    cfg = CrawlConfig(
+        round_seconds=ROUND_SECONDS, num_shards=4,
+        politeness_driver_rows=0, politeness_parts=5,
+    )
+    runner = CrawlJobRunner(sites[job], corpus_dir, out, cfg)
+    res = runner.run()
+    sim = simulate_crawl(sites[job], corpus, robots, captions, round_seconds=ROUND_SECONDS)
+    try:
+        order = read_order(out)
+        assert order["url"].tolist() == [u for _, u, _ in sim.order]
+        assert read_seen(runner) == {xxhash64(u) for u in sim.seen}
+        assert read_denied(out) == sim.denied
+        assert res.fetched == len(sim.order)
+    finally:
+        runner.close()
+
+
 def test_pack_admission_deep_depths_sort_unsigned():
     """Regression: depth 128-250 is legal (MAX_DEPTH_LIMIT=250); an
     int64 pack flips the sign bit at depth >= 128 and sorts deep rows

@@ -262,6 +262,33 @@ def test_politeness_partition_kernel_parity():
     driver_granted = set(df["url"].to_numpy(object)[pack <= thr[idx]])
     assert driver_granted == ref_granted
 
+    # pruned-exchange wide path: per-batch candidate prune -> coarse
+    # partition -> per-partition threshold merge -> same tag lookup
+    # (frontier.py wide politeness branch)
+    from searchgov_spider_ray.stages.politeness import (
+        partition_grant_thresholds,
+        prune_grant_candidates,
+    )
+
+    prune = prune_grant_candidates(robots, 10.0)
+    pruned = [prune(b) for b in blocks]
+    assert sum(len(p) for p in pruned) < len(df)  # it actually prunes
+    import pyarrow as pa_mod
+
+    cand = pa_mod.concat_tables(pruned)
+    parts = politeness_partition_key(cand["domain"].to_pylist(), 5)
+    thr_kernel = partition_grant_thresholds(robots, 10.0)
+    thr_parts = [
+        thr_kernel(cand.filter(pa_mod.array(parts == p))) for p in range(5)
+    ]
+    thr_tab = pa_mod.concat_tables(thr_parts)
+    dom2 = thr_tab["domain"].to_numpy(zero_copy_only=False).astype("U")
+    order2 = np.argsort(dom2, kind="mergesort")
+    thr2 = thr_tab["thr"].to_numpy(zero_copy_only=False).astype(np.uint64)[order2]
+    idx2 = np.searchsorted(dom2[order2], dom)
+    wide_granted = set(df["url"].to_numpy(object)[pack <= thr2[idx2]])
+    assert wide_granted == ref_granted
+
 
 def test_gc_orphans(tmp_path):
     """Age-based cleanup of per-job state trees (reference
