@@ -886,9 +886,10 @@ def doc_pack_windows(sf_dir: str):
 def events_range_join(sf_dir: str):
     """Interval (range) join — the non-equi join Ray Data lacks: every
     event matched to each OVERLAPPING 2-hour activity window anchored at
-    a busy hour (hours with ≥20 events; windows overlap, so this can't
-    collapse to an equi-join on a bucket key). The window side is tiny
-    and broadcast; each point batch matches via two searchsorted probes
+    a busy hour (hours with ≥4 events — selective at sf0.001, the pytest
+    fixture scale; windows overlap, so this can't collapse to an
+    equi-join on a bucket key). The window side is tiny and broadcast;
+    each point batch matches via two searchsorted probes
     (relational.range_join_intervals)."""
     from .relational import range_join_intervals
 
@@ -901,7 +902,7 @@ def events_range_join(sf_dir: str):
     hourly = _combine_partials(
         ds.map_batches(partial, batch_format="pandas"), ["hh"], ["n"]
     ).to_pandas()
-    busy = hourly[hourly["n"] >= 20]
+    busy = hourly[hourly["n"] >= 4]
     start_us = busy["hh"].astype("datetime64[us]").astype("int64").to_numpy()
     iv = pd.DataFrame({"win_start": start_us, "win_end": start_us + 2 * 3600 * 1_000_000})
 
@@ -1642,7 +1643,7 @@ ORACLES = {
         busy AS (
             SELECT epoch_us(hh) AS win_start,
                    epoch_us(hh) + 7200000000 AS win_end
-            FROM h WHERE n >= 20
+            FROM h WHERE n >= 4
         )
         SELECT e.event_id, b.win_start
         FROM events e

@@ -23,7 +23,10 @@ def _to_df(result) -> pd.DataFrame:
     import ray.data as rd
 
     if isinstance(result, rd.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if len(df.columns) == 0:  # empty datasets lose their schema
+            df = pd.DataFrame({n: [] for n in result.schema().names})
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return pd.DataFrame(result)
