@@ -962,6 +962,40 @@ def ann_brute_topk(
     return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
 
 
+def kmeans_centroids(
+    ds: rd.Dataset,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 8,
+    sample_per_centroid: int = 64,
+) -> np.ndarray:
+    """Deterministic spherical k-means for IVF coarse quantization
+    (Lloyd on a bounded id-ordered sample — the standard FAISS-style
+    train-on-sample recipe, so driver work is O(n_centroids × sample ×
+    n_iter) regardless of corpus size). Init = first n_centroids sample
+    vectors; empty clusters re-seed to the current farthest point
+    (deterministic). Returns L2-normalized (n_centroids, dim)."""
+    sample = _first_n_by_id(ds, id_col, vec_col, n_centroids * sample_per_centroid)
+    x = _as_matrix(sample[vec_col])
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    c = x[:n_centroids].copy()
+    for _ in range(n_iter):
+        sim = x @ c.T
+        assign = np.argmax(sim, axis=1)
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, x)
+        counts = np.bincount(assign, minlength=n_centroids)
+        empty = counts == 0
+        if empty.any():
+            # farthest points from their assigned centroid, deterministically
+            far = np.argsort(sim[np.arange(len(x)), assign], kind="stable")
+            newc[empty] = x[far[: int(empty.sum())]]
+            counts[empty] = 1
+        c = newc / np.clip(np.linalg.norm(newc, axis=1, keepdims=True), 1e-12, None)
+    return c
+
+
 def ann_ivf_topk(
     ds: rd.Dataset,
     query_ids: list[int],
@@ -970,16 +1004,22 @@ def ann_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "kmeans",
 ) -> rd.Dataset:
     """IVF-bucketed ANN (the scale path): coarse-quantize vectors to
-    the nearest of ``n_centroids`` centroids (deterministic: the first
-    n_centroids vectors by id), probe the ``n_probe`` closest centroid
-    buckets per query, brute-force only within those buckets.
+    the nearest of ``n_centroids`` centroids (``centroids="kmeans"`` —
+    deterministic sample-trained spherical k-means — or ``"first"``,
+    the first n_centroids vectors by id), probe the ``n_probe`` closest
+    centroid buckets per query, brute-force only within those buckets.
     Approximate by construction — recall vs brute force is asserted in
-    tests, not exactness."""
-    cdf = _first_n_by_id(ds, id_col, vec_col, n_centroids)
-    cents = _as_matrix(cdf[vec_col])
-    cents = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    tests, not exactness (the driver oracle runs exhaustive probing,
+    which is exact under ANY centroid choice)."""
+    if centroids == "kmeans":
+        cents = kmeans_centroids(ds, n_centroids, id_col, vec_col)
+    else:
+        cdf = _first_n_by_id(ds, id_col, vec_col, n_centroids)
+        cents = _as_matrix(cdf[vec_col])
+        cents = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
     cref = ray.put(cents)
 
     class _Assign:

@@ -69,7 +69,13 @@ class PolitenessSelectPartition:
     (10^6+ hosts) the per-domain ``map_groups`` costs one interpreter
     round-trip per host; this pays P ≈ a few per core. Grant semantics
     are identical to :class:`PolitenessSelect` (pinned by a direct
-    parity test and the simulator goldens)."""
+    parity test and the simulator goldens).
+
+    Kept as the reference kernel for parity tests; the frontier's wide
+    path now uses the cheaper pruned-exchange threshold flow
+    (``prune_grant_candidates`` → ``partition_grant_thresholds`` →
+    ``TagGrant``), which shuffles only per-batch top-B candidates
+    instead of the whole frontier."""
 
     def __init__(self, robots: RobotsRules, round_seconds: float):
         self.robots = robots

@@ -91,6 +91,29 @@ class TestANN:
             recall += len(b & v) / len(b)
         assert recall / 3 >= 0.5  # probing half the centroids
 
+    def test_ivf_kmeans_beats_or_matches_first_n(self, emb_ds):
+        """Sample-trained spherical k-means centroids should give recall
+        at least as good as the naive first-N pick at the same probe
+        budget, and k-means itself must be deterministic."""
+        brute = training.ann_brute_topk(emb_ds, query_ids=[1, 2, 3], k=10).to_pandas()
+
+        def recall(centroids: str) -> float:
+            ivf = training.ann_ivf_topk(
+                emb_ds, query_ids=[1, 2, 3], k=10, n_centroids=8, n_probe=4,
+                centroids=centroids,
+            ).to_pandas()
+            r = 0.0
+            for q in (1, 2, 3):
+                b = set(brute[brute["query_id"] == q]["neighbor_id"])
+                v = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+                r += len(b & v) / len(b)
+            return r / 3
+
+        assert recall("kmeans") >= recall("first") - 1e-9
+        c1 = training.kmeans_centroids(emb_ds, 8)
+        c2 = training.kmeans_centroids(emb_ds, 8)
+        assert (c1 == c2).all()
+
     def test_embedding_near_dup(self, emb_ds):
         pairs = training.embedding_near_dup_pairs(emb_ds, threshold=0.99).to_pandas()
         got = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
