@@ -197,7 +197,7 @@ def xxhash64_array(values, seed: int = 0) -> np.ndarray:
         return out
     if _HAS_XXHASH_C:
         for j, v in enumerate(values):
-            out[j] = xxhash64(v, seed)
+            out[j] = xxhash64(v if v is not None else b"", seed)
         return out
     bs = [v.encode("utf-8") if isinstance(v, str) else (b"" if v is None else bytes(v)) for v in values]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)

@@ -859,7 +859,10 @@ def doc_curation_pipeline(sf_dir: str):
     # the final join actually reuses — is pinned.
     filtered = ds.map_batches(qual, batch_format="pandas")
     qualified_meta = filtered.select_columns(["doc_id", "lang"]).materialize()
-    clusters = dup_clusters(filtered.select_columns(["doc_id", "text"]), threshold=0.8)
+    clusters = dup_clusters(
+        filtered.select_columns(["doc_id", "text"]), threshold=0.8,
+        nodes=qualified_meta.select_columns(["doc_id"]),  # skip one text pass
+    )
     reps = clusters.map_batches(
         lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])).select(["doc_id"]),
         batch_format="pyarrow",

@@ -144,30 +144,32 @@ def range_join_intervals(
     starts = iv[start_col].to_numpy(dtype=np.int64)
     ends = iv[end_col].to_numpy(dtype=np.int64)
     max_len = int((ends - starts).max()) if len(iv) else 0
-    iv_ref = ray.put((starts, ends, iv))
+    # broadcast as an ARROW table: column types survive empty takes, so
+    # no-match/empty batches keep the same output schema as matching ones
+    # (string label columns included)
+    iv_tab = pa.Table.from_pandas(iv, preserve_index=False).replace_schema_metadata(None)
+    iv_ref = ray.put((starts, ends, iv_tab))
 
     def kernel(t: pa.Table) -> pa.Table:
         starts_, ends_, iv_ = ray.get(iv_ref)
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(starts_) or not len(ts):
-            return pa.table(
-                {
-                    **{c: t[c].take(pa.array([], type=pa.int64())) for c in t.column_names},
-                    **{c: pa.array([], type=pa.from_numpy_dtype(iv_[c].dtype)) for c in iv_.columns},
-                }
-            )
-        # candidate run: starts in [ts - L, ts]; the lower bound may
-        # admit already-ended intervals — the ``ok`` filter drops them
-        lo = np.searchsorted(starts_, ts - max_len, side="left")
-        hi = np.searchsorted(starts_, ts, side="right")
-        n_cand = np.maximum(hi - lo, 0)
-        row_rep = np.repeat(np.arange(len(ts)), n_cand)
-        cand = np.arange(int(n_cand.sum())) - np.repeat(np.cumsum(n_cand) - n_cand, n_cand) + lo[row_rep]
-        ok = ts[row_rep] < ends_[cand]  # start <= ts is implied by cand <= hi
-        row_rep, cand = row_rep[ok], cand[ok]
+            row_rep = np.empty(0, dtype=np.int64)
+            cand = np.empty(0, dtype=np.int64)
+        else:
+            # candidate run: starts in [ts - L, ts]; the lower bound may
+            # admit already-ended intervals — the ``ok`` filter drops them
+            lo = np.searchsorted(starts_, ts - max_len, side="left")
+            hi = np.searchsorted(starts_, ts, side="right")
+            n_cand = np.maximum(hi - lo, 0)
+            row_rep = np.repeat(np.arange(len(ts)), n_cand)
+            cand = np.arange(int(n_cand.sum())) - np.repeat(np.cumsum(n_cand) - n_cand, n_cand) + lo[row_rep]
+            ok = ts[row_rep] < ends_[cand]  # start <= ts is implied by cand <= hi
+            row_rep, cand = row_rep[ok], cand[ok]
         out = t.take(pa.array(row_rep, type=pa.int64()))
-        for c in iv_.columns:
-            out = out.append_column(c, pa.array(iv_[c].to_numpy()[cand]))
+        idx = pa.array(cand, type=pa.int64())
+        for c in iv_.column_names:
+            out = out.append_column(c, iv_.column(c).take(idx))
         return out
 
     return points.map_batches(kernel, batch_format="pyarrow")

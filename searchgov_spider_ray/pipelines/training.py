@@ -831,15 +831,19 @@ def dup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    nodes: rd.Dataset | None = None,
     **kwargs,
 ) -> rd.Dataset:
     """MinHash near-dup pairs → connected components: every doc mapped
     to its duplicate-cluster representative (min doc_id). Exact dups
     are subsumed: identical texts share all MinHash bands, so they are
-    always candidate pairs with Jaccard 1.0."""
+    always candidate pairs with Jaccard 1.0. ``nodes`` optionally
+    supplies the id universe (callers that already hold a narrow
+    materialized id table avoid one extra pass over ``ds``)."""
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    node_ids = nodes if nodes is not None else ds.select_columns([id_col])
     return connected_components(
-        pairs.select_columns(["doc_a", "doc_b"]), ds.select_columns([id_col]), id_col, **kwargs
+        pairs.select_columns(["doc_a", "doc_b"]), node_ids, id_col, **kwargs
     )
 
 
@@ -979,19 +983,20 @@ def kmeans_centroids(
     sample = _first_n_by_id(ds, id_col, vec_col, n_centroids * sample_per_centroid)
     x = _as_matrix(sample[vec_col])
     x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    n_centroids = min(n_centroids, len(x))  # tiny corpora: every vector a centroid
     c = x[:n_centroids].copy()
+    if n_centroids == 0:
+        return c
     for _ in range(n_iter):
         sim = x @ c.T
         assign = np.argmax(sim, axis=1)
         newc = np.zeros_like(c)
         np.add.at(newc, assign, x)
-        counts = np.bincount(assign, minlength=n_centroids)
-        empty = counts == 0
+        empty = np.bincount(assign, minlength=n_centroids) == 0
         if empty.any():
             # farthest points from their assigned centroid, deterministically
             far = np.argsort(sim[np.arange(len(x)), assign], kind="stable")
             newc[empty] = x[far[: int(empty.sum())]]
-            counts[empty] = 1
         c = newc / np.clip(np.linalg.norm(newc, axis=1, keepdims=True), 1e-12, None)
     return c
 
@@ -1218,9 +1223,7 @@ def pack_windows(
        spans by integer arithmetic (exact — replayable in SQL, see
        the doc_pack_windows oracle in pipelines/queries.py).
     """
-    import re as _re
-
-    ws = _re.compile(r"[^ \t\n\r\f\v]+")
+    from ..functions.textstats import _WS_TOKEN as ws  # shared ASCII tokenizer
 
     def tok_kernel(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].astype("int64")

@@ -180,7 +180,14 @@ def merge_grant_thresholds(
         (robots.budget(d, round_seconds) for d in uniq), dtype=np.int64, count=len(uniq)
     )
     thr = np.full(len(uniq), np.iinfo(np.uint64).max, dtype=np.uint64)
-    capped = counts > budgets  # candidates beyond budget exist -> exact B-th pack
+    # cap at counts >= budgets, not >: per-block pruning emits exactly B
+    # candidates when a block alone holds more than B rows of a domain,
+    # so merged counts == B is AMBIGUOUS between "exactly B rows total"
+    # and "truncated". Capping is correct in both: the B-th smallest
+    # candidate is the B-th smallest row globally (pruned ⊇ global
+    # top-B), and when the domain has exactly B rows that threshold is
+    # its max pack — granting all B, identical to the uncapped MAX.
+    capped = counts >= budgets
     thr_idx = starts + np.minimum(budgets, counts) - 1
     thr[capped] = pack_s[thr_idx[capped]]
     return uniq.astype("U"), thr

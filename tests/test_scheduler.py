@@ -289,6 +289,23 @@ def test_politeness_partition_kernel_parity():
     wide_granted = set(df["url"].to_numpy(object)[pack <= thr2[idx2]])
     assert wide_granted == ref_granted
 
+    # regression: a domain whose over-budget rows all land in ONE block
+    # prunes to exactly B candidates — merged counts == budget must
+    # still cap the threshold (counts >= budgets), not grant everything
+    one = pd.DataFrame(
+        {
+            "domain": ["d2.gov"] * 5,  # delay 4.0 -> budget(10s) = 2
+            "depth": np.zeros(5, dtype=np.int32),
+            "seq": np.arange(5, dtype=np.int64),
+            "url": [f"x{i}" for i in range(5)],
+        }
+    )
+    blk = pa.Table.from_pandas(one, preserve_index=False)
+    dom1, thr1 = merge_grant_thresholds([kernel(blk)], robots, 10.0)
+    p1 = pack_depth_seq(one["depth"].to_numpy(), one["seq"].to_numpy())
+    granted1 = p1 <= thr1[np.searchsorted(dom1, one["domain"].to_numpy(dtype="U"))]
+    assert granted1.sum() == 2
+
 
 def test_gc_orphans(tmp_path):
     """Age-based cleanup of per-job state trees (reference
