@@ -80,6 +80,7 @@ class JobScope:
 
     def __post_init__(self):
         hosts = []
+        raw_hosts = []
         path_scoped = []
         for entry in self.allowed_domains or []:
             if entry is None:
@@ -92,11 +93,22 @@ class JobScope:
                 warnings.warn(f"allowed_domains accepts domains without ports; ignoring {entry}")
                 continue
             hosts.append(re.escape(host))
+            raw_hosts.append(host)
             path_scoped.append(re.escape(entry))
         self._host_re = re.compile(rf"^(.*\.)?({'|'.join(hosts)})$") if hosts else None
-        # full-URL regex over path-scoped entries (middlewares.py:168-195);
-        # empty → allow all.
-        self._path_re = re.compile("|".join(path_scoped)) if path_scoped else re.compile("")
+        # exact-host fast path: the common case is a direct host match;
+        # the alternation regex only runs on hosts that miss the sorted
+        # exact set (subdomains, junk)
+        self._hosts_sorted = np.sort(np.array(raw_hosts, dtype="U")) if raw_hosts else None
+        # full-URL contains over ALL entries (middlewares.py:168-195).
+        # When NO entry carries a path component the pass is skipped
+        # entirely (None): a URL whose host matched necessarily CONTAINS
+        # that host string, so bare-host entries make it a tautology.
+        self._path_re = (
+            re.compile("|".join(path_scoped))
+            if any("/" in (e or "") for e in (self.allowed_domains or []))
+            else None
+        )
         deny = [d for d in (self.deny_paths or []) if d]
         self._deny_re = re.compile("|".join(deny)) if deny else None
         exts = "|".join(re.escape(e) for e in FILTER_EXTENSIONS)
@@ -117,9 +129,22 @@ class JobScope:
             reason[deny_bad & (reason == KEEP).to_numpy()] = DENY_PATH
 
         if self._host_re is not None:
-            host_ok = hosts.str.match(self._host_re).fillna(False).to_numpy(dtype=bool)
-            path_ok = urls.str.contains(self._path_re, regex=True).fillna(False).to_numpy(dtype=bool)
-            offsite = ~(host_ok & path_ok)
+            # exact membership first (searchsorted on the sorted host
+            # set); the subdomain alternation regex only runs on misses
+            harr = hosts.to_numpy(dtype="U")
+            pos = np.searchsorted(self._hosts_sorted, harr)
+            pos_c = np.minimum(pos, len(self._hosts_sorted) - 1)
+            host_ok = self._hosts_sorted[pos_c] == harr
+            miss = ~host_ok
+            if miss.any():
+                host_ok[miss] = (
+                    hosts[miss].str.match(self._host_re).fillna(False).to_numpy(dtype=bool)
+                )
+            if self._path_re is not None:
+                path_ok = urls.str.contains(self._path_re, regex=True).fillna(False).to_numpy(dtype=bool)
+                offsite = ~(host_ok & path_ok)
+            else:
+                offsite = ~host_ok
             reason[offsite & (reason == KEEP).to_numpy()] = DENY_OFFSITE
 
         if not self.allow_query_string:
