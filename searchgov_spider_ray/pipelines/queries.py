@@ -922,6 +922,64 @@ def events_range_join(sf_dir: str):
     return joined.select_columns(["event_id", "win_start"])
 
 
+_FUNNEL_WINDOW_US = 7 * 86400 * 1_000_000  # view→click→purchase within 7 days
+
+
+def events_funnel(sf_dir: str):
+    """Sequential-pattern (funnel) detection: per user, the earliest
+    purchase completing a strictly-ordered view < click < purchase
+    chain within a 7-day window. Ordering is the total order
+    (ts, event_id) so ties are impossible and the SQL row-comparison
+    replay is exact.
+
+    Distributed: hash-partition by user (each user wholly in one
+    coarse partition), ONE vectorized kernel per partition — grouped
+    exclusive running maxima (latest-view-before, then
+    latest-view-before-latest-click) turn the EXISTS-triple semantics
+    into two C-level cummax passes; valid because latest-view-before
+    is monotone along each user's timeline."""
+    from ..functions.simdedup import _avalanche
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    n_parts = 64
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["user_id"].to_numpy(dtype=np.int64)
+        df = df.assign(
+            part=(_avalanche(keys.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int32)
+        )
+        return df
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "completion_us": pd.Series([], dtype="int64")})
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy(dtype=object)
+        neg = np.int64(-(1 << 62))
+        uid = g["user_id"]
+        view_ts = pd.Series(np.where(et == "view", ts, neg), index=g.index)
+        # exclusive prefix per user: latest view strictly before this row
+        lv = view_ts.groupby(uid, sort=False).cummax().groupby(uid, sort=False).shift(1, fill_value=neg)
+        click_lv = pd.Series(np.where(et == "click", lv.to_numpy(), neg), index=g.index)
+        # latest (view-before-click) over clicks strictly before this row —
+        # lv is monotone per user, so cummax == the latest click's value
+        clv = click_lv.groupby(uid, sort=False).cummax().groupby(uid, sort=False).shift(1, fill_value=neg)
+        tsv = ts.to_numpy()
+        done = (et == "purchase") & (clv.to_numpy() > neg) & (tsv - clv.to_numpy() <= _FUNNEL_WINDOW_US)
+        hit = g[done].assign(completion_us=tsv[done])
+        out = hit.groupby("user_id", as_index=False)["completion_us"].min()
+        return pd.DataFrame({"user_id": out["user_id"].astype("int64"),
+                             "completion_us": out["completion_us"].astype("int64")})
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def events_user_hll(sf_dir: str):
     """HyperLogLog register table over events.user_id — the sketch
     STATE is integer-exact and deterministic, so the oracle replays it
@@ -1321,6 +1379,7 @@ QUERIES = {
     "doc_pack_windows": doc_pack_windows,
     "events_user_hll": events_user_hll,
     "events_range_join": events_range_join,
+    "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints_q,
     "ann_topk_brute": ann_topk_brute,
@@ -1637,6 +1696,17 @@ ORACLES = {
         SELECT doc_id, fingerprint FROM short
         UNION ALL
         SELECT doc_id, fingerprint FROM long
+    """,
+    "events_funnel": """
+        SELECT v.user_id, CAST(MIN(epoch_us(p.ts)) AS BIGINT) AS completion_us
+        FROM events v
+        JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND (c.ts, c.event_id) > (v.ts, v.event_id)
+        JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND (p.ts, p.event_id) > (c.ts, c.event_id)
+        WHERE v.event_type = 'view'
+          AND epoch_us(p.ts) - epoch_us(v.ts) <= 604800000000
+        GROUP BY v.user_id
     """,
     "events_range_join": """
         WITH h AS (
