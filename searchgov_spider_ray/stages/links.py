@@ -16,6 +16,12 @@ Extraction itself is a compiled-regex scan per document (C regex
 engine; an lxml parse would also be per-row — there is no vectorized
 HTML parser). Canonicalization and scope filtering of the extracted
 children happen in the frontier pipeline, not here.
+
+Measured non-win: replacing the per-link ``join``/dedup loop with a
+pandas-vectorized classifier (strip/startswith/contains passes + class
+masks + np.char concat) ran 2.5× SLOWER (133 vs 53 µs/page on bench
+pages) — the ~12 full-column passes cost more than the two cheap
+string ops per link they replace. Don't re-vectorize this.
 """
 
 from __future__ import annotations
