@@ -375,3 +375,15 @@ class TestTopTerms:
         d2 = out[out["doc_id"] == 2].sort_values("rank")
         # date (df 1) outranks cherry (df 3) at equal tf
         assert d2["term"].tolist() == ["date", "cherry"]
+
+
+def test_xxhash_array_multi_block(monkeypatch):
+    """Force the length-sorted lockstep path to split across several
+    padded-matrix blocks; hashes must be identical to single-block."""
+    import searchgov_spider_ray.functions.hashing as H
+
+    vals = [("x%d" % i) * (i % 37 + 1) for i in range(500)] + ["y" * 5000]
+    expect = H.xxhash64_array(vals)
+    monkeypatch.setattr(H, "_BLOCK_BYTES", 4096)  # tiny budget -> many blocks
+    got = H.xxhash64_array(vals)
+    assert (got == expect).all()

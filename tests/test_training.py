@@ -282,6 +282,22 @@ class TestPackWindows:
         w0 = firsts["window_id"].to_numpy()
         assert ((exp >= w0 * 64) & (exp < w0 * 64 + 64)).all()
 
+    def test_sparse_noncontiguous_ids(self, ray_session):
+        """Range partitioning by doc_id // part_size must handle gaps
+        and partitions with a single doc."""
+        ids = np.array([3, 7, 1000, 1001, 50_000, 123_456], dtype=np.int64)
+        df = pd.DataFrame({"doc_id": ids, "text": ["w " * (i + 1) * 10 for i in range(len(ids))]})
+        out = (
+            training.pack_windows(rd.from_pandas(df), capacity=32, part_size=100)
+            .to_pandas()
+            .sort_values(["doc_id", "window_id"])
+        )
+        toks = df.set_index("doc_id")["text"].str.count(r"[^ \t\n\r\f\v]+")
+        assert out.groupby("doc_id")["n_toks"].sum().to_dict() == toks.to_dict()
+        # windows still form one global contiguous stream
+        per_win = out.groupby("window_id")["n_toks"].sum()
+        assert (per_win.iloc[:-1] == 32).all()
+
 
 class TestHLL:
     def test_estimate_within_error_bound(self, ray_session):
