@@ -34,6 +34,19 @@ def _avalanche(x: np.ndarray) -> np.ndarray:
     return x
 
 
+PART_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_part(keys: np.ndarray, n_parts: int, salt: np.uint64 = PART_SALT) -> np.ndarray:
+    """THE coarse-partition key: ``avalanche(key * salt) % n_parts`` →
+    int32. Single shared implementation for the wide paths in
+    training/relational/connected-components — one copy means a salt
+    rotation can never silently de-correlate co-partitioned stages."""
+    return (
+        _avalanche(np.asarray(keys).astype(np.uint64) * salt) % np.uint64(n_parts)
+    ).astype(np.int32)
+
+
 # ASCII whitespace tokenizer (explicit class, NOT \s): Python's \s and
 # str.split() match unicode whitespace (NBSP etc.) while RE2/DuckDB \s
 # is ASCII-only — an explicit class keeps the Python kernels and the

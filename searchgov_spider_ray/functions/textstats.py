@@ -258,6 +258,21 @@ for _k in range(1, _FP_WINDOW):
 del _k
 
 
+def _fp_pows(window: int) -> np.ndarray:
+    if window == _FP_WINDOW:
+        return _FP_POWS
+    # non-default window: build the power table on the fly. Guard the
+    # exact-int64 bound: sum of window terms < P * 2^8 * window must
+    # stay below 2^63 (holds to window ≈ 2^23).
+    if window < 1 or window >= (1 << 23):
+        raise ValueError(f"fingerprint window out of range: {window}")
+    pows = np.empty(window, dtype=np.int64)
+    pows[0] = 1
+    for k in range(1, window):
+        pows[k] = (pows[k - 1] * _FP_B) % _FP_P
+    return pows
+
+
 def fingerprint(text: str, window: int = _FP_WINDOW) -> int:
     """Winnowing-style fingerprint: min Karp-Rabin hash over sliding
     windows of ``window`` chars stepping by window/2 (one representative
@@ -267,12 +282,13 @@ def fingerprint(text: str, window: int = _FP_WINDOW) -> int:
     n = len(text)
     if n == 0:
         return 0
+    pows = _fp_pows(window)
     codes = (np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) & 255).astype(np.int64)
     if n <= window:
-        return int(codes @ _FP_POWS[n - 1 :: -1] % _FP_P)
+        return int(codes @ pows[n - 1 :: -1] % _FP_P)
     step = max(1, window // 2)
     win = np.lib.stride_tricks.sliding_window_view(codes, window)[::step]
-    h = win @ _FP_POWS[::-1] % _FP_P
+    h = win @ pows[::-1] % _FP_P
     return int(h.min())
 
 

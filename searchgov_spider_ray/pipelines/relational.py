@@ -27,15 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.simdedup import _avalanche
-
-_JOIN_SALT = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _key_part(keys: np.ndarray, n_parts: int) -> np.ndarray:
-    return (_avalanche(keys.astype(np.uint64) * _JOIN_SALT) % np.uint64(n_parts)).astype(
-        np.int32
-    )
+from ..functions.simdedup import hash_part as _key_part  # shared partitioner
 
 
 def hash_join(
@@ -93,23 +85,22 @@ def hash_join(
         right.map_batches(prep(1, rcols, l_schema), batch_format="pyarrow")
     )
 
-    def restore_ints(df: pd.DataFrame, schema: dict) -> pd.DataFrame:
-        # the union pads each side's missing columns with nulls, which
-        # promotes integer columns to float64 through pandas; cast back
-        # once the pad rows are filtered out (original nulls, if any,
-        # keep the column float — same as a plain to_pandas would)
-        for c, typ in schema.items():
-            if pa.types.is_integer(typ) and df[c].notna().all():
-                df[c] = df[c].astype("int64")
-        return df
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = restore_ints(group[group["__side"] == 0][[on, *lcols]].copy(), l_schema)
-        r = restore_ints(group[group["__side"] == 1][[on, *rcols]].copy(), r_schema)
+    def merge(group: pa.Table) -> pa.Table:
+        # split sides in ARROW, then convert each side separately: the
+        # union's null pad columns are dropped before pandas ever sees
+        # them, so integer payloads never round-trip through float64 —
+        # int64 values >= 2^53 (hash ids, packed keys) stay exact.
+        # (Columns that are null in the ORIGINAL data still go float in
+        # pandas, same as a plain to_pandas would.)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        l = group.filter(pa.array(side == 0)).select([on, *lcols]).to_pandas()
+        r = group.filter(pa.array(side == 1)).select([on, *rcols]).to_pandas()
         out = l.merge(r, on=on, how=how)
-        return post(out) if post is not None else out
+        if post is not None:
+            out = post(out)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return tagged.groupby("__part").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join_intervals(

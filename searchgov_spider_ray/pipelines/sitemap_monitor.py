@@ -111,22 +111,28 @@ class SitemapMonitor:
         results: dict[str, list[str]] = {}
         while self._heap and self._heap[0][0] <= now:
             _, sitemap_url = heapq.heappop(self._heap)
-            record = self.records_map[sitemap_url]
-            new_urls, _total = self.check_for_changes(sitemap_url, fetch)
-            new_list = sorted(u for u in new_urls if u)
-            results[sitemap_url] = new_list
-            for i in range(0, len(new_list), NEW_URL_BATCH):
-                batch = new_list[i : i + NEW_URL_BATCH]
-                site = dataclasses.replace(
-                    record,
-                    name=f"{record.name} sitemap update {i // NEW_URL_BATCH}",
-                    job_id=f"{record.job_id}-sitemap-{i // NEW_URL_BATCH}",
-                    starting_urls=list(batch),
-                    prevent_follow=True,
-                    depth_limit=1,
-                )
-                spawn_crawl(site)
-            next_time = now + self.interval_seconds(sitemap_url)
-            self.next_check_times[sitemap_url] = next_time
-            heapq.heappush(self._heap, (next_time, sitemap_url))
+            try:
+                record = self.records_map[sitemap_url]
+                new_urls, _total = self.check_for_changes(sitemap_url, fetch)
+                new_list = sorted(u for u in new_urls if u)
+                results[sitemap_url] = new_list
+                for i in range(0, len(new_list), NEW_URL_BATCH):
+                    batch = new_list[i : i + NEW_URL_BATCH]
+                    site = dataclasses.replace(
+                        record,
+                        name=f"{record.name} sitemap update {i // NEW_URL_BATCH}",
+                        job_id=f"{record.job_id}-sitemap-{i // NEW_URL_BATCH}",
+                        starting_urls=list(batch),
+                        prevent_follow=True,
+                        depth_limit=1,
+                    )
+                    spawn_crawl(site)
+            finally:
+                # ALWAYS reschedule — a transient fetch/expand failure must
+                # not silently drop the sitemap from monitoring forever (the
+                # exception still propagates; the entry just stays on the
+                # heap for the next cycle)
+                next_time = now + self.interval_seconds(sitemap_url)
+                self.next_check_times[sitemap_url] = next_time
+                heapq.heappush(self._heap, (next_time, sitemap_url))
         return results

@@ -284,13 +284,10 @@ def _verified_pairs_wide(
         )
 
     def add_doc_part(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.simdedup import _avalanche
+        from ..functions.simdedup import hash_part
 
         df = df.copy()
-        df["part"] = (
-            _avalanche(df["doc_id"].to_numpy(np.int64).astype(np.uint64) * _PART_SALT)
-            % np.uint64(n_parts)
-        ).astype(np.int32)
+        df["part"] = hash_part(df["doc_id"].to_numpy(np.int64), n_parts)
         return df
 
     tagged = docs.map_batches(doc_rows, batch_format="pyarrow").union(
@@ -624,11 +621,9 @@ def connected_components(
 
     # ---- wide path: distributed min-label message passing ----
     def part_of(v: np.ndarray) -> np.ndarray:
-        from ..functions.simdedup import _avalanche
+        from ..functions.simdedup import hash_part
 
-        return (_avalanche(v.astype(np.uint64) * _PART_SALT) % np.uint64(n_parts)).astype(
-            np.int32
-        )
+        return hash_part(v, n_parts)
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
     labels = vertices.map_batches(
@@ -669,10 +664,12 @@ def connected_components(
         if edg.empty:
             return pd.DataFrame({"v": pd.Series([], dtype="int64"), "lbl": pd.Series([], dtype="int64")})
         m = dict(zip(lab["v"], lab["lbl"]))
+        # an endpoint absent from ``vertices`` self-labels (narrow-path
+        # parity: _cc_kernel unions edge endpoints into the vertex set)
         return pd.DataFrame(
             {
                 "v": edg["dst"].astype("int64"),
-                "lbl": edg["v"].map(m).astype("int64"),
+                "lbl": edg["v"].map(m).fillna(edg["v"]).astype("int64"),
             }
         )
 
@@ -706,7 +703,7 @@ def connected_components(
             .map_groups(combine, batch_format="pandas")
             .materialize()
         )
-        n_changed = merged.filter(lambda r: r["changed"] == 1).count()
+        n_changed = int(merged.sum("changed") or 0)  # tiny vectorized aggregate, no per-row Python
         labels = merged.drop_columns(["changed"]).materialize()
         if n_changed == 0:
             break
@@ -800,9 +797,9 @@ def top_distinctive_terms(
     def attach_df(group: pd.DataFrame) -> pd.DataFrame:
         group = group.copy()
         group["df"] = group.groupby("term", sort=False)["doc_id"].transform("size").astype("int64")
-        group["part"] = (
-            _avalanche_ids(group["doc_id"].to_numpy(np.int64)) % np.uint64(n_parts)
-        ).astype(np.int32)
+        from ..functions.simdedup import hash_part
+
+        group["part"] = hash_part(group["doc_id"].to_numpy(np.int64), n_parts)
         return group
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -820,10 +817,6 @@ def top_distinctive_terms(
     return with_df.groupby("part").map_groups(topk, batch_format="pandas")
 
 
-def _avalanche_ids(v: np.ndarray) -> np.ndarray:
-    from ..functions.simdedup import _avalanche
-
-    return _avalanche(v.astype(np.uint64) * _PART_SALT)
 
 
 def dup_clusters(

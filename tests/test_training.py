@@ -241,6 +241,18 @@ class TestHashJoin:
         ).to_pandas()
         assert sorted(map(tuple, agg[["k", "s"]].to_numpy())) == [(1, 200), (2, 401)]
 
+    def test_int64_above_2_53_survives_exactly(self, ray_session):
+        """Payload int64s must never round-trip through float64 (the
+        union's null padding used to do that): hash ids >= 2^53 would be
+        silently corrupted."""
+        from searchgov_spider_ray.pipelines.relational import hash_join
+
+        big = np.array([2**53 + 1, 2**62 + 12345, 7], dtype=np.int64)
+        left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "big": big}))
+        right = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "tag": ["a", "b", "c"]}))
+        out = hash_join(left, right, on="k").to_pandas().sort_values("k")
+        assert out["big"].tolist() == big.tolist()
+
     def test_column_clash_raises(self, ray_session):
         from searchgov_spider_ray.pipelines.relational import hash_join
 
