@@ -216,6 +216,7 @@ def run_query_bench() -> dict[str, float]:
         "events_asof_attribution",
         "events_range_join",
         "events_user_hll",
+        "events_funnel",
         "doc_pack_windows",
         "ann_topk_brute",
         "ann_topk_ivf",
