@@ -63,12 +63,25 @@ def _norm_pct(component: str, safe: set[str]) -> str:
 
 
 def canonicalize(url: str) -> str:
-    """Canonical URL form used for dedup fingerprints and frontier keys."""
+    """Canonical URL form used for dedup fingerprints and frontier keys.
+
+    TOTAL function: a URL the stdlib cannot parse (bad port digits,
+    unbalanced IPv6 bracket, …) canonicalizes to a deterministic
+    ``invalid://`` form instead of raising — one malformed href on one
+    page must never wedge the crawl (map_batches task crashes are
+    deterministic across retries AND across checkpoint resume, so an
+    exception here would be a permanent wedge; the reference's
+    w3lib-based extractor tolerates these). ``invalid`` never matches
+    an allowed domain, so the child flows through lineage as an offsite
+    denial."""
     url = _WS_RE.sub("", url.strip())
-    parts = urlsplit(url)
-    scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower().rstrip(".")
-    port = parts.port
+    try:
+        parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower().rstrip(".")
+        port = parts.port
+    except ValueError:
+        return "invalid://" + quote(url, safe="")
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

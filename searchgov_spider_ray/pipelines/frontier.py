@@ -451,7 +451,11 @@ def _map_block_refs(ds: rd.Dataset, fn):
     refs = []
     for bundle in ds.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
-    return ray.get([_block_apply.remote(fn, b) for b in refs])
+    # put the kernel ONCE — fn closures can carry the robots table
+    # (per-domain rules, potentially MBs at web scale), and a direct
+    # task argument would re-pickle it per block per round
+    fn_ref = ray.put(fn)
+    return ray.get([_block_apply.remote(fn_ref, b) for b in refs])
 
 
 def _parquet_rows(path: Path) -> int:
@@ -625,6 +629,16 @@ class CrawlJobRunner:
         if resume and (k0 := self.resume_point()) is not None:
             manifest = self.ckpt.read_manifest(k0)
             self.depth_counters = {int(d): int(c) for d, c in manifest["depth_counters"].items()}
+            # shard count is part of the checkpoint's hash→shard routing
+            # (h % S): resuming with a different S would silently route
+            # probes to shards holding a different modulus class and
+            # re-admit seen URLs — refuse instead
+            n_ckpt = len(manifest.get("shard_sizes", self.shards))
+            if n_ckpt != len(self.shards):
+                raise ValueError(
+                    f"checkpoint has {n_ckpt} URL-seen shards but cfg.num_shards="
+                    f"{len(self.shards)}; resume with the checkpointed shard count"
+                )
             restore_shards(self.shards, self.ckpt.shards_dir(k0))
             self.ckpt.drop_rounds_from(k0 + 1)
             self._clean_outputs_from(k0)

@@ -315,9 +315,22 @@ class ImageAttach:
         ids = batch["image_id"].to_pylist()
         probe = xxhash64_array(ids)
         pos, found = _hash_probe(self._sorted_hashes, probe)
-        batch = batch.filter(pa.array(found))
         orig_idx = self._perm[pos[found]]
         rows = self._table.take(pa.array(orig_idx, type=pa.int64()))
+        # hash-collision guard: confirm image_id strings on matches only
+        # (same discipline as CorpusFetcher's URL join above) — a
+        # colliding id must drop out as a miss, never attach the wrong
+        # image bytes/caption/phash
+        if len(rows):
+            batch_ids = np.asarray(ids, dtype=object)[found]
+            corpus_ids = np.asarray(rows["image_id"].to_pylist(), dtype=object)
+            confirm = batch_ids == corpus_ids
+            if not confirm.all():
+                fidx = np.where(found)[0]
+                found[fidx[~confirm]] = False
+                rows = rows.filter(pa.array(confirm))
+                orig_idx = orig_idx[confirm]
+        batch = batch.filter(pa.array(found))
         out = batch.drop_columns(["image_id"])
         for name in ("image_id", "w", "h", "fmt", "caption", "phash"):
             out = out.append_column(name, rows[name])

@@ -99,8 +99,17 @@ class _PageBase:
         return self.origin + self.dir + href
 
 
+# per-page unique-link cap: the admission key packs link_seq into 16
+# bits (frontier._pack_admission), so the extractor enforces the bound
+# instead of letting one auto-generated 70k-anchor index page crash the
+# round (deterministically, across retries AND resume). Shared with the
+# simulator, so engine/golden parity holds by construction.
+MAX_LINKS_PER_PAGE = (1 << 16) - 1
+
+
 def extract_links(page_url: str, body: bytes | str) -> list[str]:
-    """Ordered unique absolute outlinks of one HTML document."""
+    """Ordered unique absolute outlinks of one HTML document (first
+    ``MAX_LINKS_PER_PAGE`` unique links in document order)."""
     html = decode_body(body) if isinstance(body, (bytes, bytearray)) else body
     seen: set[str] = set()
     out: list[str] = []
@@ -110,6 +119,8 @@ def extract_links(page_url: str, body: bytes | str) -> list[str]:
     add = seen.add
     app = out.append
     for m in _HREF_RE.finditer(html):
+        if len(out) >= MAX_LINKS_PER_PAGE:
+            break
         # exactly one alternation group participates per match, so
         # lastindex names it — C-level attribute vs a generator scan of
         # m.groups() (~13 µs/page cheaper at 18 links/page)

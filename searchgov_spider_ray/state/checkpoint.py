@@ -63,14 +63,17 @@ class CheckpointStore:
 
     def latest_complete_round(self) -> int | None:
         """Highest round with a readable manifest (manifest-last write
-        order makes this the completeness test)."""
+        order makes this the completeness test). Max over the PARSED
+        round number — directory sort order is lexicographic, and the
+        4-digit zero-padding overflows at round 10000 ('round_9999'
+        sorts after 'round_10000')."""
         best = None
-        for d in sorted(self.root.glob("round_*")):
+        for d in self.root.glob("round_*"):
             try:
                 k = int(d.name.split("_")[1])
             except (IndexError, ValueError):
                 continue
-            if self.read_manifest(k) is not None:
+            if (best is None or k > best) and self.read_manifest(k) is not None:
                 best = k
         return best
 

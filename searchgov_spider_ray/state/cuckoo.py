@@ -37,6 +37,7 @@ class CuckooFilter:
         while n_buckets * 4 < capacity:
             n_buckets <<= 1
         self.n_buckets = n_buckets
+        self.seed = seed
         self.buckets = np.zeros((n_buckets, 4), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.RandomState(seed)
@@ -150,9 +151,32 @@ class UrlSeenShard:
                 continue
             novel[i] = True
             exact.add(hi)
-            self.filter.insert(hi)
+            self._insert_growing(hi)
             maybe_seen[i] = True
         return novel
+
+    def _insert_growing(self, hi: int) -> None:
+        """Filter insert that NEVER hard-fails: cuckoo filters wedge a
+        few percent below nominal capacity, and a mid-batch raise would
+        leave ``exact`` and the filter inconsistent (a false negative
+        for an admitted hash). On overflow, rebuild the filter at 2×
+        from the authoritative ``exact`` set and retry — amortized
+        O(1), shard state stays exactly consistent."""
+        try:
+            self.filter.insert(hi)
+            return
+        except RuntimeError:
+            pass
+        cap = self.filter.n_buckets * 8  # 2× the current slot count
+        while True:
+            grown = CuckooFilter(capacity=cap, seed=self.filter.seed)
+            try:
+                # exact already includes hi — the rebuild inserts it too
+                grown.insert_batch(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+                self.filter = grown
+                return
+            except RuntimeError:  # pathological fill even at 2× — keep doubling
+                cap *= 2
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         hashes = hashes.astype(np.uint64)

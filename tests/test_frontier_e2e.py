@@ -174,3 +174,17 @@ class TestResume:
         assert read_order(out)["url"].tolist() == [u for _, u, _ in sim.order]
         assert read_seen(resumed) == {xxhash64(u) for u in sim.seen}
         resumed.close()
+
+
+def test_latest_complete_round_numeric_not_lexicographic(tmp_path):
+    """round_10000 must beat round_9999 (zero-padding overflow)."""
+    import json
+
+    from searchgov_spider_ray.state.checkpoint import CheckpointStore
+
+    ckpt = CheckpointStore(tmp_path / "ck")
+    for k in (9999, 10000, 10050):
+        d = ckpt.root / f"round_{k:04d}"
+        d.mkdir(parents=True)
+        ckpt.manifest_path(k).write_text(json.dumps({"round": k, "frontier_rows": 1}))
+    assert ckpt.latest_complete_round() == 10050

@@ -387,3 +387,26 @@ def test_xxhash_array_multi_block(monkeypatch):
     monkeypatch.setattr(H, "_BLOCK_BYTES", 4096)  # tiny budget -> many blocks
     got = H.xxhash64_array(vals)
     assert (got == expect).all()
+
+
+class TestCanonicalizeTotal:
+    def test_malformed_urls_never_raise(self):
+        bad = [
+            "http://h:8o80/x",      # non-numeric port
+            "http://[x",            # unbalanced IPv6 bracket
+            "https://example.gov:99999999999999999999/x",
+        ]
+        for u in bad:
+            out = urlnorm.canonicalize(u)
+            assert out.startswith("invalid://"), out
+        # batch path routes the same inputs through the scalar fallback
+        outs = urlnorm.canonicalize_batch(np.array(bad, dtype=object))
+        assert all(o.startswith("invalid://") for o in outs)
+
+    def test_invalid_form_is_offsite_denied(self):
+        from searchgov_spider_ray.stages.scope import JobScope
+
+        scope = JobScope(allowed_domains=["example.gov"])
+        canon = urlnorm.canonicalize("http://h:8o80/x")
+        reason = scope.evaluate(pd.Series([canon], dtype="object")).iloc[0]
+        assert reason == "offsite"

@@ -250,3 +250,17 @@ class TestRobotsReasonVectorized:
         assert got.tolist() == [
             True, False, True, True, True, True, True, False, False, False, False
         ]
+
+
+def test_link_cap_bounds_admission_key():
+    """A 70k-anchor page yields exactly MAX_LINKS_PER_PAGE unique links
+    (first in document order) instead of overflowing the 16-bit
+    link_seq admission-key field."""
+    from searchgov_spider_ray.stages.links import MAX_LINKS_PER_PAGE, extract_links
+
+    n = 70_000
+    body = "".join(f'<a href="/p{i}.html">' for i in range(n))
+    out = extract_links("https://site.gov/", body)
+    assert len(out) == MAX_LINKS_PER_PAGE
+    assert out[0] == "https://site.gov/p0.html"
+    assert out[-1] == f"https://site.gov/p{MAX_LINKS_PER_PAGE - 1}.html"
