@@ -32,7 +32,14 @@ from .frontier import CrawlConfig, CrawlJobRunner, CrawlRunResult
 DEFAULT_MAX_WORKERS = 5  # reference: SPIDER_SCRAPY_MAX_WORKERS default
 ORPHAN_AGE_SECONDS = 604800  # one week — reference settings.py:80
 
-_CRON_FIELD = re.compile(r"^(\*|\d+(-\d+)?)(/\d+)?(,(\*|\d+(-\d+)?)(/\d+)?)*$")
+# numeric fields plus 3-letter day/month names (the reference's
+# schedule strings use day names, readschedule.py; schedule_by_day
+# groups by the same names)
+_CRON_FIELD = re.compile(
+    r"^(\*|\d+(-\d+)?|[a-z]{3}(-[a-z]{3})?)(/\d+)?"
+    r"(,(\*|\d+(-\d+)?|[a-z]{3}(-[a-z]{3})?)(/\d+)?)*$",
+    re.IGNORECASE,
+)
 
 
 def validate_cron(expr: str | None) -> bool:
@@ -71,9 +78,9 @@ class SchedulerManifest:
         return m
 
     def save(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)  # BEFORE the tmp write
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(json.dumps({k: vars(v) for k, v in self.jobs.items()}, indent=2))
-        self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp.rename(self.path)
 
     def pending_or_interrupted(self) -> list[str]:
@@ -117,7 +124,8 @@ class JobScheduler:
         """Execute pending/interrupted jobs (≤ max_workers per wave).
         Interrupted jobs resume from their crawl checkpoint — no
         re-fetch across the scheduler restart."""
-        todo = self.manifest.pending_or_interrupted()[: limit or self.max_workers]
+        cap = self.max_workers if limit is None else limit  # limit=0 means zero
+        todo = self.manifest.pending_or_interrupted()[:cap]
         results: list[CrawlRunResult] = []
         for job_id in todo:
             site = self.sites.get(job_id)
@@ -128,8 +136,11 @@ class JobScheduler:
             state.status = "running"
             state.started_at = time.time()
             self.manifest.save()
-            runner = CrawlJobRunner(site, self.corpus_dir, self.work_dir / job_id, self.cfg)
+            runner = None
             try:
+                # construction inside the try: a bad corpus/work dir is a
+                # job-level failure to record, not a wave-killer
+                runner = CrawlJobRunner(site, self.corpus_dir, self.work_dir / job_id, self.cfg)
                 res = runner.run(resume=resume)
                 state.status = "finished"
                 state.fetched = res.fetched
@@ -139,7 +150,8 @@ class JobScheduler:
                 state.error = f"{type(e).__name__}: {e}"
             finally:
                 state.finished_at = time.time()
-                runner.close()
+                if runner is not None:
+                    runner.close()
                 self.manifest.save()
         return results
 
@@ -178,6 +190,10 @@ class JobScheduler:
 _DAY_NAMES = {
     "sun": "Sunday", "mon": "Monday", "tue": "Tuesday", "wed": "Wednesday",
     "thu": "Thursday", "fri": "Friday", "sat": "Saturday",
+    # numeric cron days (0/7 = Sunday) — validate_cron accepts both
+    # grammars, so the report must too
+    "0": "Sunday", "1": "Monday", "2": "Tuesday", "3": "Wednesday",
+    "4": "Thursday", "5": "Friday", "6": "Saturday", "7": "Sunday",
 }
 _WEEK = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday")
 

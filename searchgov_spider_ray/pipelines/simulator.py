@@ -74,7 +74,12 @@ class RobotsRules:
     @classmethod
     def from_table(cls, table: pa.Table) -> "RobotsRules":
         df = table.to_pandas()
-        dis = {r.domain: list(r.disallow or []) for r in df.itertuples()}
+        # disallow cells arrive as numpy arrays (Arrow list<string>):
+        # `x or []` raises on 2+ entries (ambiguous array truth value)
+        dis = {
+            r.domain: ([] if r.disallow is None else list(r.disallow))
+            for r in df.itertuples()
+        }
         delay = {
             r.domain: (r.crawl_delay if pd.notna(r.crawl_delay) else DEFAULT_CRAWL_DELAY)
             for r in df.itertuples()
@@ -92,7 +97,10 @@ class RobotsRules:
         return self.crawl_delay.get(domain, DEFAULT_CRAWL_DELAY)
 
     def budget(self, domain: str, round_seconds: float) -> int:
-        return max(1, floor(round_seconds / self.delay(domain)))
+        d = self.delay(domain)
+        if d <= 0:  # Crawl-delay: 0 — no politeness wait, unbounded round
+            return 1 << 30
+        return max(1, floor(round_seconds / d))
 
 
 @dataclass

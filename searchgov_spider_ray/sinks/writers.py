@@ -38,11 +38,16 @@ def write_url_csv(ds: rd.Dataset, out_dir: str | Path, target_bytes: int = MAX_U
 
 
 class EndpointBatchPoster:
-    """map_batches terminal stage: buffer URLs to ≥ max_bytes, POST
-    {"urls": [...]} to the endpoint, flush remainder at close
-    (reference: SearchGovSpidersPipeline._process_api_item /
+    """map_batches terminal stage: chunk each batch's URLs into
+    ≥ max_bytes POSTs of {"urls": [...]} and flush the remainder BEFORE
+    returning (reference: SearchGovSpidersPipeline._process_api_item /
     _post_urls, pipelines.py:105-109,143-170). ``post(payload: dict)``
-    is injected — production: requests.post(SPIDER_URLS_API, ...)."""
+    is injected — production: requests.post(SPIDER_URLS_API, ...).
+
+    Loss-free by construction: Ray clones the instance per task (and
+    kills actors without a close hook), so a cross-batch buffer would
+    silently drop its tail with the task — the remainder must leave
+    with the batch that brought it."""
 
     def __init__(self, post, max_bytes: int = MAX_URL_BATCH_SIZE_BYTES):
         self.post = post
@@ -56,6 +61,7 @@ class EndpointBatchPoster:
             self._size += len(url) + 1
             if self._size >= self.max_bytes:
                 self.flush()
+        self.flush()  # remainder leaves with its batch — see class note
         return batch.select(["url"])
 
     def flush(self) -> None:
@@ -78,7 +84,13 @@ def write_i14y_jsonl(ds: rd.Dataset, out_dir: str | Path, batch_docs: int = ES_B
     def dump(batch: pa.Table) -> pa.Table:
         docs = [to_i14y_record(d) for d in batch.to_pylist()]
         if docs:
-            name = out / f"bulk_{docs[0]['_id'][:12]}.jsonl"
+            import hashlib
+
+            # name by the batch's full id set: distinct batches can share
+            # a first doc (or its 12-char prefix) — content-keyed names
+            # never collide and re-runs overwrite with identical bytes
+            tag = hashlib.sha256("\n".join(d["_id"] for d in docs).encode()).hexdigest()[:16]
+            name = out / f"bulk_{tag}.jsonl"
             with open(name, "w") as f:
                 for d in docs:
                     f.write(json.dumps({k: v for k, v in d.items() if v is not None}) + "\n")
@@ -95,16 +107,17 @@ def write_sitemap_snapshot(ds: rd.Dataset, out_dir: str | Path) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    def dump(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    def dump(group: "pd.DataFrame") -> "pd.DataFrame":
+        sitemap_url = group["sitemap_url"].iloc[0]
+        key = hashlib.md5(str(sitemap_url).encode()).hexdigest()
+        path = out / f"{key}.txt"
+        existing = path.read_text().splitlines() if path.exists() else []
+        merged = sorted(set(existing) | set(group["url"]))
+        path.write_text("\n".join(merged) + "\n")
+        return group
 
-        df = batch.to_pandas()
-        for sitemap_url, group in df.groupby("sitemap_url"):
-            key = hashlib.md5(str(sitemap_url).encode()).hexdigest()
-            path = out / f"{key}.txt"
-            existing = path.read_text().splitlines() if path.exists() else []
-            merged = sorted(set(existing) | set(group["url"]))
-            path.write_text("\n".join(merged) + "\n")
-        return batch
-
-    ds.map_batches(dump, batch_format="pyarrow").materialize()
+    # groupby FIRST: one task owns each sitemap's file — a plain
+    # map_batches could split one sitemap's rows across concurrent
+    # tasks whose read-merge-write cycles race (last writer wins,
+    # losing URLs that then resurface as spurious 'new' diffs)
+    ds.groupby("sitemap_url").map_groups(dump, batch_format="pandas").materialize()

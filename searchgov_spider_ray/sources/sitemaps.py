@@ -111,13 +111,19 @@ def expand_sitemaps(
     pending = [(u, u, 0) for u in seed_urls]  # (root, url, depth)
     seen: set[str] = set()
     while pending:
-        batch = [(r, u, d) for r, u, d in pending if u not in seen and d <= max_depth]
+        # dedup WITHIN the round too: two indexes at one depth can both
+        # reference the same child, and double-processing would emit
+        # every page of that child twice (inflating snapshot diffs)
+        batch = []
+        for r, u, d in pending:
+            if u not in seen and d <= max_depth:
+                seen.add(u)
+                batch.append((r, u, d))
         pending = []
         if not batch:
             break
         bodies = fetch([u for _, u, _ in batch])
         for root, url, depth in batch:
-            seen.add(url)
             body = bodies.get(url)
             if body is None:
                 continue

@@ -243,3 +243,50 @@ class TestMonitors:
         assert rep.stats["unwanted_http"] == 1  # 500 counts, 404 doesn't
         rep2 = evaluate_run(tmp_path, wall_seconds=100.0, max_unwanted=0)
         assert not rep2.passed and not rep2.checks["unwanted_http_budget"]
+
+
+def test_robots_multi_disallow_and_zero_delay():
+    """Arrow list<string> cells arrive as numpy arrays: 2+ disallow
+    entries must parse (truthiness of arrays is ambiguous), and
+    Crawl-delay: 0 must mean 'no wait', not ZeroDivisionError."""
+    import pyarrow as pa
+
+    from searchgov_spider_ray.pipelines.simulator import RobotsRules
+
+    t = pa.table(
+        {
+            "domain": ["a.gov", "z.gov"],
+            "disallow": [["/a", "/b"], []],
+            "crawl_delay": pa.array([0.0, 1.0], type=pa.float64()),
+            "sitemap_url": pa.array([None, None], type=pa.string()),
+        }
+    )
+    r = RobotsRules.from_table(t)
+    assert not r.allowed("https://a.gov/b/x")
+    assert r.allowed("https://a.gov/c")
+    assert r.budget("a.gov", 10.0) >= 1 << 30  # zero delay -> unbounded
+
+
+def test_expand_sitemaps_in_round_dedup():
+    """Two indexes referencing the same child in ONE round must not
+    double-emit the child's pages."""
+    from searchgov_spider_ray.sources.sitemaps import expand_sitemaps
+
+    child = b'<urlset><url><loc>https://s.gov/p1</loc></url></urlset>'
+    idx = b'<sitemapindex><sitemap><loc>https://s.gov/child.xml</loc></sitemap></sitemapindex>'
+    corpus = {"https://s.gov/a.xml": idx, "https://s.gov/b.xml": idx, "https://s.gov/child.xml": child}
+    ds = expand_sitemaps(["https://s.gov/a.xml", "https://s.gov/b.xml"], lambda urls: {u: corpus.get(u) for u in urls})
+    rows = ds.to_pandas()
+    assert len(rows) == 1, rows
+
+
+def test_endpoint_poster_flushes_tail_per_batch():
+    import pyarrow as pa
+
+    from searchgov_spider_ray.sinks.writers import EndpointBatchPoster
+
+    posted = []
+    p = EndpointBatchPoster(post=posted.append, max_bytes=50)
+    p(pa.table({"url": [f"https://x.gov/{i}" for i in range(7)]}))
+    got = [u for payload in posted for u in payload["urls"]]
+    assert got == [f"https://x.gov/{i}" for i in range(7)]  # nothing buffered/lost
