@@ -133,15 +133,30 @@ class JsonLogging:
         root_logger.setLevel(self.log_level)
 
         if not self.file_handler_enabled:
+            # the guard must look at the ROOT LOGGER's state, not this
+            # instance's: a second JsonLogging() in the same process
+            # would otherwise twin the first instance's .json handler
+            # (doubled log lines) and stack a .json.json handler on top
             file_handlers = [
-                h for h in root_logger.handlers if isinstance(h, logging.FileHandler)
+                h
+                for h in root_logger.handlers
+                if isinstance(h, logging.FileHandler)
+                and not isinstance(h, SearchGovSpiderFileHandler)
+                and not str(getattr(h, "baseFilename", "")).endswith(".json")
             ]
+            existing_json = {
+                str(getattr(h, "baseFilename", ""))
+                for h in root_logger.handlers
+                if isinstance(h, SearchGovSpiderFileHandler)
+            }
             for file_handler in file_handlers:
-                root_logger.addHandler(
-                    SearchGovSpiderFileHandler.from_handler(
-                        handler=file_handler, log_level=self.log_level
-                    )
+                twin = SearchGovSpiderFileHandler.from_handler(
+                    handler=file_handler, log_level=self.log_level
                 )
+                if str(getattr(twin, "baseFilename", "")) in existing_json:
+                    twin.close()
+                    continue
+                root_logger.addHandler(twin)
                 self.file_handler_enabled = True
 
         if not self.stream_handler_enabled:

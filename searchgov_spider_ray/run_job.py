@@ -45,7 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # address=None attaches to the submitting cluster when RAY_ADDRESS
+        # is set (the `ray job submit` path) and starts a local instance
+        # otherwise; address="local" would FORCE a nested single-node Ray
+        # on the head node, silently ignoring every worker
+        ray.init(address=None, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

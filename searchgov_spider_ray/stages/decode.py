@@ -172,8 +172,15 @@ class DecodePHash:
         ok = np.zeros(n, dtype=bool)
         dims = np.zeros(n, dtype=bool)
         data = batch["bytes"].to_pylist()
-        ws = batch["w"].to_numpy()
-        hs = batch["h"].to_numpy()
+        # null-safe reads: a single null in w/h/phash makes to_numpy()
+        # fall back to float64 — NaN casts to garbage AND every uint64
+        # above 2^53 loses low bits, corrupting the WHOLE batch's
+        # comparisons, so fill nulls on the Arrow side first
+        import pyarrow.compute as _pc
+
+        null_g = _pc.is_null(batch["phash"]).to_numpy(zero_copy_only=False)
+        ws = _pc.fill_null(batch["w"], -1).to_numpy(zero_copy_only=False)
+        hs = _pc.fill_null(batch["h"], -1).to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_pylist()
         smalls = np.empty((n, _N, _N), dtype=np.float64)
         for i in range(n):
@@ -186,9 +193,14 @@ class DecodePHash:
             smalls[i] = _small32(pixels)
         if ok.any():
             ph[ok] = phash64_from_smalls(smalls[ok])
-        golden = batch["phash"].to_numpy().astype(np.uint64)
+        golden = (
+            _pc.fill_null(batch["phash"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .astype(np.uint64)
+        )
         out = batch.append_column("phash_computed", pa.array(ph, type=pa.uint64()))
-        out = out.append_column("phash_match", pa.array(ph == golden))
+        out = out.append_column("phash_match", pa.array((ph == golden) & ~null_g))
         out = out.append_column("dims_match", pa.array(dims))
         out = out.append_column("decode_ok", pa.array(ok))
         return out

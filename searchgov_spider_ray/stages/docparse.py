@@ -43,17 +43,31 @@ from ..functions.urlnorm import basename_extension, host_of, path_of, separate_f
 
 _TITLE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _HTML_LANG = re.compile(r"<html\b[^>]*\blang=[\"']?([A-Za-z-]+)", re.IGNORECASE)
+# attribute values are quote-MATCHED (\"...\" | '...'), not a shared
+# [^"'] class — content=\"Biden's plan\" must not truncate at the
+# apostrophe
+_Q = "(?:\"([^\"]*)\"|'([^']*)')"
 _META = re.compile(
-    r"<meta\b[^>]*(?:name|property)=[\"']([^\"']+)[\"'][^>]*content=[\"']([^\"']*)[\"']",
+    rf"<meta\b[^>]*(?:name|property)={_Q}[^>]*content={_Q}",
     re.IGNORECASE,
 )
 _META_REV = re.compile(
-    r"<meta\b[^>]*content=[\"']([^\"']*)[\"'][^>]*(?:name|property)=[\"']([^\"']+)[\"']",
+    rf"<meta\b[^>]*content={_Q}[^>]*(?:name|property)={_Q}",
     re.IGNORECASE,
 )
+
+
+def _q(a: str | None, b: str | None) -> str:
+    return a if a is not None else (b or "")
 _TAGS = re.compile(r"<[^>]+>")
+# the lazy block scan is LENGTH-BOUNDED: an unclosed <a>/<script> would
+# otherwise make every occurrence scan to end-of-document (measured
+# O(n^2): 7.2 s on a 184 KB page of unclosed anchors). Blocks longer
+# than the bound keep their tail text — bounded loss on malformed HTML
+# beats wedging the parse actor.
 _DROP_BLOCKS = re.compile(
-    r"<(script|style|button)\b.*?</\1\s*>|<a\b.*?</a\s*>", re.IGNORECASE | re.DOTALL
+    r"<(script|style|button)\b.{0,20000}?</\1\s*>|<a\b.{0,2000}?</a\s*>",
+    re.IGNORECASE | re.DOTALL,
 )
 _WORD = re.compile(r"[A-Za-z']+")
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
@@ -94,6 +108,8 @@ def parse_date_safely(value) -> str | None:
         ts = pd.Timestamp(s)
     except (ValueError, TypeError):
         return None
+    if pd.isna(ts):  # pd.Timestamp("NaT") SUCCEEDS; strftime would raise
+        return None
     if ts.tz is not None:
         ts = ts.tz_convert("UTC").tz_localize(None)
     return ts.strftime("%Y-%m-%dT%H:%M:%S")
@@ -102,10 +118,10 @@ def parse_date_safely(value) -> str | None:
 def extract_meta(html: str) -> dict[str, str]:
     """name/property → content for both attribute orders."""
     out: dict[str, str] = {}
-    for name, content in _META.findall(html):
-        out.setdefault(name.lower(), content)
-    for content, name in _META_REV.findall(html):
-        out.setdefault(name.lower(), content)
+    for n1, n2, c1, c2 in _META.findall(html):
+        out.setdefault(_q(n1, n2).lower(), _q(c1, c2))
+    for c1, c2, n1, n2 in _META_REV.findall(html):
+        out.setdefault(_q(n1, n2).lower(), _q(c1, c2))
     return out
 
 
@@ -139,7 +155,15 @@ def summarize_text(text: str) -> tuple[str | None, str | None]:
     top_sent = [s for _, _, s in sorted(scored, reverse=True)[:3]]
     # keep document order within the summary (reference joins top
     # sentences in original order)
-    ordered = [s for s in (x.strip() for x in sentences) if s in set(top_sent)]
+    # dedupe while keeping document order: a repeated top sentence
+    # (boilerplate/nav text) must fill ONE slot, not displace the
+    # 2nd/3rd-ranked sentences
+    top_set = set(top_sent)
+    ordered, seen_s = [], set()
+    for s in (x.strip() for x in sentences):
+        if s in top_set and s not in seen_s:
+            seen_s.add(s)
+            ordered.append(s)
     keywords = [w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
     return " ".join(ordered[:3]) or None, ",".join(keywords) or None
 

@@ -62,20 +62,35 @@ class ImageResize:
         out_b: list[bytes] = []
         out_w = np.empty(len(data), dtype=np.int32)
         out_h = np.empty(len(data), dtype=np.int32)
+        ok = np.zeros(len(data), dtype=bool)
         for i, (b, fmt) in enumerate(zip(data, fmts)):
-            pixels, w, h, _ = fake_decode(b)
-            side = max(w, h)
-            if side > self.max_side:
-                nw = max(1, (w * self.max_side) // side)
-                nh = max(1, (h * self.max_side) // side)
-                pixels = resize_nearest(pixels, nw, nh)
-                w, h = nw, nh
-            out_b.append(fake_encode(np.ascontiguousarray(pixels), fmt))
-            out_w[i], out_h[i] = w, h
+            try:
+                pixels, w, h, _ = fake_decode(b)
+                side = max(w, h)
+                if side <= self.max_side:
+                    # already small: pass ORIGINAL bytes through — a
+                    # decode+re-encode round-trip per untouched row is
+                    # pure waste on the hot path
+                    out_b.append(b)
+                else:
+                    nw = max(1, (w * self.max_side) // side)
+                    nh = max(1, (h * self.max_side) // side)
+                    pixels = resize_nearest(pixels, nw, nh)
+                    w, h = nw, nh
+                    out_b.append(fake_encode(np.ascontiguousarray(pixels), fmt))
+                out_w[i], out_h[i] = w, h
+                ok[i] = True
+            except Exception:  # corrupt payload: keep the row, flag it
+                out_b.append(b if isinstance(b, bytes) else b"")
+                out_w[i], out_h[i] = -1, -1
         cols = {name: batch[name] for name in batch.column_names}
+        # a pass-through phash would be STALE for resized rows — drop it
+        # (recompute downstream with DecodePHash if needed)
+        cols.pop("phash", None)
         cols["bytes"] = pa.array(out_b, type=pa.large_binary())
         cols["w"] = pa.array(out_w)
         cols["h"] = pa.array(out_h)
+        cols["resize_ok"] = pa.array(ok)
         return pa.table(cols)
 
 
@@ -155,8 +170,17 @@ class AudioFeatures:
         dur = np.zeros(len(data), dtype=np.float64)
         rms_col: list[list[float]] = []
         zcr_col: list[list[float]] = []
+        ok = np.zeros(len(data), dtype=bool)
         for i, b in enumerate(data):
-            samples, rate = fake_audio_decode(b)
+            try:
+                samples, rate = fake_audio_decode(b)
+                if rate <= 0:
+                    raise ValueError("zero sample rate")
+            except Exception:  # corrupt/null payload: flag, don't crash
+                rms_col.append([])
+                zcr_col.append([])
+                continue
+            ok[i] = True
             dur[i] = len(samples) / rate
             win = max(1, int(rate * self.window_s))
             n = (len(samples) // win) * win
@@ -172,6 +196,7 @@ class AudioFeatures:
             batch.append_column("duration_s", pa.array(dur))
             .append_column("rms", pa.array(rms_col, type=pa.list_(pa.float64())))
             .append_column("zcr", pa.array(zcr_col, type=pa.list_(pa.float64())))
+            .append_column("decode_ok", pa.array(ok))
         )
 
 
@@ -232,11 +257,17 @@ class VideoFrameSample:
         dims: list[tuple[int, int, str]] = []
         smalls: list[np.ndarray] = []
         for vid, b in zip(vids, data):
-            offsets = fake_video_decode_frame_offsets(b)
+            try:  # corrupt container: skip the video, keep the batch
+                offsets = fake_video_decode_frame_offsets(b)
+            except Exception:
+                continue
             for fi in range(0, len(offsets), self.stride):
                 off, ln = offsets[fi]
                 fb = b[off : off + ln]
-                pixels, w, h, fmt = fake_decode(fb)
+                try:
+                    pixels, w, h, fmt = fake_decode(fb)
+                except Exception:  # corrupt frame: skip it
+                    continue
                 out_id.append(vid)
                 out_idx.append(fi)
                 out_b.append(fb)
