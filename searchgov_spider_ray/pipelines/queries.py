@@ -98,7 +98,7 @@ def q1_pricing_summary(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
         df = df.assign(
-            qty=df["l_quantity"].astype(np.int64),
+            qty=np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
             base_cents=_cents(df["l_extendedprice"]),
             disc_cents=_cents(df["l_extendedprice"] * (1.0 - df["l_discount"])),
         )
@@ -163,8 +163,12 @@ def priority_by_region(sf_dir: str):
             if self._m is None:
                 self._m = ray.get(ref)
             keys, regs, names = self._m
-            idx = np.searchsorted(keys, df["o_custkey"].to_numpy(np.int64))
-            df = df.assign(r_name=names[regs[idx]])
+            probe = df["o_custkey"].to_numpy(np.int64)
+            idx = np.searchsorted(keys, probe)
+            idx_c = np.minimum(idx, len(keys) - 1)
+            hit = keys[idx_c] == probe  # inner-join semantics: unmatched
+            df = df[hit]                # custkeys drop, like the oracle
+            df = df.assign(r_name=names[regs[idx_c[hit]]])
             return df.groupby(["r_name", "o_orderpriority"], as_index=False).agg(
                 n=("o_custkey", "size")
             )
@@ -308,9 +312,12 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna()]  # oracle: WHERE ts IS NOT NULL
         df = df.assign(
             window_start=df["ts"].dt.floor("h"),
-            value_micros=_micros(df["value"]),
+            # NULL value contributes 0 (oracle COALESCE) — floor(NaN)
+            # would otherwise poison the sum with INT64_MIN
+            value_micros=_micros(df["value"].fillna(0.0)),
         )
         return df.groupby(["user_id", "window_start"], as_index=False).agg(
             n_events=("value_micros", "size"), sum_value_micros=("value_micros", "sum")
@@ -333,7 +340,10 @@ def users_first_seen_late(sf_dir: str):
     from ray.data.aggregate import Max
 
     tmax = pd.Timestamp(ds.aggregate(Max("ts"))["max(ts)"])
-    cutoff = tmin + (tmax - tmin) / 2
+    # whole-microsecond floor division: DuckDB's (tmax-tmin)/2 interval
+    # truncates to us, while pandas /2 keeps half-microsecond precision —
+    # an odd-us span would shift the boundary between the two sides
+    cutoff = tmin + pd.Timedelta(microseconds=(tmax - tmin) // pd.Timedelta(microseconds=1) // 2)
     early = ds.map_batches(
         lambda df, _c=cutoff: df[df["ts"] < _c][["user_id"]].drop_duplicates(),
         batch_format="pandas",
@@ -483,7 +493,10 @@ def doc_quality_scores(sf_dir: str):
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    stop_re = r"\b(?:the|of|and|a|to|in|is|was|he|for|it|with|as|his|on|be|at|by|this|that|had|not|are|but|from|or|have|an|they|which|one|you|were|her|all|she|there|would|their|we|him|been|has|when|who|will|more|no|if|out|so|said|what)\b"
+    # (?a): ASCII \b, matching RE2's (Python \b is unicode-aware — a
+    # stopword followed by an accented letter would otherwise count
+    # differently on the two sides)
+    stop_re = r"(?a)\b(?:the|of|and|a|to|in|is|was|he|for|it|with|as|his|on|be|at|by|this|that|had|not|are|but|from|or|have|an|they|which|one|you|were|her|all|she|there|would|their|we|him|been|has|when|who|will|more|no|if|out|so|said|what)\b"
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("")
@@ -628,6 +641,7 @@ def events_sliding_counts(sf_dir: str):
     WIN = 3_600_000_000  # 1 hour in µs
 
     def windows(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["ts"].notna()]  # oracle: WHERE ts IS NOT NULL
         g = part.sort_values(["user_id", "ts"], kind="mergesort")
         n = len(g)
         if n == 0:
@@ -641,7 +655,7 @@ def events_sliding_counts(sf_dir: str):
             )
         uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        vm = _micros(g["value"])
+        vm = _micros(g["value"].fillna(0.0))  # oracle COALESCE(value, 0)
         new = np.empty(n, dtype=bool)
         new[0] = True
         new[1:] = uid[1:] != uid[:-1]
@@ -1399,10 +1413,26 @@ QUERIES = {
     "sitemap_monitor": sitemap_monitor_q,
 }
 
+# KNOWN LATENT kernel↔oracle divergences (documented, not reachable by
+# the driver's synthetic fixtures; every other pair has been audited
+# side-by-side):
+# 1. Unicode lowercasing: Python str.lower() applies full case mapping
+#    while DuckDB lower() applies utf8proc's simple mapping — they
+#    differ on 'İ' (U+0130 → 'i'+combining-dot vs 'i') and ~40 newer
+#    one-to-one codepoints. Affects every lowercasing pair (shingles,
+#    lang-id grams, stopwords) IF text carries those codepoints. The
+#    principled fix is ASCII-only case folding on both sides; deferred
+#    because it changes operator semantics for all non-ASCII uppercase.
+# 2. Float cosine ranking (ann_topk_*, embedding_near_dups threshold):
+#    numpy blocked matmul and DuckDB list_cosine_similarity accumulate
+#    in different orders; neighbors whose true cosines differ by less
+#    than the rounding gap can swap at the top-k boundary. Fixtures
+#    keep scores well separated; an integer-exact cosine would need
+#    fixed-point vectors on both sides.
 ORACLES = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                COUNT(*) AS n_rows
@@ -1461,8 +1491,9 @@ ORACLES = {
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS window_start,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
+               CAST(SUM(CAST(FLOOR(COALESCE(value, 0)*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY user_id, date_trunc('hour', ts)
     """,
     "users_first_seen_late": """
@@ -1508,11 +1539,11 @@ ORACLES = {
             SELECT doc_id,
                    COALESCE(text, '') AS t,
                    CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
-                   CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_words
+                   CAST(length(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+')) AS BIGINT) AS n_words
             FROM documents
         )
         SELECT doc_id, n_chars, n_words,
-               CAST(FLOOR((CAST(length(regexp_extract_all(t, '[^A-Za-z0-9_\s]')) AS DOUBLE)
+               CAST(FLOOR((CAST(length(regexp_extract_all(t, '[^A-Za-z0-9_ \t\n\r\f\v]')) AS DOUBLE)
                     / CAST(GREATEST(n_chars, 1) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS punct_ratio_micros,
                CAST(FLOOR((CAST(length(regexp_extract_all(lower(t), '\b(?:the|of|and|a|to|in|is|was|he|for|it|with|as|his|on|be|at|by|this|that|had|not|are|but|from|or|have|an|they|which|one|you|were|her|all|she|there|would|their|we|him|been|has|when|who|will|more|no|if|out|so|said|what)\b')) AS DOUBLE)
                     / CAST(GREATEST(n_words, 1) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS stopword_ratio_micros,
@@ -1523,7 +1554,7 @@ ORACLES = {
     "doc_ngram_jaccard": r"""
         WITH toks AS (
             SELECT doc_id, source,
-                   list_filter(string_split(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'), ' '),
+                   list_filter(string_split(regexp_replace(lower(COALESCE(text, '')), '[ \t\n\r\f\v]+', ' ', 'g'), ' '),
                                x -> x <> '') AS w
             FROM documents
         ),
@@ -1567,9 +1598,10 @@ ORACLES = {
     "events_sliding_counts": """
         SELECT event_id, user_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
-               CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+               CAST(SUM(CAST(FLOOR(COALESCE(value, 0)*1000000 + 0.5) AS BIGINT)) OVER w AS BIGINT)
                    AS sum_value_micros_1h
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,

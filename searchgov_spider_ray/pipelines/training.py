@@ -1098,25 +1098,39 @@ def embedding_near_dup_pairs(
             )
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2 or len(group) > 500:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series([], dtype="int64"),
-                    "vec_b": pd.Series([], dtype="int64"),
-                    "cosine": pd.Series([], dtype="float64"),
-                }
-            )
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(group) < 2:
+            return empty
         g = group.sort_values(id_col)
-        ids = g[id_col].tolist()
+        ids = np.asarray(g[id_col].tolist(), dtype=np.int64)
         mat = _as_matrix(g[vec_col])
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        sims = mat @ mat.T
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        # exact verify in ROW CHUNKS — a degenerate bucket (everything
+        # hashing alike) must be verified with bounded memory, never
+        # silently dropped (the SQL oracle has no cap)
+        chunk = max(1, (1 << 22) // max(len(ids), 1))  # ≤ ~32 MB of sims
+        a_parts, b_parts, c_parts = [], [], []
+        for s0 in range(0, len(ids), chunk):
+            sims = mat[s0 : s0 + chunk] @ mat.T
+            ii, jj = np.where(sims >= threshold)
+            keep = s0 + ii < jj  # upper triangle across chunks
+            ii, jj = ii[keep], jj[keep]
+            a_parts.append(ids[s0 + ii])
+            b_parts.append(ids[jj])
+            c_parts.append(sims[ii, jj])
+        if not a_parts:
+            return empty
         return pd.DataFrame(
             {
-                "vec_a": pd.Series([int(ids[i]) for i in ii], dtype="int64"),
-                "vec_b": pd.Series([int(ids[j]) for j in jj], dtype="int64"),
-                "cosine": pd.Series([float(sims[i, j]) for i, j in zip(ii, jj)], dtype="float64"),
+                "vec_a": pd.Series(np.concatenate(a_parts), dtype="int64"),
+                "vec_b": pd.Series(np.concatenate(b_parts), dtype="int64"),
+                "cosine": pd.Series(np.concatenate(c_parts), dtype="float64"),
             }
         )
 
