@@ -558,10 +558,12 @@ class CrawlJobRunner:
             sub = hashes[idx]
             digest = int(xxhash64(sub.tobytes()))
             # seeds arrive pre-deduped in one driver-side call per
-            # shard, so the plain provisional mask is already final
+            # shard, so the plain provisional mask is already final;
+            # log=False keeps the round_id=-1 entries out of the offer
+            # log (corrections(-1) is never called)
             novel[idx] = ray.get(
                 self.shards[int(s)].offer.remote(
-                    -1, digest, sub, np.zeros(len(sub), dtype=np.uint64)
+                    -1, digest, sub, np.zeros(len(sub), dtype=np.uint64), log=False
                 )
             )
         frontier_rows = {k: [] for k in FRONTIER_COLUMNS}

@@ -16,6 +16,7 @@ per input row.
 from __future__ import annotations
 
 import hashlib
+import os
 from pathlib import Path
 
 import numpy as np
@@ -1236,7 +1237,9 @@ def sitemap_monitor_q(sf_dir: str):
         # probe flow is pinned by tests/test_sitemap_monitor.py)
         sitemap_url=f"https://{domain}/sitemap.xml",
     )
-    base = "/tmp/searchgov_ray_query_sitemap_monitor"
+    # per-process work dir: two concurrent drivers (parallel bench /
+    # driver checks) must not race on each other's snapshots and crawls
+    base = f"/tmp/searchgov_ray_query_sitemap_monitor_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     mon = SitemapMonitor([site], SitemapFinder(transport), base + "/snaps")
     # pre-seed the previous snapshot with the odd-index URLs → the

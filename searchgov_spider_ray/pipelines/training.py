@@ -174,10 +174,16 @@ def _pair_part_of(a: np.ndarray, b: np.ndarray, n_parts: int) -> np.ndarray:
     return (mixed % np.uint64(n_parts)).astype(np.int32)
 
 
-def _distinct_pairs_wide(pairs: rd.Dataset, cols: list[str], n_parts: int) -> rd.Dataset:
+def _distinct_pairs_wide(
+    pairs: rd.Dataset, cols: list[str], n_parts: int, keep: list[str] | None = None
+) -> rd.Dataset:
     """Exact distinct over pair rows at any scale: coarse-partition by
     pair hash (all copies of a pair share a partition), then one
-    vectorized drop_duplicates per partition."""
+    vectorized drop_duplicates per partition. ``cols`` is the dedup key;
+    ``keep`` names carried-along columns excluded from the key (first
+    occurrence wins), for payloads like float scores that may differ by
+    an ulp between copies of the same logical pair."""
+    keep = keep or []
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -187,7 +193,7 @@ def _distinct_pairs_wide(pairs: rd.Dataset, cols: list[str], n_parts: int) -> rd
         return df
 
     def dedup(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(cols)[cols]
+        return group.drop_duplicates(cols)[cols + keep]
 
     return pairs.map_batches(add_part, batch_format="pandas").groupby("part").map_groups(
         dedup, batch_format="pandas"
@@ -548,13 +554,17 @@ def _cc_kernel(t: pa.Table) -> pa.Table:
     min-label propagation — ``np.minimum.at`` per sweep, O(E) a sweep,
     sweeps bounded by component diameter (near-dup clusters are
     near-cliques, so 2-3 sweeps in practice)."""
-    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dst_raw = t["dst"].to_numpy(zero_copy_only=False)
-    is_edge = ~pd.isna(dst_raw)
-    verts = np.unique(np.concatenate([src, dst_raw[is_edge].astype(np.int64)]))
+    # split edge rows from vertex rows in ARROW: to_numpy on a nullable
+    # int64 column null-pads through float64, corrupting ids >= 2^53 —
+    # filter on is_valid first so dst stays exact int64
+    src = pc.cast(t["src"], pa.int64()).to_numpy(zero_copy_only=False)
+    edge_tab = t.filter(pc.is_valid(t["dst"]))
+    e_src = pc.cast(edge_tab["src"], pa.int64()).to_numpy(zero_copy_only=False)
+    e_dst = pc.cast(edge_tab["dst"], pa.int64()).to_numpy(zero_copy_only=False)
+    verts = np.unique(np.concatenate([src, e_dst]))
     labels = verts.copy()
-    a = np.searchsorted(verts, src[is_edge])
-    b = np.searchsorted(verts, dst_raw[is_edge].astype(np.int64))
+    a = np.searchsorted(verts, e_src)
+    b = np.searchsorted(verts, e_dst)
     while True:
         prev = labels.copy()
         m = np.minimum(labels[a], labels[b])
@@ -1137,7 +1147,11 @@ def embedding_near_dup_pairs(
     bucketed = ds.map_batches(_Bucket(), batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
     if n_rows > wide_doc_rows:
-        return _distinct_pairs_wide(pairs, ["vec_a", "vec_b", "cosine"], n_parts)
+        # dedup key is the id pair ONLY (matching the narrow path's
+        # drop_duplicates): the float cosine for the same pair can differ
+        # by an ulp across bucket/table GEMM shapes, which would let the
+        # pair survive dedup twice if included in the key
+        return _distinct_pairs_wide(pairs, ["vec_a", "vec_b"], n_parts, keep=["cosine"])
     return pairs.repartition(1).map_batches(
         lambda df: df.drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True),
         batch_format="pandas",

@@ -48,7 +48,12 @@ class DedupShardActor:
         self._compact_rows = 1 << 20
 
     def offer(
-        self, round_id: int, batch_digest: int, hashes: np.ndarray, adm_keys: np.ndarray
+        self,
+        round_id: int,
+        batch_digest: int,
+        hashes: np.ndarray,
+        adm_keys: np.ndarray,
+        log: bool = True,
     ) -> np.ndarray:
         """Fused intra+cross-round dedup offer (one RPC pass replaces
         the wide rounds' sort(url_hash) exchange — see frontier.py).
@@ -67,6 +72,11 @@ class DedupShardActor:
             return self._memo[key]
         mask = self.shard.test_and_add(hashes)
         self._memo[key] = mask
+        if not log:
+            # pre-deduped driver-side calls (seed admission) never need
+            # corrections — skip the offer log so no round_id=-1 entries
+            # linger until the first end_round purge
+            return mask
         chunks = self._offers.setdefault(round_id, [])
         chunks.append((hashes.astype(np.uint64), adm_keys.astype(np.uint64), mask))
         self._pending_rows += len(hashes)

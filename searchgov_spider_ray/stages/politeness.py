@@ -195,9 +195,11 @@ def merge_grant_thresholds(
 
 class TagGrant:
     """map_batches tag pass: granted ⇔ pack(depth, seq) ≤ the domain's
-    broadcast threshold (searchsorted lookup; domains absent from the
-    threshold table never occur — every frontier domain contributed
-    candidates)."""
+    broadcast threshold (guarded searchsorted lookup). The frontier-loop
+    invariant says every batch domain contributed candidates, but the
+    lookup is defensive anyway: a domain absent from the threshold table
+    is DENIED (granted=False) rather than crashing on idx==len(thr) or
+    silently reading a neighbouring domain's threshold."""
 
     def __init__(self, thr_ref):
         self.thr_ref = thr_ref
@@ -214,8 +216,11 @@ class TagGrant:
             return t.append_column("granted", pa.array([], type=pa.bool_()))
         dom = np.asarray(t["domain"].to_pylist(), dtype="U")
         pack = pack_depth_seq(t["depth"].to_numpy(), t["seq"].to_numpy())
-        idx = np.searchsorted(dom_sorted, dom)
-        granted = pack <= thr[idx]
+        if len(dom_sorted) == 0:
+            granted = np.zeros(len(dom), dtype=bool)
+        else:
+            idx = np.minimum(np.searchsorted(dom_sorted, dom), len(dom_sorted) - 1)
+            granted = (dom_sorted[idx] == dom) & (pack <= thr[idx])
         return t.append_column("granted", pa.array(granted))
 
 
