@@ -136,25 +136,56 @@ def top_spenders(sf_dir: str):
     return df
 
 
-def priority_by_region(sf_dir: str):
-    """orders ⨝ customer ⨝ nation ⨝ region via broadcast lookup chain
-    (small sides ray.put once; no shuffle join). The custkey→region map
-    is broadcast as sorted numpy arrays + searchsorted — no boxed-int
-    driver dict (same pattern as stages/fetch.py's corpus index)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+def priority_by_region(sf_dir: str, wide_customer_rows: int = 5_000_000):
+    """orders ⨝ customer ⨝ nation ⨝ region. nation/region are tiny
+    (25/5 rows) and always broadcast as dense lookup arrays. The
+    customer side dispatches on row count: below ``wide_customer_rows``
+    it is a driver-built broadcast custkey→region array + searchsorted
+    (no shuffle at all); above it, customer routes through the
+    hash-partitioned ``relational.hash_join`` with the groupby partial
+    combined INSIDE the join partition (combiner pushdown) — the driver
+    never materializes the customer table. Forced-wide parity pinned in
+    tests/test_secondary.py."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    # nation/region are tiny (25/5 rows): dense position lookup arrays
-    nat_to_reg = np.full(int(nation["n_nationkey"].max()) + 1, -1, dtype=np.int32)
-    nat_to_reg[nation["n_nationkey"].to_numpy(np.int64)] = nation["n_regionkey"].to_numpy(np.int32)
-    reg_names = np.empty(int(region["r_regionkey"].max()) + 1, dtype=object)
-    reg_names[region["r_regionkey"].to_numpy(np.int64)] = region["r_name"].to_numpy(object)
+    nat_to_reg_ = np.full(int(nation["n_nationkey"].max()) + 1, -1, dtype=np.int32)
+    nat_to_reg_[nation["n_nationkey"].to_numpy(np.int64)] = nation["n_regionkey"].to_numpy(np.int32)
+    reg_names_ = np.empty(int(region["r_regionkey"].max()) + 1, dtype=object)
+    reg_names_[region["r_regionkey"].to_numpy(np.int64)] = region["r_name"].to_numpy(object)
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    if cust_ds.count() >= wide_customer_rows:
+        from .relational import hash_join
+
+        def cust_region(t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "r_code": pa.array(nat_to_reg_[nk], type=pa.int32()),
+                }
+            )
+
+        cust_r = cust_ds.map_batches(cust_region, batch_format="pyarrow")
+
+        def post(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(["r_code", "o_orderpriority"], as_index=False).agg(
+                n=("o_custkey", "size")
+            )
+            out["r_name"] = reg_names_[out["r_code"].to_numpy(np.int64)]
+            return out[["r_name", "o_orderpriority", "n"]]
+
+        partials = hash_join(orders, cust_r, on="o_custkey", post=post)
+        return _combine_partials(partials, ["r_name", "o_orderpriority"], ["n"])
+
+    cust = cust_ds.to_pandas()
     ckeys = cust["c_custkey"].to_numpy(np.int64)
     order = np.argsort(ckeys, kind="stable")
     ckeys_sorted = ckeys[order]
-    # per-customer region-name CODE (int8 — 5 regions), not a string per row
-    creg_sorted = nat_to_reg[cust["c_nationkey"].to_numpy(np.int64)][order]
-    ref = ray.put((ckeys_sorted, creg_sorted, reg_names))
+    # per-customer region-name CODE (int32 — 5 regions), not a string per row
+    creg_sorted = nat_to_reg_[cust["c_nationkey"].to_numpy(np.int64)][order]
+    ref = ray.put((ckeys_sorted, creg_sorted, reg_names_))
 
     class _Attach:
         def __init__(self):
@@ -174,7 +205,6 @@ def priority_by_region(sf_dir: str):
                 n=("o_custkey", "size")
             )
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     partials = orders.map_batches(_Attach(), batch_format="pandas")
     return _combine_partials(partials, ["r_name", "o_orderpriority"], ["n"])
 
@@ -239,23 +269,21 @@ def q3_shipping_priority(sf_dir: str):
     return joined.repartition(1).map_batches(topk, batch_format="pandas", batch_size=None)
 
 
-def customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (sitemap-diff pattern, SURVEY.md
-    §2.4 A5)."""
-    okeys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    ref = ray.put(np.sort(np.asarray(list(okeys), dtype=np.int64)))
+def customers_without_orders(sf_dir: str, broadcast_below: int = 2_000_000):
+    """Anti-join (SURVEY.md §2.4 A5): broadcast key set below
+    ``broadcast_below`` distinct-side rows, hash-partitioned
+    ``how="anti"`` join above (relational.anti_join_keys — nothing on
+    the driver at 10^9 keys). Forced-wide parity pinned in
+    tests/test_secondary.py."""
+    from .relational import anti_join_keys
 
-    class _Filter:
-        def __init__(self):
-            self._s = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._s is None:
-                self._s = ray.get(ref)
-            keys = t["c_custkey"].to_numpy().astype(np.int64)
-            return t.filter(pa.array(~_in_sorted(self._s, keys)))
-
-    out = _read(sf_dir, "customer", ["c_custkey"]).map_batches(_Filter(), batch_format="pyarrow")
+    okeys = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    out = anti_join_keys(
+        _read(sf_dir, "customer", ["c_custkey"]), okeys, "c_custkey",
+        broadcast_below=broadcast_below,
+    )
     # Pin the schema through an empty result: an all-filtered Dataset can
     # surface as a column-less DataFrame on the driver's to_pandas.
     df = out.to_pandas()
@@ -331,9 +359,15 @@ def events_hourly(sf_dir: str):
     )
 
 
-def users_first_seen_late(sf_dir: str):
+def users_first_seen_late(sf_dir: str, broadcast_below: int = 2_000_000):
     """Users first seen in the second half of the event log — the
-    sitemap snapshot anti-join shape (new = current ∖ previous)."""
+    sitemap snapshot anti-join shape (new = current ∖ previous).
+    Dispatches through relational.anti_join_keys: broadcast early-key
+    set below the threshold, hash-partitioned anti join above (no
+    driver-side key set at 10^9 users). Forced-wide parity pinned in
+    tests/test_secondary.py."""
+    from .relational import anti_join_keys
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     bounds = ds.aggregate(Min("ts"))
     tmin = pd.Timestamp(bounds["min(ts)"])
@@ -345,25 +379,19 @@ def users_first_seen_late(sf_dir: str):
     # truncates to us, while pandas /2 keeps half-microsecond precision —
     # an odd-us span would shift the boundary between the two sides
     cutoff = tmin + pd.Timedelta(microseconds=(tmax - tmin) // pd.Timedelta(microseconds=1) // 2)
+    # both sides pre-deduped per batch (combiner discipline): the anti
+    # join and the final unique see only per-batch-distinct user rows
     early = ds.map_batches(
         lambda df, _c=cutoff: df[df["ts"] < _c][["user_id"]].drop_duplicates(),
         batch_format="pandas",
-    ).unique("user_id")
-    ref = ray.put(np.sort(np.asarray(list(early), dtype=np.int64)))
-
-    class _Late:
-        def __init__(self):
-            self._s = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._s is None:
-                self._s = ray.get(ref)
-            df = df[df["ts"] >= cutoff]
-            df = df[~_in_sorted(self._s, df["user_id"].to_numpy(np.int64))]
-            return df[["user_id"]].drop_duplicates()
-
-    late = ds.map_batches(_Late(), batch_format="pandas").unique("user_id") or set()
-    return pa.table({"user_id": pa.array(sorted(int(u) for u in late), type=pa.int64())})
+    )
+    late = ds.map_batches(
+        lambda df, _c=cutoff: df[df["ts"] >= _c][["user_id"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = anti_join_keys(late, early, "user_id", broadcast_below=broadcast_below)
+    users = out.unique("user_id") or set()
+    return pa.table({"user_id": pa.array(sorted(int(u) for u in users), type=pa.int64())})
 
 
 # --------------------------------------------------------------------------
@@ -533,47 +561,92 @@ def doc_ngram_jaccard(sf_dir: str):
     """
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["doc_id"].to_numpy()
-        texts = group["text"].fillna("").to_numpy()
-        import re as _re
+    return ds.groupby("source").map_groups(_ngram_jaccard_pairs, batch_format="pandas")
 
-        gram_sets: list[np.ndarray] = []
-        for t in texts:
-            # explicit-ASCII whitespace class: Python \s matches unicode
-            # (NBSP etc.) while the DuckDB oracle's RE2 \s is ASCII-only
-            # — same discipline as doc_quality_scores.
-            ws = [w for w in _re.split(r"[ \t\n\r\f\v]+", t.lower()) if w]
-            grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
-            from ..functions.hashing import xxhash64
 
-            gram_sets.append(np.sort(np.array([xxhash64(g) for g in grams], dtype=np.uint64)))
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            if gram_sets[i].size == 0:
-                continue
-            for j in range(i + 1, len(ids)):
-                if gram_sets[j].size == 0:
-                    continue
-                isect = np.intersect1d(gram_sets[i], gram_sets[j], assume_unique=True).size
-                union = gram_sets[i].size + gram_sets[j].size - isect
-                jac = float(isect) / float(union)
-                if jac >= 0.5:
-                    a, b = int(ids[i]), int(ids[j])
-                    if a > b:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(jac)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "jaccard_micros": pd.Series(_micros(np.array(out_j, dtype=np.float64)), dtype="int64"),
-            }
-        )
+_EMPTY_JACCARD = pd.DataFrame(
+    {
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard_micros": pd.Series([], dtype="int64"),
+    }
+)
 
-    return ds.groupby("source").map_groups(pairs, batch_format="pandas")
+
+def _ngram_jaccard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """One vectorized pass per source group — NO per-pair Python loop
+    and NO scalar hash calls. Exploded (gram, doc) table → lockstep
+    ``xxhash64_array`` → sort by gram hash → run detection → pair
+    counts via ``np.unique`` on the per-run upper-triangle expansion
+    (exactly the oracle's grams-self-join). Work is proportional to
+    shared-gram co-occurrences, so a million-doc source with few dups
+    costs ~n·log(n) gram rows, never an O(k²) all-pairs scan."""
+    import re as _re
+
+    from ..functions.hashing import xxhash64_array
+
+    ids = group["doc_id"].to_numpy(np.int64)
+    texts = group["text"].fillna("").to_numpy()
+    all_grams: list[str] = []
+    doc_of: list[int] = []
+    for i, t in enumerate(texts):
+        # explicit-ASCII whitespace class: Python \s matches unicode
+        # (NBSP etc.) while the DuckDB oracle's RE2 \s is ASCII-only
+        # — same discipline as doc_quality_scores. Gram GENERATION is
+        # per-doc string work; hashing and pairing are vectorized below.
+        ws = [w for w in _re.split(r"[ \t\n\r\f\v]+", t.lower()) if w]
+        grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        all_grams.extend(grams)
+        doc_of.extend([i] * len(grams))
+    if not all_grams:
+        return _EMPTY_JACCARD.copy()
+    gh = xxhash64_array(all_grams)
+    di = np.asarray(doc_of, dtype=np.int64)
+    sizes = np.bincount(di, minlength=len(ids))  # distinct grams per doc
+    order = np.lexsort((di, gh))
+    ghs, dis = gh[order], di[order]
+    new = np.empty(len(ghs), dtype=bool)
+    new[0] = True
+    new[1:] = ghs[1:] != ghs[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, len(ghs)))
+    # upper-triangle expansion per run, fully vectorized: for each run
+    # of r docs sharing a gram, emit its r*(r-1)/2 (i, j) index pairs
+    multi = lens >= 2
+    if not multi.any():
+        return _EMPTY_JACCARD.copy()
+    r = lens[multi]
+    s = starts[multi]
+    n_pairs_per_run = r * (r - 1) // 2
+    total = int(n_pairs_per_run.sum())
+    run_of = np.repeat(np.arange(len(r)), n_pairs_per_run)
+    # local pair rank within its run → (iu, ju) upper-triangle coords
+    k = np.arange(total) - np.repeat(np.cumsum(n_pairs_per_run) - n_pairs_per_run, n_pairs_per_run)
+    rr = r[run_of]
+    # row index iu from rank k in the lexicographic triangle enumeration
+    iu = (
+        rr - 2 - np.floor(np.sqrt(-8.0 * k + 4.0 * rr * (rr - 1) - 7.0) / 2.0 - 0.5)
+    ).astype(np.int64)
+    ju = (k + iu + 1 - rr * (rr - 1) // 2 + (rr - iu) * ((rr - iu) - 1) // 2).astype(np.int64)
+    pa_idx = dis[s[run_of] + iu]
+    pb_idx = dis[s[run_of] + ju]
+    lo = np.minimum(pa_idx, pb_idx)
+    hi = np.maximum(pa_idx, pb_idx)
+    pairs_arr, isect = np.unique(np.stack([lo, hi], axis=1), axis=0, return_counts=True)
+    ia, ib = pairs_arr[:, 0], pairs_arr[:, 1]
+    union = sizes[ia] + sizes[ib] - isect
+    jac = isect.astype(np.float64) / union.astype(np.float64)
+    keep = jac >= 0.5
+    a_id, b_id = ids[ia[keep]], ids[ib[keep]]
+    swap = a_id > b_id
+    a_id[swap], b_id[swap] = b_id[swap], a_id[swap]
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(a_id, dtype="int64"),
+            "doc_b": pd.Series(b_id, dtype="int64"),
+            "jaccard_micros": pd.Series(_micros(jac[keep]), dtype="int64"),
+        }
+    )
 
 
 def _add_user_part(df: pd.DataFrame, n_parts: int = 64) -> pd.DataFrame:

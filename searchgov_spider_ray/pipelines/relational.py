@@ -6,15 +6,35 @@ the case broadcast joins (``priority_by_region``'s searchsorted lookup,
 padded to one unified schema, unioned, coarse-partitioned by a pure
 function of the join key (so every key's rows from both sides co-locate,
 same discipline as training.py's pair kernels), and merged with ONE
-vectorized pandas merge per partition — no per-key Python, no driver
+vectorized kernel per partition — no per-key Python, no driver
 materialization. An optional ``post`` kernel runs inside each partition
 right after the merge so partial aggregates can collapse before leaving
 the exchange (combiner pushdown).
 
-Skew note: a pathologically hot join key concentrates its rows in one
-partition; for known-skewed keys, salt the hot keys on the N:1 side and
-replicate the 1-side rows per salt — the standard fix, left to callers
-because it needs key statistics.
+``how`` semantics:
+- ``inner`` / ``left``: pandas merge per partition. ``left`` converts
+  the right side's int64 payloads to pandas nullable Int64 first so
+  null-padded misses never round-trip values >= 2^53 through float64.
+- ``anti`` / ``semi``: Arrow-native key-membership filter per partition
+  (``pc.is_in`` against the partition's right-key set) — exact for
+  int64 of any magnitude and for string keys, no pandas conversion at
+  all unless a ``post`` kernel is supplied. NULL left keys follow SQL
+  ANTI/SEMI (NOT EXISTS) semantics: never match, so anti keeps them and
+  semi drops them.
+
+Keys may be integer (cast to int64) or string (partitioned by the
+lockstep-vectorized ``xxhash64_array``, the repo-standard string hash).
+
+Skew: a pathologically hot join key concentrates its rows in one
+partition. ``salt_hot=True`` enables the standard fix — a cheap
+key-count partial pass over the left (N) side detects keys whose global
+count exceeds ``hot_factor`` × the expected per-partition mean, the
+left side's hot rows are salted across ``n_salts`` partitions, and the
+right (1 / key) side's hot rows are REPLICATED into each salted
+partition. Replication makes the per-partition merge exact for
+inner/left/semi/anti, but it splits a hot key's merged rows across
+partitions — so with ``salt_hot`` a ``post`` kernel must be a true
+combiner (re-combined downstream), never a finalizer. Off by default.
 """
 
 from __future__ import annotations
@@ -25,9 +45,55 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
+from ..functions.hashing import xxhash64_array
 from ..functions.simdedup import hash_part as _key_part  # shared partitioner
+
+_SALT_STEP = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash prime2: decorrelates salted parts
+
+
+def _part_of(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    """Partition id for int64 or string key arrays (shared partitioner;
+    strings go through the vectorized xxhash64 kernel first)."""
+    if keys.dtype.kind in ("i", "u"):
+        return _key_part(keys, n_parts)
+    return _key_part(xxhash64_array(keys), n_parts)
+
+
+def _salted_left_parts(
+    base_part: np.ndarray, is_hot: np.ndarray, n_salts: int, n_parts: int
+) -> np.ndarray:
+    """Hot left (N-side) rows fan out across ``n_salts`` partitions,
+    spread deterministically by row position (no RNG — stable under
+    task retry); cold rows keep their base partition."""
+    part = base_part.copy()
+    if is_hot.any():
+        base = base_part.astype(np.uint64)
+        salt = np.arange(len(base_part), dtype=np.uint64) % np.uint64(n_salts)
+        part[is_hot] = (
+            (base[is_hot] + salt[is_hot] * _SALT_STEP) % np.uint64(n_parts)
+        ).astype(np.int32)
+    return part
+
+
+def _replicated_right_parts(
+    base_part: np.ndarray, is_hot: np.ndarray, n_salts: int, n_parts: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hot right (1-per-key side) rows are REPLICATED into every salted
+    partition their left counterparts can land in. Returns (take_idx,
+    part): row indices into the original batch (hot rows appearing
+    ``n_salts`` times) and the partition id per taken row."""
+    hot_idx = np.flatnonzero(is_hot)
+    cold_idx = np.flatnonzero(~is_hot)
+    rep_idx = np.repeat(hot_idx, n_salts)
+    salt = np.tile(np.arange(n_salts, dtype=np.uint64), len(hot_idx))
+    base = base_part.astype(np.uint64)
+    rep_part = ((base[rep_idx] + salt * _SALT_STEP) % np.uint64(n_parts)).astype(np.int32)
+    take_idx = np.concatenate([cold_idx, rep_idx])
+    part = np.concatenate([base_part[cold_idx], rep_part])
+    return take_idx, part
 
 
 def hash_join(
@@ -37,10 +103,18 @@ def hash_join(
     n_parts: int = 64,
     how: str = "inner",
     post: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    salt_hot: bool = False,
+    n_salts: int = 8,
+    hot_factor: float = 2.0,
 ) -> rd.Dataset:
-    """Hash-partitioned equi-join on integer key ``on``; non-key column
-    names must be disjoint. ``post`` (optional) is applied to each
-    partition's merged frame before it leaves the exchange."""
+    """Hash-partitioned equi-join on key ``on`` (int or string);
+    non-key column names must be disjoint. ``post`` (optional) is
+    applied to each partition's merged frame before it leaves the
+    exchange. ``how`` ∈ {inner, left, semi, anti}; semi/anti return
+    left columns only (``right`` may be a bare key dataset)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+
     def _arrow_type(t) -> pa.DataType:
         # Ray's Schema.types carries Arrow types for Arrow-backed blocks
         # but numpy dtypes / Python classes for pandas-backed ones
@@ -61,17 +135,50 @@ def hash_join(
     r_schema = {
         c: _arrow_type(right.schema().types[right.schema().names.index(c)]) for c in rcols
     }
+    key_type = _arrow_type(left.schema().types[left.schema().names.index(on)])
+    string_key = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
+
+    hot_ref = None
+    if salt_hot:
+        hot = _detect_hot_keys(left, on, string_key, n_parts, hot_factor)
+        if len(hot):
+            hot_ref = ray.put(hot)
+        n_salts = max(int(n_salts), 1)
+
+    def _keys_np(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if string_key:
+            return np.asarray(arr.to_pylist(), dtype=object)
+        return arr.to_numpy(zero_copy_only=False)
 
     def prep(side: int, own: list[str], other_schema: dict):
+        # side 0 = left (N side: hot rows salted across n_salts parts);
+        # side 1 = right (1-per-key side: hot rows replicated per salt)
         def kernel(t: pa.Table) -> pa.Table:
-            keys = pc.cast(t[on], pa.int64())
+            keys = t[on] if string_key else pc.cast(t[on], pa.int64())
+            np_keys = _keys_np(keys)
+            part = _part_of(np_keys, n_parts)
+            take_idx = None
+            if hot_ref is not None:
+                hot_keys = ray.get(hot_ref)
+                is_hot = (
+                    pc.fill_null(pc.is_in(keys, value_set=pa.array(hot_keys)), False)
+                    .to_numpy(zero_copy_only=False)
+                )
+                if is_hot.any():
+                    if side == 0:
+                        part = _salted_left_parts(part, is_hot, n_salts, n_parts)
+                    else:
+                        take_idx, part = _replicated_right_parts(
+                            part, is_hot, n_salts, n_parts
+                        )
+            if take_idx is not None:
+                t = t.take(pa.array(take_idx, type=pa.int64()))
+                keys = t[on] if string_key else pc.cast(t[on], pa.int64())
             n = len(t)
             cols = {
                 on: keys,
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
-                "__part": pa.array(
-                    _key_part(keys.to_numpy(zero_copy_only=False), n_parts)
-                ),
+                "__part": pa.array(part),
             }
             for c in own:
                 cols[c] = t[c]
@@ -93,14 +200,104 @@ def hash_join(
         # (Columns that are null in the ORIGINAL data still go float in
         # pandas, same as a plain to_pandas would.)
         side = group["__side"].to_numpy(zero_copy_only=False)
-        l = group.filter(pa.array(side == 0)).select([on, *lcols]).to_pandas()
-        r = group.filter(pa.array(side == 1)).select([on, *rcols]).to_pandas()
+        l_tab = group.filter(pa.array(side == 0)).select([on, *lcols])
+        r_tab = group.filter(pa.array(side == 1)).select([on, *rcols])
+        if how in ("semi", "anti"):
+            # Arrow-native membership: no pandas, exact at any int64
+            # magnitude. fill_null(False): NULL keys never match.
+            rset = pc.unique(r_tab[on].combine_chunks())
+            mask = pc.fill_null(pc.is_in(l_tab[on], value_set=rset), False)
+            if how == "anti":
+                mask = pc.invert(mask)
+            out_tab = l_tab.filter(mask)
+            if post is None:
+                return out_tab
+            out = post(out_tab.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        l = l_tab.to_pandas()
+        r = r_tab.to_pandas()
+        if how == "left":
+            # null-padded misses must not drag int64 payloads through
+            # float64 — promote the right side to nullable Int64 first
+            up = {c: "Int64" for c in rcols if r[c].dtype == np.int64}
+            if up:
+                r = r.astype(up)
         out = l.merge(r, on=on, how=how)
         if post is not None:
             out = post(out)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def _detect_hot_keys(
+    ds: rd.Dataset, on: str, string_key: bool, n_parts: int, hot_factor: float
+):
+    """One cheap partial pass: per-batch top key counts (bounded to 16
+    keys per batch) combined on the driver; a key is HOT when its
+    global count exceeds hot_factor × (total rows / n_parts). The
+    driver holds O(batches × 16) rows, never the key set."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[on].value_counts().head(16)
+        return pd.DataFrame({on: vc.index, "n": vc.to_numpy(np.int64), "tot": len(df)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return np.array([], dtype=object if string_key else np.int64)
+    total = int(parts["tot"].sum()) or 1
+    counts = parts.groupby(on)["n"].sum()
+    # a key under-counted by the per-batch cap is by construction not
+    # globally hot at any realistic batch count: a truly hot key is a
+    # top-16 key in nearly every batch it appears in
+    hot = counts[counts > hot_factor * total / max(n_parts, 1)]
+    if string_key:
+        return hot.index.to_numpy(object)
+    return hot.index.to_numpy(np.int64)
+
+
+def anti_join_keys(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    broadcast_below: int = 2_000_000,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """The A5 anti-join shape (new = current ∖ previous) at any scale:
+    below ``broadcast_below`` right rows, broadcast the distinct key
+    set once via ``ray.put`` and filter each left batch with a
+    vectorized membership test (no shuffle at all); above it, the
+    hash-partitioned ``how="anti"`` join (two exchanges, nothing on the
+    driver). Same narrow/wide dispatch discipline as training.py's
+    ``WIDE_DOC_ROWS``."""
+    # materialize the (narrow, key-only) right side once: count() and
+    # the following unique()/join would otherwise each re-execute its
+    # upstream pipeline; blocks spill if large, never the driver heap
+    right_keys = right_keys.materialize()
+    if right_keys.count() < broadcast_below:
+        keys = right_keys.unique(on)
+        key_type = left.schema().types[left.schema().names.index(on)]
+        is_str = (
+            isinstance(key_type, pa.DataType)
+            and (pa.types.is_string(key_type) or pa.types.is_large_string(key_type))
+        ) or key_type in (object, str)
+        if is_str:
+            vset = pa.array(sorted(str(k) for k in keys), type=pa.string())
+        else:
+            vset = pa.array(np.sort(np.asarray(list(keys), dtype=np.int64)))
+        ref = ray.put(vset)
+
+        class _Anti:
+            def __init__(self):
+                self._s = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._s is None:
+                    self._s = ray.get(ref)
+                mask = pc.fill_null(pc.is_in(t[on], value_set=self._s), False)
+                return t.filter(pc.invert(mask))
+
+        return left.map_batches(_Anti(), batch_format="pyarrow")
+    return hash_join(left, right_keys.select_columns([on]), on=on, n_parts=n_parts, how="anti")
 
 
 def range_join_intervals(
@@ -129,8 +326,6 @@ def range_join_intervals(
     overlap (same replication trick as the wide as-of join) — not
     needed at any realistic window-table size.
     """
-    import ray
-
     iv = intervals.sort_values(start_col, kind="mergesort").reset_index(drop=True)
     starts = iv[start_col].to_numpy(dtype=np.int64)
     ends = iv[end_col].to_numpy(dtype=np.int64)

@@ -759,21 +759,31 @@ def top_distinctive_terms(
     text_col: str = "text",
     k: int = 3,
     n_parts: int | None = None,
+    broadcast_df: bool | None = None,
+    broadcast_df_rows: int = 2_000_000,
 ) -> rd.Dataset:
     """Per-doc top-k distinctive terms: rank by (tf DESC, df ASC, term
     ASC) — the integer-exact core of TF-IDF (max term frequency, min
     corpus document frequency) with no float scoring, so the DuckDB
-    oracle replays it bit-for-bit. Two coarse exchanges: hash-partition
-    by term to attach corpus DF (one vectorized pandas transform per
-    PARTITION, not per term), then by doc to rank; the (doc, term, tf)
-    explosion is pre-aggregated inside map_batches so the shuffle
-    carries one row per distinct pair, not per token.
+    oracle replays it bit-for-bit. The (doc, term, tf) explosion is
+    pre-aggregated inside map_batches so no shuffle ever carries one
+    row per token.
 
-    Partitioning assumption: stopword-grade terms concentrate their
-    (doc, term) rows in one term-partition. If that skews at corpus
-    scale, compute DF separately as per-block partials (term,
-    partial_df) — a tiny combine — and broadcast-join it onto the doc
-    side instead of co-partitioning doc rows by term."""
+    DF attachment dispatches on vocabulary size (``broadcast_df=None``
+    auto-detects from the per-batch DF-partial row count; True/False
+    force a path for tests):
+
+    - **broadcast-DF** (vocabulary fits ``broadcast_df_rows`` partial
+      rows): per-batch (term, partial_df) partials combine into one
+      vocabulary table broadcast via ``ray.put``; each doc-partition
+      attaches DF with a searchsorted lookup. ONE exchange (by doc) and
+      — critically — immune to stopword skew: a term in every doc never
+      co-locates its rows anywhere.
+    - **co-partition** (unbounded vocabulary): hash-partition by term
+      to attach corpus DF, then by doc to rank — two exchanges. A
+      stopword-grade term concentrates its rows in one term-partition;
+      bounded by the pre-aggregation (rows per term ≤ docs containing
+      it)."""
     from ..functions.simdedup import _tokenize
 
     n_parts = n_parts or _n_parts_default()
@@ -798,19 +808,7 @@ def top_distinctive_terms(
         )
         out = flat.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
         out["tf"] = out["tf"].astype("int64")
-        out["part"] = (
-            pd.util.hash_array(out["term"].to_numpy(), categorize=True)
-            % np.uint64(n_parts)
-        ).astype(np.int32)
         return out
-
-    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.copy()
-        group["df"] = group.groupby("term", sort=False)["doc_id"].transform("size").astype("int64")
-        from ..functions.simdedup import hash_part
-
-        group["part"] = hash_part(group["doc_id"].to_numpy(np.int64), n_parts)
-        return group
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(
@@ -822,8 +820,77 @@ def top_distinctive_terms(
         g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1).astype("int64")
         return g[["doc_id", "term", "tf", "df", "rank"]]
 
-    tf = ds.map_batches(tf_rows, batch_format="pandas")
-    with_df = tf.groupby("part").map_groups(attach_df, batch_format="pandas")
+    # materialize the narrow pre-aggregated (doc, term, tf) table once:
+    # both the DF pass and the rank pass consume it
+    tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
+
+    if broadcast_df is None:
+        # each (doc, term) row is globally unique, so per-batch DF
+        # partial rows ≤ vocabulary × batches — a cheap cardinality proxy
+        df_partial = tf.map_batches(
+            lambda g: g.groupby("term", sort=False)
+            .size()
+            .reset_index(name="pdf")
+            .astype({"pdf": "int64"}),
+            batch_format="pandas",
+        ).materialize()
+        broadcast_df = df_partial.count() <= broadcast_df_rows
+    else:
+        df_partial = None
+
+    if broadcast_df:
+        if df_partial is None:
+            df_partial = tf.map_batches(
+                lambda g: g.groupby("term", sort=False)
+                .size()
+                .reset_index(name="pdf")
+                .astype({"pdf": "int64"}),
+                batch_format="pandas",
+            )
+        vocab = df_partial.to_pandas().groupby("term", sort=False)["pdf"].sum()
+        ref = ray.put(vocab)
+
+        def attach_topk(group: pd.DataFrame) -> pd.DataFrame:
+            vocab_ = ray.get(ref)
+            group = group.copy()
+            # Series.map = vectorized hash lookup; every group term is in
+            # the vocabulary by construction
+            group["df"] = group["term"].map(vocab_).astype("int64")
+            return topk(group)
+
+        def doc_part(g: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.simdedup import hash_part
+
+            g = g.copy()
+            g["part"] = hash_part(g["doc_id"].to_numpy(np.int64), n_parts)
+            return g
+
+        return (
+            tf.map_batches(doc_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(attach_topk, batch_format="pandas")
+        )
+
+    def term_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["part"] = (
+            pd.util.hash_array(g["term"].to_numpy(), categorize=True) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return g
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.copy()
+        group["df"] = group.groupby("term", sort=False)["doc_id"].transform("size").astype("int64")
+        from ..functions.simdedup import hash_part
+
+        group["part"] = hash_part(group["doc_id"].to_numpy(np.int64), n_parts)
+        return group
+
+    with_df = (
+        tf.map_batches(term_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pandas")
+    )
     return with_df.groupby("part").map_groups(topk, batch_format="pandas")
 
 

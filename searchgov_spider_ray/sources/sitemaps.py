@@ -301,25 +301,21 @@ def create_sitemaps_report(records, finder: SitemapFinder, out_csv: str, batch_s
     write_sitemap_report(pending, out_csv)
 
 
-def snapshot_diff(current: rd.Dataset, previous: rd.Dataset | None) -> rd.Dataset:
+def snapshot_diff(
+    current: rd.Dataset, previous: rd.Dataset | None, broadcast_below: int = 2_000_000
+) -> rd.Dataset:
     """new = current ∖ previous by ``url``; first run (previous None)
-    emits nothing (reference: sitemap_monitor.py:238-248). Anti-join
-    via broadcast key set — the previous snapshot is one sitemap's URL
-    list, small by construction; a billion-row diff would switch to the
-    hash-partitioned join pattern."""
+    emits nothing (reference: sitemap_monitor.py:238-248). Dispatches
+    through relational.anti_join_keys: broadcast URL set below the
+    threshold (one sitemap's URL list is small by construction),
+    hash-partitioned ``how="anti"`` join above — a billion-row diff
+    never builds a driver-side set. Forced-wide parity pinned in
+    tests/test_sitemap_monitor.py."""
+    from ..pipelines.relational import anti_join_keys
+
     if previous is None:
         return rd.from_arrow(pa.table({"sitemap_url": pa.array([], type=pa.string()),
                                        "url": pa.array([], type=pa.string())}))
-    prev_urls = previous.unique("url") or set()
-    ref = ray.put(set(prev_urls))
-
-    class _New:
-        def __init__(self):
-            self._s = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._s is None:
-                self._s = ray.get(ref)
-            return df[~df["url"].isin(self._s)]
-
-    return current.map_batches(_New(), batch_format="pandas")
+    return anti_join_keys(
+        current, previous.select_columns(["url"]), "url", broadcast_below=broadcast_below
+    )

@@ -71,3 +71,65 @@ def test_query_matches_oracle(name, ray_session, sf_dir, oracle_con):
     assert len(mine) == len(theirs), f"rows {len(mine)} vs {len(theirs)}"
     assert sorted(mine.columns) == sorted(theirs.columns)
     assert _value_hash(mine) == _value_hash(theirs)
+
+
+class TestForcedWideDispatch:
+    """Queries with a narrow (broadcast) / wide (hash-partitioned join)
+    dispatch must produce identical results on both paths — the same
+    contract tests/test_training.py pins for the dedup kernels."""
+
+    def test_customers_without_orders_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.customers_without_orders(sf_dir, broadcast_below=0))
+        theirs = oracle_con.execute(e.oracle_sql()["customers_without_orders"]).fetchdf()
+        assert len(wide) == len(theirs)
+        assert _value_hash(wide) == _value_hash(theirs)
+
+    def test_users_first_seen_late_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.users_first_seen_late(sf_dir, broadcast_below=0))
+        theirs = oracle_con.execute(e.oracle_sql()["users_first_seen_late"]).fetchdf()
+        assert len(wide) == len(theirs)
+        assert _value_hash(wide) == _value_hash(theirs)
+
+    def test_priority_by_region_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.priority_by_region(sf_dir, wide_customer_rows=0))
+        theirs = oracle_con.execute(e.oracle_sql()["priority_by_region"]).fetchdf()
+        assert len(wide) == len(theirs) and len(wide) > 0
+        assert _value_hash(wide) == _value_hash(theirs)
+
+
+def test_ngram_jaccard_kernel_bounded_on_large_source():
+    """A single large source must NOT trigger an O(k^2) all-pairs scan:
+    5000 gram-disjoint docs plus two planted dup pairs complete in
+    seconds (the old per-pair intersect1d loop took minutes here), and
+    only the planted pairs surface."""
+    import time
+
+    import pandas as pd
+
+    from searchgov_spider_ray.pipelines.queries import _ngram_jaccard_pairs
+
+    n = 5000
+    ids = list(range(n)) + [90001, 90002, 90003, 90004]
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(n)] + [
+        "the quick brown fox jumps over dogs",
+        "the quick brown fox jumps over dogs",
+        "lorem ipsum dolor sit amet consectetur adipiscing",
+        "lorem ipsum dolor sit amet consectetur elit",
+    ]
+    group = pd.DataFrame({"doc_id": ids, "source": "s0", "text": texts})
+    t0 = time.time()
+    out = _ngram_jaccard_pairs(group)
+    wall = time.time() - t0
+    assert wall < 10.0, f"kernel took {wall:.1f}s on a 5k-doc source"
+    got = sorted(zip(out["doc_a"], out["doc_b"], out["jaccard_micros"]))
+    # exact dup: jaccard 1.0; lorem pair: 4 shared of 6 union grams = 2/3
+    assert got == [(90001, 90002, 1_000_000), (90003, 90004, 666667)]

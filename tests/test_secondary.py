@@ -76,6 +76,9 @@ class TestSitemapParse:
         )
         new = sitemaps.snapshot_diff(cur, prev).to_pandas()
         assert new["url"].tolist() == ["https://a.gov/p4"]
+        # forced-wide: the hash-partitioned anti join must agree
+        wide = sitemaps.snapshot_diff(cur, prev, broadcast_below=0).to_pandas()
+        assert wide["url"].tolist() == ["https://a.gov/p4"]
 
     def test_depth_cap(self):
         # self-referencing index must stop at max_depth, not loop

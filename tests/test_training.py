@@ -380,3 +380,28 @@ class TestRangeJoin:
             ["event_id", "win_start", "win_end"]
         ).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestTopTermsDFDispatch:
+    """broadcast-DF vs term-co-partition DF attachment must agree —
+    the stopword-skew hardening path (training.top_distinctive_terms)."""
+
+    def test_forced_paths_agree(self, docs_ds):
+        key = lambda df: sorted(
+            zip(df["doc_id"], df["term"], df["tf"], df["df"], df["rank"])
+        )
+        bcast = training.top_distinctive_terms(docs_ds, broadcast_df=True).to_pandas()
+        copart = training.top_distinctive_terms(docs_ds, broadcast_df=False).to_pandas()
+        auto = training.top_distinctive_terms(docs_ds).to_pandas()
+        assert len(bcast) > 0
+        assert key(bcast) == key(copart) == key(auto)
+
+    def test_auto_falls_back_on_huge_vocab(self, docs_ds):
+        # a 0-row broadcast budget forces the co-partition path; results
+        # still agree with the broadcast path
+        wide = training.top_distinctive_terms(docs_ds, broadcast_df_rows=0).to_pandas()
+        bcast = training.top_distinctive_terms(docs_ds, broadcast_df=True).to_pandas()
+        key = lambda df: sorted(
+            zip(df["doc_id"], df["term"], df["tf"], df["df"], df["rank"])
+        )
+        assert key(wide) == key(bcast)
