@@ -1177,13 +1177,65 @@ def embedding_near_dups(sf_dir: str):
 
 _CRAWL_CACHE: dict[str, str] = {}
 
+# /tmp trees the query layer creates; swept by gc_tmp_caches (the
+# scheduler.gc_orphans discipline applied to the ad-hoc caches)
+_TMP_CACHE_PREFIXES = (
+    "searchgov_ray_querycorpus",
+    "searchgov_ray_query_crawl",
+    "searchgov_ray_query_sitemap_monitor",
+    "searchgov_ray_bench_corpus",
+    "smoke_corpus",
+)
+_TMP_CACHE_AGE_SECONDS = 48 * 3600
+
+
+def gc_tmp_caches(
+    age_seconds: int = _TMP_CACHE_AGE_SECONDS,
+    now: float | None = None,
+    tmp_root: str = "/tmp",
+) -> list[str]:
+    """Delete query-layer /tmp cache trees idle longer than
+    ``age_seconds`` — same 'idle = newest mtime anywhere in the tree'
+    rule as scheduler.JobScheduler.gc_orphans (pipelines/
+    scheduler.py), applied to the corpus / crawl-output caches the
+    queries create. A cache in active use is re-touched by every run,
+    so live trees never age out. Returns deleted paths."""
+    import shutil
+    import time
+
+    now = time.time() if now is None else now
+    deleted: list[str] = []
+    root = Path(tmp_root)
+    if not root.exists():
+        return deleted
+    for child in sorted(root.iterdir()):
+        if not any(child.name.startswith(p) for p in _TMP_CACHE_PREFIXES):
+            continue
+        try:
+            if child.is_dir():
+                newest = max(
+                    (p.stat().st_mtime for p in child.rglob("*") if p.is_file()),
+                    default=child.stat().st_mtime,
+                )
+            else:
+                newest = child.stat().st_mtime
+            if now - newest > age_seconds:
+                if child.is_dir():
+                    shutil.rmtree(child, ignore_errors=True)
+                else:
+                    child.unlink(missing_ok=True)
+                deleted.append(str(child))
+        except OSError:
+            continue  # another process may be mutating/removing it
+    return deleted
+
 
 def _crawl_corpus_dir() -> str:
-    """Deterministic cached corpus under /tmp (seed=42 convention)."""
-    import os
-
+    """Deterministic cached corpus under /tmp (seed=42 convention);
+    opportunistically sweeps stale sibling caches first."""
     from ..sources.corpusgen import CorpusSpec, generate_corpus
 
+    gc_tmp_caches()
     cdir = "/tmp/searchgov_ray_querycorpus"
     if not os.path.exists(cdir + "/seeds.json"):
         generate_corpus(cdir, CorpusSpec(seed=42, n_domains=3, pages_per_domain=40))
@@ -1255,11 +1307,17 @@ def crawl_order(sf_dir: str):
 
 
 def crawl_image_corpus(sf_dir: str):
-    """Image+caption payload landing with phash verification."""
-    import pyarrow.parquet as pq
-
+    """Image+caption payload landing with the full per-row invariant
+    set from BASELINE.json's input_hint: phash match, decode success,
+    decoded-pixel PSNR ≥ 40 dB vs the reference pixels (recomputed from
+    corpusgen.pixels_for — the corpus stores no rasters), and caption
+    equality. tests/test_queries_oracle.py asserts every bit is True at
+    fixture scale, so any codec/hash regression fails loudly — not just
+    a row count."""
     from .frontier import CrawlConfig, CrawlJobRunner
+    from ..sources.corpusgen import CorpusSpec, caption_for, pixels_for
     from ..sources.crawl_sites import CrawlSites
+    from ..stages.decode import fake_decode, psnr
 
     cdir = _crawl_corpus_dir()
     sites = {s.name: s for s in CrawlSites.from_file(cdir + "/seeds.json").sites}
@@ -1269,8 +1327,36 @@ def crawl_image_corpus(sf_dir: str):
     )
     runner.run()
     runner.close()
-    tab = pq.read_table(out + "/corpus")
-    df = tab.to_pandas()[["image_id", "w", "h", "fmt", "caption", "phash_match", "decode_ok"]]
+    spec = CorpusSpec(seed=42, n_domains=3, pages_per_domain=40)
+
+    def verify(t: pa.Table) -> pa.Table:
+        # decode is inherently per-row (binary payloads); small batches
+        # stream, same shape as DecodePHash
+        ids = t["image_id"].to_pylist()
+        data = t["bytes"].to_pylist()
+        caps = t["caption"].to_pylist()
+        ps = np.zeros(len(t), dtype=bool)
+        cm = np.zeros(len(t), dtype=bool)
+        for i, (iid, b, c) in enumerate(zip(ids, data, caps)):
+            try:
+                dec, _, _, _ = fake_decode(b)
+            except Exception:
+                continue
+            ref, _, _, _ = pixels_for(spec, iid)
+            ps[i] = dec.shape == ref.shape and psnr(dec, ref) >= 40.0
+            cm[i] = c == caption_for(spec, iid)
+        t = t.append_column("psnr_pass", pa.array(ps))
+        return t.append_column("caption_match", pa.array(cm))
+
+    tab = (
+        rd.read_parquet(out + "/corpus")
+        .map_batches(verify, batch_format="pyarrow", batch_size=32)
+        .to_pandas()
+    )
+    df = tab[
+        ["image_id", "w", "h", "fmt", "caption", "phash_match", "decode_ok",
+         "psnr_pass", "caption_match"]
+    ]
     return df.sort_values("image_id").reset_index(drop=True)
 
 

@@ -263,6 +263,44 @@ class RealJsRenderer:  # pragma: no cover - swap-in point, no browser here
         raise NotImplementedError("playwright is not installed in this environment")
 
 
+class RealHttpFetcher:
+    """Interface stub for the production network fetch actor — the
+    swap-in replacing :class:`CorpusFetcher`'s corpus hash join with
+    real HTTP. The actor-pool contract mirrors the reference downloader
+    settings (reference settings.py:38-50):
+
+    - ONE pooled HTTP session per actor, created in ``__init__`` (a
+      connection pool amortized across every batch the actor serves —
+      never a connection per request);
+    - ``DOWNLOAD_TIMEOUT`` = 15 s per request (reference
+      settings.py:39 ``DOWNLOAD_TIMEOUT = 15``);
+    - ``DOWNLOAD_MAXSIZE`` = 15 MiB response-body cap, enforced by
+      streaming reads and aborting past the cap (reference
+      settings.py:50 ``DOWNLOAD_MAXSIZE = 15728640``);
+    - NO retries — a failed fetch emits a fetch-error row, never a
+      re-request (reference settings.py:38 ``RETRY_ENABLED = False``);
+    - cookies off (reference settings.py:36 ``COOKIES_ENABLED =
+      False``), per-domain concurrency handled UPSTREAM by the
+      politeness grant stage — the fetch actor never sees more than
+      its granted share of a domain.
+
+    Batch contract is :class:`CorpusFetcher`'s ``__call__``: input
+    columns (url, url_hash, depth, seq, domain), output adds (status,
+    content_type, body | body_ref, fetch_ms). Not constructible here
+    (sandbox has no network)."""
+
+    DOWNLOAD_TIMEOUT_S = 15.0
+    DOWNLOAD_MAXSIZE = 15 * 1024 * 1024
+    RETRY_ENABLED = False
+    COOKIES_ENABLED = False
+
+    def __init__(self, *_, **__):  # pragma: no cover - swap-in point
+        raise NotImplementedError("no network access in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
 class JsFetcher(CorpusFetcher):
     """S4: the JS-rendered fetch stage — same batch contract and hash
     join as CorpusFetcher, plus the render step over fetched HTML

@@ -99,3 +99,33 @@ def test_js_site_without_js_stage_finds_nothing(js_corpus, tmp_path):
         assert res.fetched == 1  # only the seed — the blob is invisible statically
     finally:
         runner.close()
+
+
+class TestRealFetcherContracts:
+    """The production swap-in stubs pin the reference downloader
+    contract (reference settings.py:36-50) so a future network-enabled
+    implementation cannot silently drift."""
+
+    def test_real_http_fetcher_contract(self):
+        from searchgov_spider_ray.stages.fetch import RealHttpFetcher
+
+        assert RealHttpFetcher.DOWNLOAD_TIMEOUT_S == 15.0
+        assert RealHttpFetcher.DOWNLOAD_MAXSIZE == 15728640
+        assert RealHttpFetcher.RETRY_ENABLED is False
+        assert RealHttpFetcher.COOKIES_ENABLED is False
+        with pytest.raises(NotImplementedError):
+            RealHttpFetcher()
+        # batch signature mirrors CorpusFetcher.__call__ (one pa.Table in/out)
+        import inspect
+
+        from searchgov_spider_ray.stages.fetch import CorpusFetcher
+
+        assert list(inspect.signature(RealHttpFetcher.__call__).parameters) == list(
+            inspect.signature(CorpusFetcher.__call__).parameters
+        )
+
+    def test_real_js_renderer_raises(self):
+        from searchgov_spider_ray.stages.fetch import RealJsRenderer
+
+        with pytest.raises(NotImplementedError):
+            RealJsRenderer()

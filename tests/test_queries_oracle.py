@@ -133,3 +133,38 @@ def test_ngram_jaccard_kernel_bounded_on_large_source():
     got = sorted(zip(out["doc_a"], out["doc_b"], out["jaccard_micros"]))
     # exact dup: jaccard 1.0; lorem pair: 4 shared of 6 union grams = 2/3
     assert got == [(90001, 90002, 1_000_000), (90003, 90004, 666667)]
+
+
+class TestRowsOnlyValuePins:
+    """The rows-only driver entries get value checks here: any codec,
+    hash, or feature regression fails these, not just a row count."""
+
+    def test_crawl_image_corpus_invariants_all_true(self, ray_session):
+        from searchgov_spider_ray.pipelines.queries import crawl_image_corpus
+
+        df = crawl_image_corpus("")
+        assert len(df) > 0
+        for col in ("phash_match", "decode_ok", "psnr_pass", "caption_match"):
+            assert df[col].all(), f"{col} not all True"
+
+    def test_multimodal_audio_golden_integers(self, ray_session):
+        from searchgov_spider_ray.pipelines.queries import multimodal_audio_pipeline
+
+        df = multimodal_audio_pipeline("").set_index("audio_id")
+        assert len(df) == 12
+        assert (df["duration_us"] == 1_000_000).all()
+        assert (df["n_windows"] == 4).all()
+        # sine-mix RMS: sqrt(0.5^2/2 + 0.25^2/2) * 20000/32768 ≈ 0.24122;
+        # the per-window integer goldens land on 241249/241250 micros
+        # (window phase). aud000's exact value pinned:
+        assert int(df.loc["aud000", "mean_rms_micros"]) == 241_250
+        assert set(df["mean_rms_micros"]) <= {241_249, 241_250}
+
+    def test_multimodal_image_feature_count(self, ray_session):
+        from searchgov_spider_ray.pipelines.queries import multimodal_image_pipeline
+        from searchgov_spider_ray.stages.multimodal import ImageFeatures
+
+        df = multimodal_image_pipeline("")
+        assert len(df) > 0
+        assert (df["n_features"] == ImageFeatures.DIM).all()
+        assert df["decode_ok"].all()

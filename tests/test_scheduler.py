@@ -358,3 +358,34 @@ def test_force_bool_coercion():
     assert s.allow_query_string is True
     assert s.handle_javascript is False
     assert s.prevent_follow is False
+
+
+def test_gc_tmp_caches_fake_mtimes(tmp_path):
+    """Age-based /tmp cache sweep: stale trees go, fresh ones stay,
+    non-cache names are never touched (faked mtimes, injected root)."""
+    import os
+    import time
+
+    from searchgov_spider_ray.pipelines.queries import gc_tmp_caches
+
+    now = time.time()
+    stale = tmp_path / "searchgov_ray_querycorpus"
+    fresh = tmp_path / "searchgov_ray_query_crawl"
+    other = tmp_path / "unrelated_dir"
+    for d in (stale, fresh, other):
+        d.mkdir()
+        (d / "f.txt").write_text("x")
+    old = now - 60 * 3600  # 60h idle > the 48h default
+    for p in (stale, stale / "f.txt", other, other / "f.txt"):
+        os.utime(p, (old, old))
+    deleted = gc_tmp_caches(now=now, tmp_root=str(tmp_path))
+    assert deleted == [str(stale)]
+    assert not stale.exists() and fresh.exists() and other.exists()
+    # a stale tree with ONE fresh file inside is live (newest-mtime rule)
+    stale2 = tmp_path / "searchgov_ray_bench_corpus_x"
+    stale2.mkdir()
+    (stale2 / "old.txt").write_text("x")
+    os.utime(stale2 / "old.txt", (old, old))
+    (stale2 / "new.txt").write_text("y")
+    assert gc_tmp_caches(now=now, tmp_root=str(tmp_path)) == []
+    assert stale2.exists()
