@@ -361,7 +361,14 @@ def _assign_seq_kernel(batch: pa.Table, depth_counters: dict[int, int]) -> pa.Ta
 class _EmitKernel:
     """Fetched pages → emitted item rows (reference parse_item,
     spiders/domain_spider.py:136-155 + DeDeuplicator is subsumed by
-    frontier dedup — each URL is fetched at most once)."""
+    frontier dedup — each URL is fetched at most once).
+
+    Emits NARROW rows (depth, seq, url_hash, image_id): the url string,
+    doc_id (sha256 of the url) and content columns are all derivable
+    from the corpus metadata table, so they are reconstructed at READ
+    time (:func:`read_emitted`) instead of being computed and shipped
+    per row through the sink every round — the byte-bound lineage-sink
+    share called out in BASELINE.md's phase decomposition."""
 
     def __init__(self, output_target: str):
         self.output_target = output_target
@@ -371,10 +378,7 @@ class _EmitKernel:
         ct = pd.Series(batch["content_type"].to_pylist(), dtype="object")
         allowed = content_type_mask(ct, self.output_target)
         batch = batch.filter(pa.array(ok & allowed))
-        urls = batch["url"].to_pylist()
-        doc_ids = [sha256_hex(u) for u in urls]
-        out = batch.select(["depth", "seq", "url", "content_type", "content_language", "image_id"])
-        return out.append_column("doc_id", pa.array(doc_ids, type=pa.string()))
+        return batch.select(["depth", "seq", "url_hash", "image_id"])
 
 
 def _write_round(ds: rd.Dataset, base: Path, round_id: int) -> None:
@@ -396,6 +400,30 @@ class _RoundStamp:
         return _add_round(t, self.k)
 
 
+def _distinct_by_hash(t: pa.Table, extra: str | None = None) -> pa.Table:
+    """Per-block distinct on url_hash (and ``extra``): denial lineage is
+    consumed as a SET of (url, reason) (:func:`read_denied` / simulator
+    parity), and link batches repeat the same target URL heavily (nav
+    links), so dropping within-block repeats cuts the sink's string
+    traffic by the duplication factor with zero reader change."""
+    if len(t) == 0:
+        return t
+    h = t["url_hash"].to_numpy()
+    if extra is None:
+        _, first = np.unique(h, return_index=True)
+    else:
+        codes = pc.dictionary_encode(t[extra].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((codes, h))
+        hs, cs = h[order], codes[order]
+        new = np.concatenate(([True], (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])))
+        first = order[new]
+    if len(first) == len(t):
+        return t
+    return t.take(pa.array(np.sort(first), type=pa.int64()))
+
+
 class _DeniedKernel:
     def __init__(self, k: int, keep_side: bool):
         self.k = k
@@ -404,7 +432,8 @@ class _DeniedKernel:
     def __call__(self, t: pa.Table) -> pa.Table:
         mask = pc.equal(t["reason"], KEEP)
         if not self.keep_side:
-            sub = t.filter(pc.invert(mask)).select(["url", "reason"])
+            sub = t.filter(pc.invert(mask)).select(["url", "url_hash", "reason"])
+            sub = _distinct_by_hash(sub, extra="reason").drop_columns(["url_hash"])
             return _add_round(sub, self.k)
         return t.filter(mask).drop_columns(["reason"])
 
@@ -414,7 +443,8 @@ class _DupDeniedKernel:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.invert(t["novel"])).select(["url"])
+        sub = t.filter(pc.invert(t["novel"])).select(["url", "url_hash"])
+        sub = _distinct_by_hash(sub).drop_columns(["url_hash"])
         sub = sub.append_column("reason", pa.array([DENY_DUPLICATE] * len(sub), type=pa.string()))
         return _add_round(sub, self.k)
 
@@ -424,7 +454,8 @@ class _IntraDupKernel:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.invert(t["intra_first"])).select(["url"])
+        sub = t.filter(pc.invert(t["intra_first"])).select(["url", "url_hash"])
+        sub = _distinct_by_hash(sub).drop_columns(["url_hash"])
         sub = sub.append_column("reason", pa.array([DENY_DUPLICATE] * len(sub), type=pa.string()))
         return _add_round(sub, self.k)
 
@@ -626,6 +657,22 @@ class CrawlJobRunner:
             ray.kill(s)
         self.shards = []
 
+    def _write_job_meta(self) -> None:
+        """Reader-facing pointer to the corpus metadata table: the
+        lineage sinks store url_hash only; read_order/read_emitted
+        reconstruct strings by joining this table."""
+        import json
+
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        (self.out_dir / "job_meta.json").write_text(
+            json.dumps(
+                {
+                    "job_id": self.site.job_id,
+                    "corpus_pages": str(self.corpus_dir / "corpus_pages.parquet"),
+                }
+            )
+        )
+
     def run(self, resume: bool = False) -> CrawlRunResult:
         cfg = self.cfg
         if resume and (k0 := self.resume_point()) is not None:
@@ -663,6 +710,7 @@ class CrawlJobRunner:
                 pq.write_table(dtab, seed_dir / "denied_seed.parquet")
             self._write_checkpoint(0, seeds_frontier, {"granted": {}, "phase": "seeded"})
             start_round = 0
+        self._write_job_meta()
 
         total_fetched = 0
         per_round: list[int] = []
@@ -795,25 +843,55 @@ class CrawlJobRunner:
         # Only fetch METADATA is materialized and shared; the body join
         # re-runs inside the fused link chain below so multi-GB payloads
         # stream through tasks without ever parking in the object store.
+        # The materialized table is NARROW: url and content_language are
+        # dropped right after the join (everything downstream keys on
+        # url_hash; strings are reconstructed from the corpus metadata
+        # only at read time — read_order/read_emitted), so the blocks
+        # the order/emit sinks and the image path move are ints + the
+        # short domain/content_type strings.
+        _FETCH_META_COLS = [
+            "depth", "seq", "url", "url_hash", "domain", "status", "content_type", "image_id"
+        ]
         fetched = granted.map_batches(
             CorpusFetcher(self.corpus_ref, meta_only=True),
             batch_format="pyarrow",
             batch_size=cfg.fetch_batch_size,
+        ).map_batches(
+            lambda t: t.select(_FETCH_META_COLS), batch_format="pyarrow"
         ).materialize()
         n_fetched = fetched.count()
         _mark("fetch")
 
-        # 3. order/lineage sink (fetch order = (round, depth, seq))
-        order = fetched.map_batches(_RoundStamp(k), batch_format="pyarrow")
+        # 3. order/lineage sink (fetch order = (round, depth, seq)):
+        # url_hash + int16 status per row — the URL string is written
+        # ONLY for corpus misses (status 0, dead links: rare), null
+        # otherwise; hit rows reconstruct their string from the corpus
+        # metadata at read time (read_order). status stays for the
+        # close monitors' HTTP-code budget.
+        def _order_rows(t: pa.Table) -> pa.Table:
+            miss = pc.equal(t["status"], pa.scalar(0, type=pa.int16()))
+            url_miss = pc.if_else(miss, t["url"], pa.scalar(None, type=pa.string()))
+            out = t.select(["depth", "seq", "url_hash", "status"])
+            out = out.append_column("url_miss", url_miss)
+            return _add_round(out, k)
+
+        order = fetched.map_batches(_order_rows, batch_format="pyarrow")
         _write_round(order, self.out_dir / "order", k)
 
         _mark("order_sink")
-        # spent-per-domain lineage: read back from the order parquet we
-        # just wrote (driver-side value_counts on one small column — no
-        # extra Ray execution)
-        spent_tab = pq.read_table(self.out_dir / "order" / f"round-{k:04d}", columns=["domain"])
-        vc = pc.value_counts(spent_tab["domain"].combine_chunks())
-        spent = {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
+        # spent-per-domain lineage: per-block value_counts over the
+        # materialized fetch metadata via raw block-ref tasks (no sink
+        # read-back, no extra executor)
+        def _domain_counts(t: pa.Table) -> dict[str, int]:
+            if len(t) == 0:
+                return {}
+            vc = pc.value_counts(t["domain"].combine_chunks())
+            return {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
+
+        spent: dict[str, int] = {}
+        for part in _map_block_refs(fetched, _domain_counts):
+            for dom, cnt in part.items():
+                spent[dom] = spent.get(dom, 0) + cnt
 
         _mark("spent_lineage")
         # 4. emit + image payload landing — launched on a worker thread
@@ -824,6 +902,8 @@ class CrawlJobRunner:
             emit = fetched.map_batches(
                 _EmitKernel(self.site.output_target), batch_format="pyarrow"
             ).map_batches(_RoundStamp(k), batch_format="pyarrow")
+            # narrow sink: (depth, seq, url_hash, round); url/doc_id/
+            # content columns reconstruct at read time (read_emitted)
             _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
             # count from the written files' metadata — no extra
             # execution; the image path below re-runs the cheap emit
@@ -1002,11 +1082,72 @@ class CrawlJobRunner:
         return n_fetched
 
 
+def _corpus_lookup(out_dir: str | Path) -> tuple[np.ndarray, np.ndarray, pa.Table]:
+    """(sorted url_hash, argsort permutation, corpus metadata table)
+    for string reconstruction in the lineage readers. The corpus path
+    comes from the job_meta.json the runner writes next to its sinks."""
+    import json
+
+    meta = json.loads((Path(out_dir) / "job_meta.json").read_text())
+    tab = pq.read_table(
+        meta["corpus_pages"],
+        columns=["url_hash", "url", "domain", "status", "content_type", "content_language"],
+    )
+    hashes = tab["url_hash"].to_numpy(zero_copy_only=False)
+    perm = np.argsort(hashes, kind="stable").astype(np.int64)
+    return hashes[perm], perm, tab
+
+
+def _reconstruct(
+    df: pd.DataFrame, out_dir: str | Path, cols: list[str]
+) -> pd.DataFrame:
+    """Attach corpus-derived string columns to url_hash lineage rows.
+    Hashes absent from the corpus (possible only for a status-0 grant,
+    which the closed corpus never produces) reconstruct as None."""
+    sorted_h, perm, tab = _corpus_lookup(out_dir)
+    probe = df["url_hash"].to_numpy().astype(np.uint64)
+    if len(sorted_h) == 0:
+        for c in cols:
+            df[c] = None
+        return df
+    pos = np.minimum(np.searchsorted(sorted_h, probe), len(sorted_h) - 1)
+    found = sorted_h[pos] == probe
+    idx = pa.array(
+        np.where(found, perm[pos], -1), type=pa.int64(), mask=~found
+    )
+    for c in cols:
+        df[c] = tab[c].combine_chunks().take(idx).to_pandas()
+    return df
+
+
 def read_order(out_dir: str | Path) -> pd.DataFrame:
-    """Golden-order view: all fetched URLs in global fetch order."""
+    """Golden-order view: all fetched URLs in global fetch order. The
+    sink stores (round, depth, seq, url_hash, status) plus the URL
+    string for corpus MISSES only; hit rows reconstruct url/domain from
+    the corpus metadata here (the sink never ships them — BASELINE.md
+    byte-bound-sink fix)."""
     df = pq.read_table(str(Path(out_dir) / "order")).to_pandas()
+    df = _reconstruct(df, out_dir, ["url", "domain"])
+    miss = df["url"].isna() & df["url_miss"].notna()
+    if miss.any():
+        df.loc[miss, "url"] = df.loc[miss, "url_miss"]
+        df.loc[miss, "domain"] = [host_of(u) for u in df.loc[miss, "url"]]
+    df = df.drop(columns=["url_miss"])
     df = df.sort_values(["round", "depth", "seq"], kind="mergesort").reset_index(drop=True)
     df["rank"] = np.arange(len(df), dtype=np.int64)
+    return df
+
+
+def read_emitted(out_dir: str | Path) -> pd.DataFrame:
+    """Emitted-doc view in (round, depth, seq) order: reconstructs url /
+    content_type / content_language from the corpus and recomputes
+    doc_id = sha256(url) — the sink stores only (round, depth, seq,
+    url_hash), and the sha256 runs once per EMITTED row at read time
+    instead of once per fetch in the hot path."""
+    df = pq.read_table(str(Path(out_dir) / "emitted")).to_pandas()
+    df = _reconstruct(df, out_dir, ["url", "content_type", "content_language"])
+    df = df.sort_values(["round", "depth", "seq"], kind="mergesort").reset_index(drop=True)
+    df["doc_id"] = [sha256_hex(u) if isinstance(u, str) else None for u in df["url"]]
     return df
 
 

@@ -45,8 +45,10 @@ def evaluate_run(
     emitted_dir = out / "emitted"
     n_items = 0
     if emitted_dir.exists():
-        tab = pq.read_table(emitted_dir, columns=["doc_id"])
-        n_items = tab.num_rows
+        # row count from footers only (the narrow sink has no doc_id —
+        # it is reconstructed by read_emitted; the monitor needs counts)
+        for f in emitted_dir.rglob("*.parquet"):
+            n_items += pq.ParquetFile(f).metadata.num_rows
     stats["items"] = n_items
     checks["min_items"] = n_items >= min_items
 

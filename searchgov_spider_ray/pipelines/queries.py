@@ -1420,9 +1420,11 @@ def sitemap_monitor_q(sf_dir: str):
     def fetch(batch_urls):
         return {u: transport.get(u)[1] for u in batch_urls}
 
+    from .frontier import read_emitted
+
     mon.run_due(0.0, fetch, spawn)
     frames = [
-        pq.read_table(d).to_pandas() for d in emitted_dirs if Path(d).exists()
+        read_emitted(Path(d).parent) for d in emitted_dirs if Path(d).exists()
     ]
     df = pd.concat(frames) if frames else pd.DataFrame({"url": [], "doc_id": []})
     return (

@@ -16,6 +16,7 @@ from searchgov_spider_ray.pipelines.frontier import (
     CrawlConfig,
     CrawlJobRunner,
     read_denied,
+    read_emitted,
     read_order,
     read_seen,
 )
@@ -88,8 +89,7 @@ class TestOrderingAndParity:
 
     def test_emitted_parity(self, plain_run):
         runner, res, sim, out = plain_run
-        emitted = pq.read_table(str(out / "emitted")).to_pandas()
-        emitted = emitted.sort_values(["round", "depth", "seq"], kind="mergesort")
+        emitted = read_emitted(out)
         assert emitted["url"].tolist() == [e["url"] for e in sim.emitted]
         assert emitted["doc_id"].tolist() == [e["doc_id"] for e in sim.emitted]
 
