@@ -773,13 +773,45 @@ class CrawlJobRunner:
         )
 
         if rows_in <= cfg.politeness_driver_rows:
+            from ..stages.politeness import block_grant_counts
+
             fmat = frontier.materialize()
-            cand_parts = _map_block_refs(
-                fmat, block_grant_candidates(self.robots, cfg.round_seconds)
+            # two-phase driver merge: (1) per-domain COUNTS (O(domains)
+            # per block); domains under budget grant everything without
+            # shipping a pack; (2) candidate packs only for over-budget
+            # domains — with generous budgets (long rounds) the driver
+            # never sees O(frontier) rows, which kept this path ~flat in
+            # CPU count (BASELINE.md politeness 0.9x/4)
+            totals: dict[str, int] = {}
+            for part in _map_block_refs(fmat, block_grant_counts()):
+                for dom, cnt in part.items():
+                    totals[dom] = totals.get(dom, 0) + cnt
+            over = np.array(
+                sorted(
+                    d for d, n in totals.items()
+                    if n >= self.robots.budget(d, cfg.round_seconds)
+                ),
+                dtype=object,
             )
-            thr_ref = ray.put(
-                merge_grant_thresholds(cand_parts, self.robots, cfg.round_seconds)
-            )
+            if len(over):
+                cand_parts = _map_block_refs(
+                    fmat,
+                    block_grant_candidates(self.robots, cfg.round_seconds, only_domains=over),
+                )
+                dom_o, thr_o = merge_grant_thresholds(
+                    cand_parts, self.robots, cfg.round_seconds
+                )
+            else:
+                dom_o = np.array([], dtype="U")
+                thr_o = np.array([], dtype=np.uint64)
+            # full threshold table: MAX (grant-all) for under-budget
+            # domains, merged threshold for over-budget ones — O(domains)
+            all_doms = np.sort(np.asarray(list(totals.keys()), dtype="U"))
+            thr_all = np.full(len(all_doms), np.iinfo(np.uint64).max, dtype=np.uint64)
+            if len(dom_o):
+                pos = np.searchsorted(all_doms, dom_o)
+                thr_all[pos] = thr_o
+            thr_ref = ray.put((all_doms, thr_all))
             marked = fmat.map_batches(TagGrant(thr_ref), batch_format="pyarrow")
         else:
             # huge frontiers: same threshold+tag structure, but the

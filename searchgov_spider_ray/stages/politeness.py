@@ -128,16 +128,44 @@ def pack_depth_seq(depth: np.ndarray, seq: np.ndarray) -> np.ndarray:
     return (d << np.uint64(_GRANT_SEQ_BITS)) | s
 
 
-def block_grant_candidates(robots: RobotsRules, round_seconds: float):
+def block_grant_counts():
+    """Block-ref kernel: per-domain row count — the CHEAP first pass of
+    the two-phase driver merge. A domain whose global count is under
+    its budget grants everything (threshold = UINT64_MAX) without ever
+    shipping a candidate pack, so with generous budgets (long rounds)
+    the driver merge handles O(domains) counts instead of O(frontier)
+    packs; only over-budget domains pay the candidate pass."""
+
+    def kernel(t) -> dict[str, int]:
+        if len(t) == 0:
+            return {}
+        import pyarrow.compute as _pc
+
+        vc = _pc.value_counts(t["domain"].combine_chunks())
+        return {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
+
+    return kernel
+
+
+def block_grant_candidates(
+    robots: RobotsRules, round_seconds: float, only_domains: np.ndarray | None = None
+):
     """Block-ref kernel: per domain in the block, the min(B, count)
     smallest (depth, seq) packs — the only rows that can influence the
-    domain's global grant threshold."""
+    domain's global grant threshold. ``only_domains`` (a numpy object
+    array) restricts the scan to the over-budget domains found by the
+    count pass (vectorized membership, no per-row Python)."""
 
     def kernel(t) -> dict[str, np.ndarray]:
         if len(t) == 0:
             return {"domain": np.array([], dtype=object), "pack": np.array([], dtype=np.uint64)}
         dom = np.asarray(t["domain"].to_pylist(), dtype=object)
         pack = pack_depth_seq(t["depth"].to_numpy(), t["seq"].to_numpy())
+        if only_domains is not None:
+            sel = np.isin(dom, only_domains)
+            if not sel.any():
+                return {"domain": np.array([], dtype=object), "pack": np.array([], dtype=np.uint64)}
+            dom, pack = dom[sel], pack[sel]
         order = np.lexsort((pack, pd.util.hash_array(dom, categorize=True)))
         # hash order groups equal domains; runs detected on the sorted values
         dom_s, pack_s = dom[order], pack[order]
