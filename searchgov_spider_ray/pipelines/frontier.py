@@ -1017,14 +1017,19 @@ class CrawlJobRunner:
         cands = scoped.map_batches(_DeniedKernel(k, keep_side=True), batch_format="pyarrow")
         # count() on the MATERIALIZED scoped table is free (block
         # metadata); counting the keep-side filter would spin another
-        # executor. scoped ≥ cands, so as a wide-dispatch heuristic it
-        # only errs toward the scale-safe path.
+        # executor. Used only for the empty-round early exit.
         n_scoped = scoped.count()
         if n_scoped == 0:
             next_frontier = carry.map_batches(lambda t: t.select(FRONTIER_COLUMNS), batch_format="pyarrow")
             self._write_checkpoint(k + 1, next_frontier, {"granted": spent, "fetched": n_fetched})
             return n_fetched
-        wide = n_scoped > cfg.wide_round_rows
+        # wide-dispatch decides AFTER the dedup pass on the EXACT novel
+        # count (shard-size delta, one RPC per shard — the audit sets
+        # count distinct admitted hashes): seq assignment only sorts the
+        # novel rows, and dispatching on n_scoped (links, 10-20× larger)
+        # forced the sort exchange on rounds whose novel set fits one
+        # task's lexsort comfortably.
+        seen_before = int(sum(ray.get([s.size.remote() for s in self.shards])))
 
         # 6+7. FUSED intra-round first-wins + URL-seen membership in ONE
         # RPC pass (no sort exchange): per-batch local first-wins by min
@@ -1047,6 +1052,8 @@ class CrawlJobRunner:
         )
         corr_ref = ray.put(collect_corrections(self.shards, k))
         fixed = offered.map_batches(CorrectionFix(corr_ref), batch_format="pyarrow")
+        n_novel = int(sum(ray.get([s.size.remote() for s in self.shards]))) - seen_before
+        wide = n_novel > cfg.wide_round_rows
         _mark("dedup_fused")
         intra_dups = fixed.map_batches(_IntraDupKernel(k), batch_format="pyarrow")
         marked2 = fixed.map_batches(
