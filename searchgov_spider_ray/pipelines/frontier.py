@@ -1085,29 +1085,49 @@ class CrawlJobRunner:
                 _write_denied()
                 denied_future = _dpool.submit(lambda: None)
             _mark("denied_sink")
-            # 8. admission-order seq assignment (single-block for normal
-            # rounds, block-level prefix sum for wide ones)
+            # 8. admission-order seq assignment
             counters = dict(self.depth_counters)
             if wide:
+                # block-level prefix sum over a distributed sort
                 new_frontier = _assign_seq_wide(novel, counters, has_adm_key=True).materialize()
-            else:
-                new_frontier = novel.repartition(1).map_batches(
-                    lambda t, _c=counters: _assign_seq_kernel(t, _c),
-                    batch_format="pyarrow",
-                    batch_size=None,
-                ).materialize()
-            denied_future.result()
-        # per-depth counts via raw block-ref tasks over the materialized
-        # frontier (no Aggregate exchange, no executor spin-up)
-        def _depth_counts(t: pa.Table) -> dict[int, int]:
-            if len(t) == 0:
-                return {}
-            vals, counts = np.unique(t["depth"].to_numpy(), return_counts=True)
-            return {int(v): int(c) for v, c in zip(vals, counts)}
+                # per-depth counts via raw block-ref tasks (no Aggregate
+                # exchange, no executor spin-up)
+                def _depth_counts(t: pa.Table) -> dict[int, int]:
+                    if len(t) == 0:
+                        return {}
+                    vals, cnts = np.unique(t["depth"].to_numpy(), return_counts=True)
+                    return {int(v): int(c) for v, c in zip(vals, cnts)}
 
-        for part in _map_block_refs(new_frontier, _depth_counts):
-            for dd, cnt in part.items():
-                self.depth_counters[dd] = self.depth_counters.get(dd, 0) + cnt
+                for part in _map_block_refs(new_frontier, _depth_counts):
+                    for dd, cnt in part.items():
+                        self.depth_counters[dd] = self.depth_counters.get(dd, 0) + cnt
+            else:
+                # narrow rounds: gather the novel rows (bounded by
+                # wide_round_rows) via raw block-ref tasks and run the
+                # single-block kernel driver-side — no repartition(1)
+                # exchange, no extra executor, and depth counters come
+                # straight off the result table
+                fix2 = CorrectionFix(corr_ref)
+
+                def _novel_tab(t: pa.Table) -> pa.Table:
+                    if len(t) == 0:  # Ray can emit column-less empty blocks
+                        return t
+                    ft = fix2(t)
+                    keep = pc.and_(ft["intra_first"], ft["novel"])
+                    return ft.filter(keep).drop_columns(["novel", "intra_first"])
+
+                tabs = [t for t in _map_block_refs(offered, _novel_tab) if len(t)]
+                if tabs:
+                    novel_tab = pa.concat_tables(tabs).combine_chunks()
+                    nf_tab = _assign_seq_kernel(novel_tab, counters)
+                else:
+                    nf_tab = _empty_frontier()
+                if len(nf_tab):
+                    vals, cnts = np.unique(nf_tab["depth"].to_numpy(), return_counts=True)
+                    for dd, cnt in zip(vals, cnts):
+                        self.depth_counters[int(dd)] = self.depth_counters.get(int(dd), 0) + int(cnt)
+                new_frontier = rd.from_arrow(nf_tab)
+            denied_future.result()
 
         _mark("seq_assign")
         next_frontier = carry.map_batches(
