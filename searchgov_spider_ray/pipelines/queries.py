@@ -292,6 +292,48 @@ def customers_without_orders(sf_dir: str, broadcast_below: int = 2_000_000):
     return df
 
 
+def customer_order_counts(sf_dir: str, n_parts: int = 32):
+    """Per-customer order count INCLUDING zero-order customers — the
+    ``how="left"`` hash_join path end-to-end (null-padded misses count
+    as 0; right-side int64 payloads survive via nullable Int64,
+    relational.py). Orders pre-aggregate per custkey inside map_batches
+    (combiner) before the join; all partials of a key co-locate in one
+    partition, so the in-partition post combine is exact and nothing
+    wide leaves the exchange."""
+    from .relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def opartial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False).agg(n_part=("o_custkey", "size"))
+        return out.rename(columns={"o_custkey": "c_custkey"}).astype({"n_part": "int64"})
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(opartial, batch_format="pandas")
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_custkey", as_index=False).agg(n_orders=("n_part", "sum"))
+        g["n_orders"] = g["n_orders"].fillna(0).astype("int64")
+        return g
+
+    return hash_join(cust, orders, on="c_custkey", n_parts=n_parts, how="left", post=post)
+
+
+def orders_with_building_customer(sf_dir: str, n_parts: int = 32):
+    """Orders whose customer is in the BUILDING market segment — the
+    ``how="semi"`` hash_join path end-to-end (Arrow-native
+    per-partition key membership; no pandas in the merge)."""
+    from .relational import hash_join
+
+    bkeys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return hash_join(orders, bkeys, on="o_custkey", n_parts=n_parts, how="semi")
+
+
 def supplier_balance_by_nation(sf_dir: str):
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nmap = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
@@ -1535,6 +1577,8 @@ QUERIES = {
     "top_spenders": top_spenders,
     "priority_by_region": priority_by_region,
     "customers_without_orders": customers_without_orders,
+    "customer_order_counts": customer_order_counts,
+    "orders_with_building_customer": orders_with_building_customer,
     "q3_shipping_priority": q3_shipping_priority,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "part_stats_small": part_stats_small,
@@ -1594,6 +1638,19 @@ QUERIES = {
 #    keep scores well separated; an integer-exact cosine would need
 #    fixed-point vectors on both sides.
 ORACLES = {
+    "customer_order_counts": """
+        SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    "orders_with_building_customer": """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+        )
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
