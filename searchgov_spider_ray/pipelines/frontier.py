@@ -867,10 +867,13 @@ class CrawlJobRunner:
         # count = fetch parallelism, so split wide rounds first)
         if rows_in > 128:
             # even small rounds split: each fetch/links task gathers its
-            # rows' payload row-groups, so block count = gather parallelism
-            # (sparse rounds touch ~1 group per row — parallelize those too)
+            # rows' payload row-groups, so block count = gather parallelism.
+            # Sparse rounds touch ~1 row group PER ROW (seeds scatter
+            # across the corpus), so parallelism tracks rows/8, not
+            # rows/64 — a 400-seed round 0 otherwise serialized ~67
+            # row-group decompressions inside each of 6 tasks.
             granted = granted.repartition(
-                min(cfg.fetch_max_parallelism, max(2, rows_in // 64))
+                min(cfg.fetch_max_parallelism, max(2, rows_in // 8))
             )
         # Only fetch METADATA is materialized and shared; the body join
         # re-runs inside the fused link chain below so multi-GB payloads
