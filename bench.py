@@ -70,7 +70,11 @@ def ensure_bench_corpus() -> str:
     from searchgov_spider_ray.sources.corpusgen import CorpusSpec, generate_corpus
 
     marker = Path(BENCH_CORPUS) / "seeds.json"
-    if not marker.exists():
+    if marker.exists():
+        # refresh the idle clock: gc_tmp_caches sweeps by newest mtime,
+        # and a cached corpus is only ever READ after generation
+        os.utime(marker, None)
+    else:
         generate_corpus(BENCH_CORPUS, CorpusSpec(**BENCH_SPEC))
     # warm the page cache (untimed): payload row-group gathers during the
     # crawl read these files; a cold single disk would otherwise bill its

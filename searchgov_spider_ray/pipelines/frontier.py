@@ -766,6 +766,7 @@ class CrawlJobRunner:
         from ..stages.politeness import (
             TagGrant,
             block_grant_candidates,
+            block_grant_counts,
             merge_grant_thresholds,
             partition_grant_thresholds,
             politeness_partition_key,
@@ -773,8 +774,6 @@ class CrawlJobRunner:
         )
 
         if rows_in <= cfg.politeness_driver_rows:
-            from ..stages.politeness import block_grant_counts
-
             fmat = frontier.materialize()
             # two-phase driver merge: (1) per-domain COUNTS (O(domains)
             # per block); domains under budget grant everything without
@@ -916,15 +915,10 @@ class CrawlJobRunner:
         _mark("order_sink")
         # spent-per-domain lineage: per-block value_counts over the
         # materialized fetch metadata via raw block-ref tasks (no sink
-        # read-back, no extra executor)
-        def _domain_counts(t: pa.Table) -> dict[str, int]:
-            if len(t) == 0:
-                return {}
-            vc = pc.value_counts(t["domain"].combine_chunks())
-            return {str(x["values"]): int(x["counts"]) for x in vc.to_pylist()}
-
+        # read-back, no extra executor; same kernel as the politeness
+        # count pass — one implementation, politeness.block_grant_counts)
         spent: dict[str, int] = {}
-        for part in _map_block_refs(fetched, _domain_counts):
+        for part in _map_block_refs(fetched, block_grant_counts()):
             for dom, cnt in part.items():
                 spent[dom] = spent.get(dom, 0) + cnt
 

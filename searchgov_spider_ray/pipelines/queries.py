@@ -1240,8 +1240,11 @@ def gc_tmp_caches(
     ``age_seconds`` — same 'idle = newest mtime anywhere in the tree'
     rule as scheduler.JobScheduler.gc_orphans (pipelines/
     scheduler.py), applied to the corpus / crawl-output caches the
-    queries create. A cache in active use is re-touched by every run,
-    so live trees never age out. Returns deleted paths."""
+    queries create. Reads alone don't refresh mtimes, so every
+    consumer explicitly touches its cache marker on use
+    (_crawl_corpus_dir, bench.ensure_bench_corpus) — live trees never
+    age out, and the 48 h window keeps a sweep far away from any
+    concurrent reader that touched at entry. Returns deleted paths."""
     import shutil
     import time
 
@@ -1277,9 +1280,14 @@ def _crawl_corpus_dir() -> str:
     opportunistically sweeps stale sibling caches first."""
     from ..sources.corpusgen import CorpusSpec, generate_corpus
 
-    gc_tmp_caches()
     cdir = "/tmp/searchgov_ray_querycorpus"
-    if not os.path.exists(cdir + "/seeds.json"):
+    marker = cdir + "/seeds.json"
+    if os.path.exists(marker):
+        # touch BEFORE the sweep: readers-only caches never age out,
+        # and a concurrent process's sweep can't race this run's reads
+        os.utime(marker, None)
+    gc_tmp_caches()
+    if not os.path.exists(marker):
         generate_corpus(cdir, CorpusSpec(seed=42, n_domains=3, pages_per_domain=40))
     return cdir
 

@@ -142,13 +142,21 @@ def hash_join(
     if salt_hot:
         hot = _detect_hot_keys(left, on, string_key, n_parts, hot_factor)
         if len(hot):
-            hot_ref = ray.put(hot)
+            # store the Arrow value set once — batches reuse it directly
+            hot_ref = ray.put(pa.array(hot))
         n_salts = max(int(n_salts), 1)
 
     def _keys_np(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        # PARTITIONING view of the key column: nulls are filled with a
+        # fixed sentinel so a nullable batch never changes dtype — an
+        # int64 column with one NULL otherwise to_numpy()s to float64
+        # and would route through a DIFFERENT partition function than
+        # null-free batches, splitting equal keys across partitions.
+        # Null keys all land in the sentinel's partition; the merge
+        # handles their (non-)matching semantics exactly.
         if string_key:
-            return np.asarray(arr.to_pylist(), dtype=object)
-        return arr.to_numpy(zero_copy_only=False)
+            return np.asarray(pc.fill_null(arr, "").to_pylist(), dtype=object)
+        return pc.fill_null(arr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
 
     def prep(side: int, own: list[str], other_schema: dict):
         # side 0 = left (N side: hot rows salted across n_salts parts);
@@ -159,9 +167,9 @@ def hash_join(
             part = _part_of(np_keys, n_parts)
             take_idx = None
             if hot_ref is not None:
-                hot_keys = ray.get(hot_ref)
+                hot_keys = ray.get(hot_ref)  # local object store; zero-copy
                 is_hot = (
-                    pc.fill_null(pc.is_in(keys, value_set=pa.array(hot_keys)), False)
+                    pc.fill_null(pc.is_in(keys, value_set=hot_keys), False)
                     .to_numpy(zero_copy_only=False)
                 )
                 if is_hot.any():
@@ -204,8 +212,9 @@ def hash_join(
         r_tab = group.filter(pa.array(side == 1)).select([on, *rcols])
         if how in ("semi", "anti"):
             # Arrow-native membership: no pandas, exact at any int64
-            # magnitude. fill_null(False): NULL keys never match.
-            rset = pc.unique(r_tab[on].combine_chunks())
+            # magnitude. NULL keys never match (SQL): nulls are dropped
+            # from the value set and fill_null(False) handles left nulls.
+            rset = pc.unique(r_tab[on].combine_chunks().drop_null())
             mask = pc.fill_null(pc.is_in(l_tab[on], value_set=rset), False)
             if how == "anti":
                 mask = pc.invert(mask)
@@ -214,6 +223,11 @@ def hash_join(
                 return out_tab
             out = post(out_tab.to_pandas())
             return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        # SQL join semantics: a NULL key matches nothing. pandas merge
+        # would match NaN==NaN, so drop null-key right rows first (a
+        # null-key left row then finds no partner: dropped by inner,
+        # null-padded by left — exactly SQL).
+        r_tab = r_tab.filter(pc.is_valid(r_tab[on]))
         l = l_tab.to_pandas()
         r = r_tab.to_pandas()
         if how == "left":
@@ -239,7 +253,14 @@ def _detect_hot_keys(
     driver holds O(batches × 16) rows, never the key set."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df[on].value_counts().head(16)
-        return pd.DataFrame({on: vc.index, "n": vc.to_numpy(np.int64), "tot": len(df)})
+        out = pd.DataFrame({on: vc.index, "n": vc.to_numpy(np.int64)})
+        # batch-total carried on the FIRST row only — broadcasting it
+        # onto all 16 partial rows would inflate the global total 16x
+        # and push the hot threshold out of reach of any real key
+        out["tot"] = 0
+        if len(out):
+            out.iloc[0, out.columns.get_loc("tot")] = len(df)
+        return out
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     if parts.empty:
@@ -280,10 +301,17 @@ def anti_join_keys(
             isinstance(key_type, pa.DataType)
             and (pa.types.is_string(key_type) or pa.types.is_large_string(key_type))
         ) or key_type in (object, str)
+        # SQL NOT EXISTS: a NULL right key matches nothing — drop nulls
+        # (and NaN floats from pandas-backed blocks) instead of crashing
+        # the int cast or stringifying None into a real "None" key
+        vals = [
+            k for k in keys
+            if k is not None and not (isinstance(k, float) and np.isnan(k))
+        ]
         if is_str:
-            vset = pa.array(sorted(str(k) for k in keys), type=pa.string())
+            vset = pa.array(sorted(vals), type=pa.string())
         else:
-            vset = pa.array(np.sort(np.asarray(list(keys), dtype=np.int64)))
+            vset = pa.array(np.sort(np.asarray(vals, dtype=np.int64)))
         ref = ray.put(vset)
 
         class _Anti:

@@ -820,33 +820,30 @@ def top_distinctive_terms(
         g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1).astype("int64")
         return g[["doc_id", "term", "tf", "df", "rank"]]
 
+    def df_partial_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # per-batch DF partial: each (doc, term) row is globally unique,
+        # so summing these per-term sizes gives the exact corpus DF
+        return (
+            g.groupby("term", sort=False)
+            .size()
+            .reset_index(name="pdf")
+            .astype({"pdf": "int64"})
+        )
+
     # materialize the narrow pre-aggregated (doc, term, tf) table once:
     # both the DF pass and the rank pass consume it
     tf = ds.map_batches(tf_rows, batch_format="pandas").materialize()
 
     if broadcast_df is None:
-        # each (doc, term) row is globally unique, so per-batch DF
-        # partial rows ≤ vocabulary × batches — a cheap cardinality proxy
-        df_partial = tf.map_batches(
-            lambda g: g.groupby("term", sort=False)
-            .size()
-            .reset_index(name="pdf")
-            .astype({"pdf": "int64"}),
-            batch_format="pandas",
-        ).materialize()
+        # partial row count ≤ vocabulary × batches — a cheap cardinality proxy
+        df_partial = tf.map_batches(df_partial_rows, batch_format="pandas").materialize()
         broadcast_df = df_partial.count() <= broadcast_df_rows
     else:
         df_partial = None
 
     if broadcast_df:
         if df_partial is None:
-            df_partial = tf.map_batches(
-                lambda g: g.groupby("term", sort=False)
-                .size()
-                .reset_index(name="pdf")
-                .astype({"pdf": "int64"}),
-                batch_format="pandas",
-            )
+            df_partial = tf.map_batches(df_partial_rows, batch_format="pandas")
         vocab = df_partial.to_pandas().groupby("term", sort=False)["pdf"].sum()
         ref = ray.put(vocab)
 

@@ -174,3 +174,59 @@ class TestAntiJoinKeysDispatch:
         exp = left[left["v"] % 2 == 1]
         assert _sorted_rows(narrow) == _sorted_rows(exp)
         assert _sorted_rows(wide) == _sorted_rows(exp)
+
+
+class TestNullKeyHandling:
+    """Review-found regressions: a NULL key in any batch must not flip
+    the partition function's dtype, and NULL right keys follow SQL
+    (match nothing) on every path."""
+
+    def test_nullable_int_batch_keeps_partitioning(self, ray_session):
+        left = pa.table({"k": pa.array([1, None, 2, 5], type=pa.int64()),
+                         "lv": pa.array([10, 11, 12, 15])})
+        right = pa.table({"k": pa.array([2, 5], type=pa.int64()),
+                          "rv": pa.array([20, 50])})
+        inner = relational.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", n_parts=5
+        ).to_pandas()
+        assert sorted(zip(inner["lv"], inner["rv"])) == [(12, 20), (15, 50)]
+        anti = relational.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right.select(["k"])), on="k",
+            n_parts=5, how="anti",
+        ).to_pandas()
+        assert sorted(anti["lv"]) == [10, 11]  # null-key row kept
+
+    def test_null_right_keys_match_nothing(self, ray_session):
+        left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()), "lv": pa.array([10, 11, 12])})
+        right = pa.table({"k": pa.array([2, None], type=pa.int64()), "rv": pa.array([20, 99])})
+        inner = relational.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", n_parts=3
+        ).to_pandas()
+        assert sorted(zip(inner["lv"], inner["rv"])) == [(12, 20)]
+        semi = relational.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right.select(["k"])), on="k",
+            n_parts=3, how="semi",
+        ).to_pandas()
+        assert sorted(semi["lv"]) == [12]
+
+    def test_anti_join_keys_broadcast_null_right(self, ray_session):
+        left_i = pa.table({"k": pa.array([1, 2], type=pa.int64()), "v": pa.array([1, 2])})
+        right_i = pa.table({"k": pa.array([2, None], type=pa.int64())})
+        out = relational.anti_join_keys(
+            rd.from_arrow(left_i), rd.from_arrow(right_i), "k", broadcast_below=10**9
+        ).to_pandas()
+        assert sorted(out["v"]) == [1]
+        # a string NULL must not become the literal key "None"
+        left_s = pd.DataFrame({"k": ["a", "None"], "v": [1, 2]})
+        right_s = pa.table({"k": pa.array(["b", None], type=pa.string())})
+        out_s = relational.anti_join_keys(
+            rd.from_pandas(left_s), rd.from_arrow(right_s), "k", broadcast_below=10**9
+        ).to_pandas()
+        assert sorted(out_s["v"]) == [1, 2]
+
+    def test_hot_key_detection_finds_planted_skew(self, ray_session):
+        n = 3000
+        keys = np.where(np.arange(n) % 10 == 0, (np.arange(n) % 50) + 100, 7)
+        ds = rd.from_pandas(pd.DataFrame({"k": keys.astype(np.int64), "v": np.arange(n)}))
+        hot = relational._detect_hot_keys(ds, "k", False, n_parts=8, hot_factor=2.0)
+        assert 7 in set(hot.tolist())
