@@ -691,6 +691,287 @@ def _ngram_jaccard_pairs(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# passage / shingle curation ops (CCNet-style dedup, decontamination,
+# Gopher repetition signals)
+# --------------------------------------------------------------------------
+
+PASSAGE_WORDS = 8  # non-overlapping passage window (words)
+SHINGLE_WORDS = 5  # overlapping decontamination shingle (words)
+EVAL_MOD = 97  # deterministic eval-set membership: doc_id % EVAL_MOD == 0
+
+
+def _explode_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_rep, word_idx, words_flat, words_per_doc) for a batch.
+
+    C-level explode: pandas ``str.split`` + ``chain.from_iterable`` +
+    numpy repeat/arange — no per-row Python loop in callers. Split is
+    on a single space, matching DuckDB ``string_split(text, ' ')``
+    (documents text is single-space word-joined; '' splits to ['']
+    on both sides)."""
+    from itertools import chain
+
+    s = df["text"].fillna("").str.split(" ")
+    lens = s.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    flat = np.fromiter(chain.from_iterable(s), dtype=object, count=total)
+    doc_rep = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    widx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    return doc_rep, widx, flat, lens
+
+
+def _shingle_hashes(df: pd.DataFrame, n: int = SHINGLE_WORDS) -> tuple[np.ndarray, np.ndarray]:
+    """(shingle_md5_hex, doc_id per shingle) — overlapping n-word
+    shingles built by n-1 vectorized ``str.cat`` passes over the
+    exploded word table (stride-1, the decontamination standard)."""
+    doc_rep, widx, flat, lens = _explode_words(df)
+    valid = widx <= np.repeat(lens, lens) - n
+    pos = np.flatnonzero(valid)
+    if len(pos) == 0:
+        return np.array([], dtype="U32"), np.array([], dtype=np.int64)
+    sh = pd.Series(flat[pos])
+    for j in range(1, n):
+        sh = sh.str.cat(pd.Series(flat[pos + j]), sep=" ")
+    return _md5_series(sh).to_numpy(dtype="U32"), doc_rep[pos]
+
+
+def doc_passage_dedup(sf_dir: str, wide_doc_rows: int | None = None):
+    """CCNet-style passage-level exact dedup over the corpus: each doc
+    splits into non-overlapping ``PASSAGE_WORDS``-word passages (ragged
+    tail kept); globally, the FIRST occurrence of each distinct passage
+    in admission order (doc_id, passage_idx) owns it; later occurrences
+    — across docs or repeated within one — are duplicates. Returns per
+    doc: n_passages, n_owned, n_dup.
+
+    Scale shape: explode → min-combine per passage hash (one exchange
+    over (hash, adm) rows, never text), owner counts re-keyed by doc
+    via the packed admission key (doc_id * 2^20 + pidx — assumes <2^20
+    passages ≈ 8.4 M words per doc), merged with the map-side per-doc
+    totals. Dispatch (same discipline as training.WIDE_DOC_ROWS): below
+    the threshold the per-batch partial mins collapse in ONE combine
+    task (Ray's sort-based Aggregate exchange costs seconds of constant
+    per block — see _combine_partials); above it both the owner min and
+    the per-doc merge run as hash-shuffle ``groupby`` so no single task
+    holds the distinct-passage set. Forced-wide parity pinned in
+    tests/test_queries_oracle.py. The within-corpus analog of the
+    reference's first-wins URL dedup
+    (search_gov_spiders/pipelines.py:16-33) at passage granularity."""
+    from ray.data.aggregate import Sum
+
+    from .training import WIDE_DOC_ROWS
+
+    if wide_doc_rows is None:
+        wide_doc_rows = WIDE_DOC_ROWS
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wide = ds.count() >= wide_doc_rows
+
+    def passages(df: pd.DataFrame) -> pd.DataFrame:
+        doc_rep, widx, flat, _ = _explode_words(df)
+        pidx = widx // PASSAGE_WORDS
+        ptext = pd.Series(flat).groupby([doc_rep, pidx]).agg(" ".join)
+        p_doc = ptext.index.get_level_values(0).to_numpy(np.int64)
+        p_idx = ptext.index.get_level_values(1).to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                "h": _md5_series(ptext.reset_index(drop=True)),
+                "adm": p_doc * (1 << 20) + p_idx,
+            }
+        )
+        # per-batch partial min: the exchange/combine moves one row per
+        # distinct passage per batch, never per window
+        return part.groupby("h", as_index=False).agg(adm=("adm", "min"))
+
+    partial_mins = ds.map_batches(passages, batch_format="pandas")
+    if wide:
+        owners = partial_mins.groupby("h").aggregate(Min("adm", alias_name="min_adm"))
+    else:
+
+        def combine_min(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("h", as_index=False).agg(min_adm=("adm", "min"))
+
+        owners = partial_mins.repartition(1).map_batches(
+            combine_min, batch_format="pandas", batch_size=None
+        )
+
+    def owned_counts(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["min_adm"].to_numpy(np.int64) >> 20
+        vc = pd.Series(doc).value_counts()
+        return pd.DataFrame(
+            {
+                "doc_id": vc.index.to_numpy(np.int64),
+                "n_passages": np.zeros(len(vc), dtype=np.int64),
+                "n_owned": vc.to_numpy(np.int64),
+            }
+        )
+
+    def doc_totals(df: pd.DataFrame) -> pd.DataFrame:
+        n_words = df["text"].fillna("").str.split(" ").str.len().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_passages": -(-n_words // PASSAGE_WORDS),
+                "n_owned": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    both = ds.map_batches(doc_totals, batch_format="pandas").union(
+        owners.map_batches(owned_counts, batch_format="pandas")
+    )
+    if wide:
+        agg = both.groupby("doc_id").aggregate(
+            Sum("n_passages", alias_name="n_passages"), Sum("n_owned", alias_name="n_owned")
+        )
+    else:
+        agg = _combine_partials(both, ["doc_id"], ["n_passages", "n_owned"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n_passages": np.int64, "n_owned": np.int64})
+        df["n_dup"] = df["n_passages"] - df["n_owned"]
+        return df[["doc_id", "n_passages", "n_owned", "n_dup"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def doc_decontaminate(sf_dir: str, eval_mod: int = EVAL_MOD):
+    """Test-set decontamination: mark corpus documents sharing any
+    overlapping ``SHINGLE_WORDS``-word shingle with the eval set (docs
+    with ``doc_id % eval_mod == 0`` — a deterministic stand-in for a
+    benchmark table). Returns per non-eval doc: n_shingles, n_hits,
+    contaminated (0/1).
+
+    Scale shape: the eval side is SMALL by construction (real eval
+    corpora are ~1e3–1e6 shingles vs a 100 TB training corpus), so its
+    distinct shingle hashes broadcast once via ``ray.put`` and every
+    corpus task does a sorted-array membership probe — the canonical
+    broadcast-small-side pattern; no shuffle touches the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_shingles(df: pd.DataFrame):
+        df = df[df["doc_id"] % eval_mod == 0]
+        h, _ = _shingle_hashes(df)
+        # emit typed Arrow: Ray's block-size estimator can't size an
+        # EMPTY pandas object/string column (batches with no eval docs
+        # are common — eval docs are 1-in-eval_mod)
+        return pa.table({"h": pa.array(np.unique(h).tolist(), type=pa.string())})
+
+    eval_h = ds.map_batches(eval_shingles, batch_format="pandas").to_pandas()["h"]
+    ref = ray.put(np.unique(eval_h.to_numpy(dtype="U32")))
+
+    class _Contam:
+        def __init__(self):
+            self._h: np.ndarray | None = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._h is None:
+                self._h = ray.get(ref)
+            df = df[df["doc_id"] % eval_mod != 0]
+            doc_ids = df["doc_id"].to_numpy(np.int64)
+            h, sdoc = _shingle_hashes(df)
+            if len(self._h) and len(h):
+                idx = np.searchsorted(self._h, h)
+                idx_c = np.minimum(idx, len(self._h) - 1)
+                hit = (idx < len(self._h)) & (self._h[idx_c] == h)
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            per_doc = pd.Series(hit.astype(np.int64)).groupby(sdoc).agg(["count", "sum"])
+            n_sh = per_doc["count"].reindex(doc_ids, fill_value=0).to_numpy(np.int64)
+            n_hits = per_doc["sum"].reindex(doc_ids, fill_value=0).to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "n_shingles": n_sh,
+                    "n_hits": n_hits,
+                    "contaminated": (n_hits > 0).astype(np.int64),
+                }
+            )
+
+    return ds.map_batches(_Contam(), batch_format="pandas")
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals: word count,
+    distinct-word count, duplicate-word fraction (micros), and the
+    occurrence count of the most frequent bigram. Purely map-side —
+    every metric is per-doc, computed by vectorized explode + pandas
+    groupby kernels per batch; no shuffle at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        doc_rep, widx, flat, lens = _explode_words(df)
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        n_distinct = (
+            pd.Series(flat).groupby(doc_rep).nunique().reindex(doc_ids, fill_value=0)
+        ).to_numpy(np.int64)
+        valid = widx <= np.repeat(lens, lens) - 2
+        pos = np.flatnonzero(valid)
+        if len(pos):
+            big = pd.Series(flat[pos]).str.cat(pd.Series(flat[pos + 1]), sep=" ")
+            top = (
+                pd.DataFrame({"d": doc_rep[pos], "b": big})
+                .groupby(["d", "b"], sort=False)
+                .size()
+                .groupby("d")
+                .max()
+                .reindex(doc_ids, fill_value=0)
+            ).to_numpy(np.int64)
+        else:
+            top = np.zeros(len(df), dtype=np.int64)
+        dup_frac = (lens - n_distinct).astype(np.float64) / np.maximum(lens, 1).astype(
+            np.float64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_words": lens,
+                "n_distinct": n_distinct,
+                "top_bigram_n": top,
+                "dup_word_micros": _micros(dup_frac),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): subtotal rows at
+    (priority, status), (priority, ALL) and (ALL, ALL) — the grouping-
+    sets surface. One map-side partial pass over orders; the rollup
+    expansion runs on the combined partial table (≤ priorities×statuses
+    rows), so no extra pass touches the fact table."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=_cents(df["o_totalprice"]))
+        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("cents", "size"), total_cents=("cents", "sum")
+        )
+
+    base = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["n", "total_cents"],
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum")
+        )
+        lvl1["o_orderstatus"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {
+                "o_orderpriority": ["ALL"],
+                "o_orderstatus": ["ALL"],
+                "n": [df["n"].sum()],
+                "total_cents": [df["total_cents"].sum()],
+            }
+        )
+        cols = ["o_orderpriority", "o_orderstatus", "n", "total_cents"]
+        return pd.concat([df[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+
+    return base.map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
 def _add_user_part(df: pd.DataFrame, n_parts: int = 64) -> pd.DataFrame:
     df = df.copy()
     df["part"] = (
@@ -1599,6 +1880,10 @@ QUERIES = {
     "lang_distribution": lang_distribution,
     "doc_quality_scores": doc_quality_scores,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_passage_dedup": doc_passage_dedup,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_repetition_stats": doc_repetition_stats,
+    "orders_rollup": orders_rollup,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
     "events_asof_attribution": events_asof_attribution,
@@ -1646,6 +1931,99 @@ QUERIES = {
 #    keep scores well separated; an integer-exact cosine would need
 #    fixed-point vectors on both sides.
 ORACLES = {
+    "doc_passage_dedup": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+            FROM documents
+        ), p AS (
+            SELECT doc_id, i // 8 AS pidx,
+                   md5(string_agg(word, ' ' ORDER BY i)) AS h
+            FROM w GROUP BY doc_id, i // 8
+        ), a AS (
+            SELECT doc_id, h, doc_id * 1048576 + pidx AS adm FROM p
+        ), own AS (
+            SELECT h, MIN(adm) AS min_adm FROM a GROUP BY h
+        )
+        SELECT a.doc_id,
+               COUNT(*) AS n_passages,
+               CAST(SUM(CASE WHEN a.adm = o.min_adm THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+               CAST(SUM(CASE WHEN a.adm = o.min_adm THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+        FROM a JOIN own o USING (h)
+        GROUP BY a.doc_id
+    """,
+    "doc_decontaminate": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        ), cw AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+            FROM corpus
+        ), csh AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win
+                        || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win AS s
+            FROM cw WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        ), ew AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+            FROM documents WHERE doc_id % 97 = 0
+        ), ev AS (
+            SELECT DISTINCT md5(s) AS h FROM (
+                SELECT word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win
+                            || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win AS s
+                FROM ew WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ) WHERE s IS NOT NULL
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN md5(s) IN (SELECT h FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM csh WHERE s IS NOT NULL
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN COALESCE(a.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM corpus c LEFT JOIN agg a USING (doc_id)
+    """,
+    "doc_repetition_stats": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+            FROM documents
+        ), d1 AS (
+            SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct
+            FROM w GROUP BY doc_id
+        ), bg AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS b
+            FROM w
+        ), bc AS (
+            SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b
+        ), tb AS (
+            SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id
+        )
+        SELECT d1.doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+               CAST(FLOOR(
+                   (CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1)) * 1000000 + 0.5
+               ) AS BIGINT) AS dup_word_micros
+        FROM d1 LEFT JOIN tb USING (doc_id)
+    """,
+    "orders_rollup": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
     "customer_order_counts": """
         SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey

@@ -105,6 +105,15 @@ class TestForcedWideDispatch:
         assert len(wide) == len(theirs) and len(wide) > 0
         assert _value_hash(wide) == _value_hash(theirs)
 
+    def test_doc_passage_dedup_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.doc_passage_dedup(sf_dir, wide_doc_rows=0))
+        theirs = oracle_con.execute(e.oracle_sql()["doc_passage_dedup"]).fetchdf()
+        assert len(wide) == len(theirs) and len(wide) > 0
+        assert _value_hash(wide) == _value_hash(theirs)
+
 
 def test_ngram_jaccard_kernel_bounded_on_large_source():
     """A single large source must NOT trigger an O(k^2) all-pairs scan:
