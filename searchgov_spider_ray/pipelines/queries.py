@@ -933,6 +933,143 @@ def doc_repetition_stats(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pandas")
 
 
+BIGRAM_TOPK = 100
+
+
+def doc_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK, wide_doc_rows: int | None = None):
+    """Global n-gram frequency table, top-k: the LM-vocab / tokenizer-
+    training primitive. Map-side per-batch bigram counts (one row per
+    DISTINCT bigram per batch leaves the map stage, never per token) →
+    combine (one task narrow / hash groupby wide) → per-block top-k →
+    tiny driver-side final top-k. Ties at the k-boundary break on
+    (count desc, bigram asc) identically in the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    from .training import WIDE_DOC_ROWS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wide = ds.count() >= (wide_doc_rows if wide_doc_rows is not None else WIDE_DOC_ROWS)
+
+    def partial(df: pd.DataFrame):
+        doc_rep, widx, flat, lens = _explode_words(df)
+        valid = widx <= np.repeat(lens, lens) - 2
+        pos = np.flatnonzero(valid)
+        if len(pos) == 0:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+            )
+        big = pd.Series(flat[pos]).str.cat(pd.Series(flat[pos + 1]), sep=" ")
+        vc = big.value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if wide:
+        counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    else:
+        counts = _combine_partials(partials, ["bigram"], ["n"])
+
+    def blk_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # valid per block: the combine stage left each bigram in exactly
+        # one block, so global top-k ⊆ union of per-block top-k
+        df = df.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    top = counts.map_batches(blk_topk, batch_format="pandas", batch_size=None).to_pandas()
+    return blk_topk(top).reset_index(drop=True).astype({"n": np.int64})
+
+
+def doc_bow_dedup(sf_dir: str):
+    """Order-insensitive (bag-of-words) exact dedup: two docs are dups
+    when their sorted word multisets match — catches shuffled/
+    re-ordered scrapes that byte-exact dedup misses. Per doc: md5 of
+    the sorted word join (one C-level sort per batch, no per-row
+    Python), min-doc_id owner per bag via hash groupby, owner joined
+    back through ``relational.hash_join`` — two key exchanges over
+    (hash, id) rows, text never leaves the map stage."""
+    from ray.data.aggregate import Min as _Min
+
+    from .relational import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bow(df: pd.DataFrame) -> pd.DataFrame:
+        doc_rep, _widx, flat, _lens = _explode_words(df)
+        joined = (
+            pd.DataFrame({"d": doc_rep, "w": flat})
+            .sort_values(["d", "w"], kind="mergesort")
+            .groupby("d", sort=True)["w"]
+            .agg(" ".join)
+        )
+        return pd.DataFrame(
+            {"doc_id": joined.index.to_numpy(np.int64), "h": _md5_series(joined.reset_index(drop=True))}
+        )
+
+    rows = ds.map_batches(bow, batch_format="pandas")
+    owners = rows.groupby("h").aggregate(_Min("doc_id", alias_name="bow_owner"))
+    joined = hash_join(rows, owners, on="h")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "bow_owner": df["bow_owner"].to_numpy(np.int64),
+                "is_dup": (df["doc_id"] != df["bow_owner"]).to_numpy().astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def customer_event_outer(sf_dir: str):
+    """FULL OUTER hash join: BUILDING-segment customers vs per-user
+    event counts — both sides carry unmatched keys (customers above the
+    user-id range; active users outside the segment). Misses surface as
+    -1 sentinels so the nullable columns hash identically to the SQL
+    oracle's COALESCEs. Exercises ``relational.hash_join(how="outer")``
+    including its null-padded int64 exactness path."""
+    from .relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def cust_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_mktsegment"] == "BUILDING"]
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].to_numpy(np.int64),
+                "acctbal_cents": _cents(df["c_acctbal"]),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        return pd.DataFrame({"key": vc.index.to_numpy(np.int64), "n_events": vc.to_numpy(np.int64)})
+
+    counts = _combine_partials(
+        ev.map_batches(ev_partial, batch_format="pandas"), ["key"], ["n_events"]
+    )
+    joined = hash_join(
+        cust.map_batches(cust_side, batch_format="pandas"), counts, on="key", how="outer"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["key"].astype("Int64").fillna(-1).to_numpy(np.int64),
+                "acctbal_cents": df["acctbal_cents"].astype("Int64").fillna(-1).to_numpy(np.int64),
+                "n_events": df["n_events"].astype("Int64").fillna(-1).to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): subtotal rows at
     (priority, status), (priority, ALL) and (ALL, ALL) — the grouping-
@@ -1857,6 +1994,130 @@ def multimodal_image_pipeline(sf_dir: str):
     )
 
 
+PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images
+PHASH_MAX_HAMMING = 3
+
+
+def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
+    """Image near-duplicate detection over the crawl corpus: decode →
+    64-bit DCT pHash (stages/decode.DecodePHash actor pool) → banded
+    4×16-bit pigeonhole pair search (training.hash64_pairs — the same
+    machinery as SimHash text near-dup) → Hamming ≤ 3 verify.
+
+    Deterministic near-dups are planted distributed (1-in-
+    ``PHASH_PLANT_MOD`` by image_id hash): decode, +2 brightness, PNG
+    re-encode — a DC-only DCT perturbation, so planted pairs sit at
+    Hamming ≤ 1 and every one must be found (pinned in
+    tests/test_queries_oracle.py). String image ids hash to int64 via
+    xxhash64 for the pair kernel; names join back through
+    ``relational.hash_join`` on the (tiny) pair set. Rows-only driver
+    entry — pHash has no SQL form; the planted-pair invariant is the
+    oracle."""
+    from ..functions.hashing import xxhash64_array
+    from ..stages.decode import DecodePHash, fake_decode, fake_encode, phash64
+    from .relational import hash_join
+    from .training import WIDE_DOC_ROWS, hash64_pairs
+
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(
+        cdir + "/corpus_images.parquet",
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+    )
+    n_imgs = ds.count()
+
+    def plant(t: pa.Table) -> pa.Table:
+        iid_h = xxhash64_array(t["image_id"].to_pylist())
+        pick = np.flatnonzero(iid_h % np.uint64(PHASH_PLANT_MOD) == 0)
+        if len(pick) == 0:
+            return t.slice(0, 0)
+        rows: dict[str, list] = {k: [] for k in t.schema.names}
+        for i in pick.tolist():
+            data = t["bytes"][i].as_py()
+            pixels, w, h, _fmt = fake_decode(data)
+            # +2 brightness ≈ DC-only DCT shift; clipping at 255 leaks
+            # into AC coefficients, so when the perturbed pHash drifts
+            # past the pair threshold fall back to a lossless re-encode
+            # (Hamming 0) — every planted pair is then within threshold
+            # BY CONSTRUCTION, which is the invariant the test pins
+            bumped = np.clip(pixels.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+            d = np.uint64(phash64(bumped)) ^ np.uint64(phash64(pixels))
+            if bin(int(d)).count("1") > PHASH_MAX_HAMMING:
+                bumped = pixels
+            data2 = fake_encode(bumped, "png")
+            rows["image_id"].append(t["image_id"][i].as_py() + "~dup")
+            rows["bytes"].append(data2)
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append("png")
+            rows["caption"].append(t["caption"][i].as_py())
+            rows["phash"].append(np.uint64(phash64(bumped)).astype(np.int64).item())
+        return pa.table(rows, schema=t.schema)
+
+    dups = ds.map_batches(plant, batch_format="pyarrow", batch_size=64)
+    # concurrency must leave CPUs free for the upstream plant/union
+    # tasks — a pool of size == num_cpus starves them (livelock)
+    pool = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    hashed = ds.union(dups).map_batches(
+        DecodePHash, batch_format="pyarrow", batch_size=32, concurrency=pool
+    )
+
+    def to_int_ids(t: pa.Table) -> pa.Table:
+        iid = (xxhash64_array(t["image_id"].to_pylist()) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "iid": pa.array(iid, type=pa.int64()),
+                "image_id": t["image_id"],
+                "phash_computed": t["phash_computed"],
+            }
+        )
+
+    # materialize: keyed is consumed THREE times (pair search + both
+    # name-lookup sides) and its lineage includes the decode actor pool
+    # — lazy re-execution would decode every image once per consumer.
+    # Payload bytes are already dropped, so the pinned table is
+    # (int64, id string, uint64) per image — object-store-sized at any
+    # corpus scale, and spillable.
+    keyed = hashed.map_batches(to_int_ids, batch_format="pyarrow").materialize()
+    pairs = hash64_pairs(
+        keyed,
+        id_col="iid",
+        hash_col="phash_computed",
+        max_hamming=PHASH_MAX_HAMMING,
+        wide_doc_rows=wide_rows if wide_rows is not None else WIDE_DOC_ROWS,
+        n_rows=n_imgs + n_imgs // 2,  # upper bound incl. planted rows
+    ).materialize()  # tiny (near-dup pairs); joined twice below
+    lookup = keyed.select_columns(["iid", "image_id"])
+
+    def _named(side: str):
+        def rn(t: pa.Table, _s=side) -> pa.Table:
+            return t.rename_columns(
+                [f"doc_{_s}" if c == "iid" else f"image_{_s}" for c in t.schema.names]
+            )
+
+        return rn
+
+    named = hash_join(
+        hash_join(pairs, lookup.map_batches(_named("a"), batch_format="pyarrow"), on="doc_a"),
+        lookup.map_batches(_named("b"), batch_format="pyarrow"),
+        on="doc_b",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["image_a"].to_numpy(dtype=object)
+        b = df["image_b"].to_numpy(dtype=object)
+        swap = a > b
+        out = pd.DataFrame(
+            {
+                "image_a": np.where(swap, b, a),
+                "image_b": np.where(swap, a, b),
+                "hamming": df["hamming"].to_numpy(np.int64),
+            }
+        )
+        return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+    return finish(named.to_pandas())
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1883,6 +2144,9 @@ QUERIES = {
     "doc_passage_dedup": doc_passage_dedup,
     "doc_decontaminate": doc_decontaminate,
     "doc_repetition_stats": doc_repetition_stats,
+    "doc_bigram_topk": doc_bigram_topk,
+    "doc_bow_dedup": doc_bow_dedup,
+    "customer_event_outer": customer_event_outer,
     "orders_rollup": orders_rollup,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
@@ -1909,6 +2173,7 @@ QUERIES = {
     "crawl_order": crawl_order,
     "crawl_image_corpus": crawl_image_corpus,
     "multimodal_image_pipeline": multimodal_image_pipeline,
+    "image_phash_near_dup": image_phash_near_dup,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,
@@ -2015,6 +2280,48 @@ ORACLES = {
                    (CAST(n_words - n_distinct AS DOUBLE) / GREATEST(n_words, 1)) * 1000000 + 0.5
                ) AS BIGINT) AS dup_word_micros
         FROM d1 LEFT JOIN tb USING (doc_id)
+    """,
+    "doc_bigram_topk": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+            FROM documents
+        ), bg AS (
+            SELECT word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS b
+            FROM w
+        ), c AS (
+            SELECT b AS bigram, COUNT(*) AS n FROM bg WHERE b IS NOT NULL GROUP BY b
+        )
+        SELECT bigram, CAST(n AS BIGINT) AS n
+        FROM c ORDER BY n DESC, bigram LIMIT 100
+    """,
+    "doc_bow_dedup": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), bow AS (
+            SELECT doc_id, md5(string_agg(word, ' ' ORDER BY word)) AS h
+            FROM w GROUP BY doc_id
+        ), own AS (
+            SELECT h, MIN(doc_id) AS bow_owner FROM bow GROUP BY h
+        )
+        SELECT bow.doc_id, own.bow_owner,
+               CAST(CASE WHEN bow.doc_id <> own.bow_owner THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM bow JOIN own USING (h)
+    """,
+    "customer_event_outer": """
+        WITH c AS (
+            SELECT c_custkey AS key,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), e AS (
+            SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY user_id
+        )
+        SELECT COALESCE(c.key, e.key) AS key,
+               COALESCE(c.acctbal_cents, -1) AS acctbal_cents,
+               CAST(COALESCE(e.n_events, -1) AS BIGINT) AS n_events
+        FROM c FULL OUTER JOIN e ON c.key = e.key
     """,
     "orders_rollup": """
         SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -110,9 +110,9 @@ def hash_join(
     """Hash-partitioned equi-join on key ``on`` (int or string);
     non-key column names must be disjoint. ``post`` (optional) is
     applied to each partition's merged frame before it leaves the
-    exchange. ``how`` ∈ {inner, left, semi, anti}; semi/anti return
-    left columns only (``right`` may be a bare key dataset)."""
-    if how not in ("inner", "left", "semi", "anti"):
+    exchange. ``how`` ∈ {inner, left, outer, semi, anti}; semi/anti
+    return left columns only (``right`` may be a bare key dataset)."""
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
 
     def _arrow_type(t) -> pa.DataType:
@@ -226,17 +226,33 @@ def hash_join(
         # SQL join semantics: a NULL key matches nothing. pandas merge
         # would match NaN==NaN, so drop null-key right rows first (a
         # null-key left row then finds no partner: dropped by inner,
-        # null-padded by left — exactly SQL).
+        # null-padded by left/outer — exactly SQL; for outer the
+        # dropped null-key RIGHT rows re-enter below, left-null-padded).
+        r_null = r_tab.filter(pc.is_null(r_tab[on])) if how == "outer" else None
         r_tab = r_tab.filter(pc.is_valid(r_tab[on]))
         l = l_tab.to_pandas()
         r = r_tab.to_pandas()
-        if how == "left":
+        if how in ("left", "outer"):
             # null-padded misses must not drag int64 payloads through
-            # float64 — promote the right side to nullable Int64 first
+            # float64 — promote the padded side(s) to nullable Int64
             up = {c: "Int64" for c in rcols if r[c].dtype == np.int64}
             if up:
                 r = r.astype(up)
+        if how == "outer":
+            up = {c: "Int64" for c in lcols if l[c].dtype == np.int64}
+            # the key itself pads on right-only rows: keep int64 exact
+            if l[on].dtype == np.int64:
+                up[on] = "Int64"
+                r = r.astype({on: "Int64"})
+            if up:
+                l = l.astype(up)
         out = l.merge(r, on=on, how=how)
+        if how == "outer" and r_null is not None and len(r_null):
+            pad = r_null.to_pandas().reindex(columns=list(out.columns))
+            pad = pad.astype(
+                {c: out[c].dtype for c in out.columns if str(out[c].dtype) == "Int64"}
+            )
+            out = pd.concat([out, pad], ignore_index=True)
         if post is not None:
             out = post(out)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)

@@ -488,27 +488,31 @@ def _simhash_pairs_kernel(t: pa.Table, max_hamming: int) -> pa.Table:
     )
 
 
-def simhash_pairs(
+def hash64_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    hash_col: str = "simhash",
     max_hamming: int = 3,
     wide_doc_rows: int = WIDE_DOC_ROWS,
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> rd.Dataset:
-    """SimHash near-dup: band the 64-bit hash into 4×16-bit chunks
-    (pigeonhole: any pair within Hamming ≤ 3 shares ≥1 exact chunk),
-    bucket-group, verify Hamming distance. Narrow/wide dispatch as in
-    ``minhash_lsh_pairs``: one single-block kernel below
-    ``wide_doc_rows`` docs, coarse hash-partitioned bucket kernels +
-    partitioned pair distinct above it."""
-    n_docs = ds.count()
+    """Near-dup pairs over ANY 64-bit hash column (SimHash, image
+    pHash, audio fingerprint): band into 4×16-bit chunks (pigeonhole:
+    any pair within Hamming ≤ 3 shares ≥1 exact chunk), bucket-group,
+    verify Hamming distance. ``id_col`` must be int64 (callers with
+    string ids hash them first and join names back). Narrow/wide
+    dispatch as in ``minhash_lsh_pairs``: one single-block kernel below
+    ``wide_doc_rows`` rows, coarse hash-partitioned bucket kernels +
+    partitioned pair distinct above it. ``n_rows``: pass the known row
+    count when ``ds`` already has map stages applied — ``.count()`` on
+    a mapped dataset executes the whole lineage just to count."""
+    n_docs = n_rows if n_rows is not None else ds.count()
     wide = n_docs > wide_doc_rows
     n_parts = n_parts or _n_parts_default()
-    sh = add_simhash(ds, id_col, text_col)
 
     def explode(batch: pa.Table) -> pa.Table:
-        h = batch["simhash"].to_numpy().astype(np.uint64)
+        h = batch[hash_col].to_numpy().astype(np.uint64)
         ids = batch[id_col].to_pylist()
         rows_band, rows_key, rows_id, rows_hash = [], [], [], []
         for b in range(4):
@@ -526,7 +530,7 @@ def simhash_pairs(
             }
         )
 
-    band_rows = sh.map_batches(explode, batch_format="pyarrow")
+    band_rows = ds.map_batches(explode, batch_format="pyarrow")
     if wide:
         pairs = (
             band_rows.map_batches(lambda t: _add_bucket_part(t, n_parts), batch_format="pyarrow")
@@ -540,6 +544,29 @@ def simhash_pairs(
         lambda t, _m=max_hamming: _simhash_pairs_kernel(t, _m),
         batch_format="pyarrow",
         batch_size=None,
+    )
+
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    wide_doc_rows: int = WIDE_DOC_ROWS,
+    n_parts: int | None = None,
+) -> rd.Dataset:
+    """SimHash text near-dup: hash docs then run the generic 64-bit
+    banded pair search (``hash64_pairs``)."""
+    n_docs = ds.count()
+    sh = add_simhash(ds, id_col, text_col)
+    return hash64_pairs(
+        sh,
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        wide_doc_rows=wide_doc_rows,
+        n_parts=n_parts,
+        n_rows=n_docs,
     )
 
 

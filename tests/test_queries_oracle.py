@@ -114,6 +114,41 @@ class TestForcedWideDispatch:
         assert len(wide) == len(theirs) and len(wide) > 0
         assert _value_hash(wide) == _value_hash(theirs)
 
+    def test_doc_bigram_topk_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.doc_bigram_topk(sf_dir, wide_doc_rows=0))
+        theirs = oracle_con.execute(e.oracle_sql()["doc_bigram_topk"]).fetchdf()
+        assert len(wide) == len(theirs) and len(wide) > 0
+        assert _value_hash(wide) == _value_hash(theirs)
+
+
+def test_image_phash_near_dup_planted(ray_session, sf_dir):
+    """Every planted perturbed image (1-in-PHASH_PLANT_MOD, +2
+    brightness, PNG re-encode — a DC-only pHash perturbation) must pair
+    with its original at Hamming ≤ 3; no pair may exceed the
+    threshold."""
+    from searchgov_spider_ray.pipelines import queries as q
+
+    df = q.image_phash_near_dup(sf_dir)
+    assert len(df) > 0
+    assert int(df["hamming"].max()) <= q.PHASH_MAX_HAMMING
+    planted = df[df["image_b"] == df["image_a"] + "~dup"]
+    # count how many dups were planted, independently of the pair search
+    import numpy as np
+    import ray.data as rd
+
+    from searchgov_spider_ray.functions.hashing import xxhash64_array
+    from searchgov_spider_ray.pipelines.queries import PHASH_PLANT_MOD, _crawl_corpus_dir
+
+    ids = rd.read_parquet(
+        _crawl_corpus_dir() + "/corpus_images.parquet", columns=["image_id"]
+    ).to_pandas()["image_id"]
+    n_planted = int((xxhash64_array(ids.tolist()) % np.uint64(PHASH_PLANT_MOD) == 0).sum())
+    assert n_planted > 0
+    assert len(planted) == n_planted
+
 
 def test_ngram_jaccard_kernel_bounded_on_large_source():
     """A single large source must NOT trigger an O(k^2) all-pairs scan:

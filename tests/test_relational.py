@@ -55,6 +55,44 @@ class TestHowVariants:
         # big join keys survive exactly
         assert set(out["k"]) == set(left["k"])
 
+    def test_outer_both_side_misses_and_big_ints(self, int_sides):
+        left, right = int_sides
+        out = relational.hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", n_parts=5, how="outer"
+        ).to_pandas()
+        # 7 left rows (one key, 2, twice) + right-only keys {9}
+        assert len(out) == len(left) + 1
+        # right-only row carries its payload with a null left side
+        r9 = out[out["rv"] == 900]
+        assert len(r9) == 1 and pd.isna(r9["lv"].iloc[0]) and int(r9["k"].iloc[0]) == 9
+        # big int keys and payloads exact through the outer padding
+        assert int(out.loc[out["lv"] == 40, "rv"].iloc[0]) == 700
+        assert (BIG + 8) in set(int(k) for k in out["k"])
+
+    def test_outer_null_keys_unmatched_both_sides(self, ray_session):
+        left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()), "lv": [10, 11, 12]})
+        right = pa.table({"k": pa.array([2, None], type=pa.int64()), "rv": [200, 201]})
+        out = relational.hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", n_parts=3, how="outer"
+        ).to_pandas()
+        # SQL: NULL keys match nothing — each null-key row appears
+        # unmatched on its own side
+        assert len(out) == 4
+        lnull = out[out["lv"] == 11]
+        assert len(lnull) == 1 and pd.isna(lnull["rv"].iloc[0])
+        rnull = out[out["rv"] == 201]
+        assert len(rnull) == 1 and pd.isna(rnull["lv"].iloc[0]) and pd.isna(rnull["k"].iloc[0])
+
+    def test_outer_string_keys(self, ray_session):
+        left = pd.DataFrame({"k": ["a", "b"], "lv": [1, 2]})
+        right = pd.DataFrame({"k": ["b", "c"], "rv": [20, 30]})
+        out = relational.hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", n_parts=4, how="outer"
+        ).to_pandas()
+        assert len(out) == 3
+        assert set(out["k"]) == {"a", "b", "c"}
+        assert int(out.loc[out["k"] == "b", "rv"].iloc[0]) == 20
+
     def test_anti_and_semi(self, int_sides):
         left, right = int_sides
         anti = relational.hash_join(
@@ -93,7 +131,7 @@ class TestHowVariants:
         left, right = int_sides
         with pytest.raises(ValueError):
             relational.hash_join(
-                rd.from_pandas(left), rd.from_pandas(right), on="k", how="outer"
+                rd.from_pandas(left), rd.from_pandas(right), on="k", how="cross"
             )
 
 
