@@ -2119,6 +2119,256 @@ def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
 
 
 # --------------------------------------------------------------------------
+# window functions, grouping sets, histograms, sketch-guided exact counts
+# --------------------------------------------------------------------------
+
+
+def events_rank_windows(sf_dir: str):
+    """Per-user window functions in one pass: ROW_NUMBER ordered by
+    (ts, event_id), LAG gap to the previous event in µs, LEAD of the
+    next event_type — the rank/lag/lead window surface (reference has
+    only implicit ordering; this is the engine-scale generalization).
+    One coarse hash exchange by user, then ONE vectorized kernel per
+    partition: lexsort, boundary detection, arange-minus-start for rn,
+    shifted diffs for lag/lead. NULL frames are coalesced to sentinels
+    (-1 / '') on BOTH sides so the compare never depends on NULL↔NaN
+    dtype coercion."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "rn": pd.Series([], dtype="int64"),
+                    "prev_gap_us": pd.Series([], dtype="int64"),
+                    "next_type": pd.Series([], dtype="object"),
+                }
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        # rn = position within user = global index - start of the run
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        rn = np.arange(n, dtype=np.int64) - run_start + 1
+        prev_gap = np.empty(n, dtype=np.int64)
+        prev_gap[0] = -1
+        prev_gap[1:] = ts[1:] - ts[:-1]
+        prev_gap[new_user] = -1
+        next_type = np.empty(n, dtype=object)
+        next_type[:-1] = et[1:]
+        next_type[-1] = ""
+        last = np.append(starts[1:] - 1, n - 1)
+        next_type[last] = ""
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "rn": rn,
+                "prev_gap_us": prev_gap,
+                "next_type": next_type,
+            }
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus): all four grouping
+    sets. Same partial-aggregate base as orders_rollup — the cube
+    expansion runs on the combined partial table (≤ priorities×statuses
+    rows), never re-touching the fact table."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=_cents(df["o_totalprice"]))
+        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("cents", "size"), total_cents=("cents", "sum")
+        )
+
+    base = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["n", "total_cents"],
+    )
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["o_orderpriority", "o_orderstatus", "n", "total_cents"]
+        by_pri = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum")
+        )
+        by_pri["o_orderstatus"] = "ALL"
+        by_sta = df.groupby("o_orderstatus", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum")
+        )
+        by_sta["o_orderpriority"] = "ALL"
+        grand = pd.DataFrame(
+            {
+                "o_orderpriority": ["ALL"],
+                "o_orderstatus": ["ALL"],
+                "n": [df["n"].sum()],
+                "total_cents": [df["total_cents"].sum()],
+            }
+        )
+        return pd.concat(
+            [df[cols], by_pri[cols], by_sta[cols], grand[cols]], ignore_index=True
+        )
+
+    return base.map_batches(cube, batch_format="pandas", batch_size=None)
+
+
+def doc_length_histogram(sf_dir: str):
+    """Fixed-width histogram over document length: bucket = n_chars//200
+    clamped to [0, 19], with exact integer parts-per-million share. The
+    counting-sort shape again — per-block bucket counts, one tiny
+    combine, shares from the combined total. Partials stay at
+    (blocks × 20) rows at any corpus size."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(df["n_chars"].to_numpy(np.int64) // 200, 19)
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame({"bucket": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")})
+
+    combined = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["bucket"], ["n"]
+    )
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["n"].sum())
+        df = df.sort_values("bucket").reset_index(drop=True)
+        df["share_ppm"] = (df["n"].to_numpy(np.int64) * 1_000_000) // max(total, 1)
+        return df
+
+    return combined.repartition(1).map_batches(share, batch_format="pandas", batch_size=None)
+
+
+def lang_length_quantiles(sf_dir: str):
+    """Per-language exact p50/p90 of document length (discrete 'lower'
+    definition: smallest value whose cumulative count reaches
+    ceil(p/100 * n) within the language) — the grouped generalization of
+    doc_length_percentiles. Per-block (lang, n_chars) counts bound the
+    partials at (blocks × langs × distinct lengths); the threshold scan
+    runs per language on the combined table."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_chars"], as_index=False).agg(cnt=("n_chars", "size"))
+
+    combined = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "n_chars"], ["cnt"]
+    )
+
+    def pcts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars"], kind="mergesort")
+        out_l, out_p, out_v = [], [], []
+        for lang, g in df.groupby("lang", sort=False):
+            v = g["n_chars"].to_numpy(np.int64)
+            cum = g["cnt"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for p in (50, 90):
+                k = -(-p * n // 100)
+                out_l.append(lang)
+                out_p.append(p)
+                out_v.append(int(v[int(np.searchsorted(cum, k, side="left"))]))
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(out_l, dtype="object"),
+                "pct": pd.Series(out_p, dtype="int64"),
+                "n_chars": pd.Series(out_v, dtype="int64"),
+            }
+        )
+
+    return combined.repartition(1).map_batches(pcts, batch_format="pandas", batch_size=None)
+
+
+def events_heavy_hitters(sf_dir: str):
+    """Heavy hitters: every user with more than total/128 of all events,
+    via a Misra-Gries ('frequent') sketch pass + exact recount — the
+    streaming pattern that avoids a full-cardinality groupby at 100 TB.
+
+    Per block: exact value_counts compacted to a capacity-512 MG summary
+    (subtract the 513th-largest count, keep positives). Any key with
+    block share > 1/513 survives its block summary; a key with GLOBAL
+    share > 1/128 has ≥ that share in at least one block (pigeonhole),
+    so the union of block-summary keys is a superset of the answer —
+    no false negatives, ≤ 512×blocks candidate rows at any scale. The
+    exact recount then filters events to the candidate set (broadcast;
+    bounded by the summary size, not data size) and keeps counts
+    strictly above total/128."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        if len(vc) > 512:
+            cut = int(vc.iloc[512])  # the 513th-largest count
+            vc = (vc - cut)[lambda s: s > 0]
+        return pd.DataFrame({"user_id": vc.index.astype("int64")})
+
+    total = ds.count()  # parquet-footer metadata, no data pass
+    cand = np.unique(
+        ds.map_batches(mg_partial, batch_format="pandas").to_pandas()["user_id"].to_numpy(np.int64)
+    )
+    cand_ref = ray.put(cand)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(cand_ref)
+        vc = df.loc[df["user_id"].isin(keys), "user_id"].value_counts()
+        return pd.DataFrame(
+            {"user_id": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")}
+        )
+
+    parts = ds.map_batches(recount, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+    agg = parts.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+    return agg[agg["n"] > total // 128].reset_index(drop=True)
+
+
+def part_size_mode(sf_dir: str):
+    """Per-brand modal p_size (most frequent; ties → smallest size) —
+    the mode/arg-max-count window shape. Per-block (brand, size) counts,
+    tiny combine, then a single sort + first-per-brand pick."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["p_brand", "p_size"], as_index=False).agg(cnt=("p_size", "size"))
+
+    combined = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["p_brand", "p_size"], ["cnt"]
+    )
+
+    def mode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["p_brand", "cnt", "p_size"], ascending=[True, False, True], kind="mergesort"
+        )
+        first = df.drop_duplicates("p_brand", keep="first")
+        return pd.DataFrame(
+            {
+                "p_brand": first["p_brand"].to_numpy(dtype=object),
+                "mode_size": first["p_size"].to_numpy(np.int64),
+                "n": first["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    return combined.repartition(1).map_batches(mode, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2148,6 +2398,12 @@ QUERIES = {
     "doc_bow_dedup": doc_bow_dedup,
     "customer_event_outer": customer_event_outer,
     "orders_rollup": orders_rollup,
+    "orders_cube": orders_cube,
+    "events_rank_windows": events_rank_windows,
+    "doc_length_histogram": doc_length_histogram,
+    "lang_length_quantiles": lang_length_quantiles,
+    "events_heavy_hitters": events_heavy_hitters,
+    "part_size_mode": part_size_mode,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
     "events_asof_attribution": events_asof_attribution,
@@ -2330,6 +2586,65 @@ ORACLES = {
                CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    "orders_cube": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    "events_rank_windows": """
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(COALESCE(
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER w), -1) AS BIGINT) AS prev_gap_us,
+               COALESCE(LEAD(event_type) OVER w, '') AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "doc_length_histogram": """
+        WITH b AS (
+            SELECT LEAST(n_chars // 200, 19) AS bucket, COUNT(*) AS n
+            FROM documents GROUP BY 1
+        )
+        SELECT bucket, n,
+               CAST(n * 1000000 // GREATEST(SUM(n) OVER (), 1) AS BIGINT) AS share_ppm
+        FROM b
+    """,
+    "lang_length_quantiles": """
+        WITH c AS (
+            SELECT lang, n_chars AS v, count(*) AS cnt
+            FROM documents GROUP BY lang, n_chars
+        ),
+        w AS (
+            SELECT lang, v,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM c
+        )
+        SELECT w.lang, p.pct, CAST(min(w.v) AS BIGINT) AS n_chars
+        FROM (VALUES (CAST(50 AS BIGINT)), (90)) p(pct), w
+        WHERE w.cum >= (p.pct * w.n + 99) // 100
+        GROUP BY w.lang, p.pct
+    """,
+    "events_heavy_hitters": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) > (SELECT COUNT(*) FROM events) // 128
+    """,
+    "part_size_mode": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS mode_size, n
+        FROM (
+            SELECT p_brand, p_size, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p_brand ORDER BY COUNT(*) DESC, p_size
+                   ) AS rk
+            FROM part GROUP BY p_brand, p_size
+        )
+        WHERE rk = 1
     """,
     "customer_order_counts": """
         SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders

@@ -212,3 +212,28 @@ class TestRowsOnlyValuePins:
         assert len(df) > 0
         assert (df["n_features"] == ImageFeatures.DIM).all()
         assert df["decode_ok"].all()
+
+
+def test_heavy_hitters_mg_compaction_path(ray_session, tmp_path):
+    """Force the Misra-Gries cut to actually fire (block cardinality >
+    512 — the sf fixtures stay under it) and pin exactness: one planted
+    2%-share user among 20k light users must be the only survivor, and
+    its count must be exact despite the lossy per-block summaries."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    light = rng.integers(1_000, 21_000, size=98_000)  # ~20k distinct, ~5 each
+    heavy = np.full(2_000, 42, dtype=np.int64)  # 2% share > 1/128
+    users = np.concatenate([light, heavy])
+    rng.shuffle(users)
+    df = pd.DataFrame({"user_id": users.astype(np.int64)})
+    d = tmp_path / "hh"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet", index=False)
+
+    from searchgov_spider_ray.pipelines.queries import events_heavy_hitters
+
+    out = events_heavy_hitters(str(d))
+    assert list(out["user_id"]) == [42]
+    assert list(out["n"]) == [2_000]
