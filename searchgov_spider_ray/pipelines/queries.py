@@ -2368,6 +2368,127 @@ def part_size_mode(sf_dir: str):
     return combined.repartition(1).map_batches(mode, batch_format="pandas", batch_size=None)
 
 
+def graph_pagerank(sf_dir: str, wide: bool | None = None):
+    """Distributed PageRank (5 iterations, damping 0.85) over the
+    bipartite customer↔supplier order graph — the iterative-algorithm
+    surface. Exact integer fixed-point micro-units, so the DuckDB
+    oracle (five unrolled CTE iterations with identical floor
+    divisions) matches bit-for-bit.
+
+    The distinct edge list builds once via the hash-partitioned
+    lineitem⨝orders join with per-partition dedup (bounded by distinct
+    customer↔supplier CO-OCCURRENCE, not lineitem rows). Iteration
+    dispatch: vectorized single-kernel path below ``_PAGERANK_WIDE_NODES``
+    nodes, hash-partitioned per-iteration joins above (pipelines/
+    graph.py); forced-wide parity pinned in tests."""
+    from .graph import pagerank_int, pagerank_wide
+    from .relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def li_key(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_orderkey", "l_suppkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        li_key, batch_format="pyarrow"
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": df["o_custkey"].to_numpy(np.int64) * 2,
+                "dst": df["l_suppkey"].to_numpy(np.int64) * 2 + 1,
+            }
+        )
+        return out.drop_duplicates(["src", "dst"])
+
+    fwd = hash_join(li, orders, on="o_orderkey", post=post).to_pandas()
+    fwd = fwd.drop_duplicates(["src", "dst"])
+    rev = fwd.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]
+    edges = pd.concat([fwd[["src", "dst"]], rev], ignore_index=True)
+    n_nodes = pd.concat([edges["src"], edges["dst"]]).nunique()
+    if wide is None:
+        wide = n_nodes > _PAGERANK_WIDE_NODES
+    return pagerank_wide(edges) if wide else pagerank_int(edges)
+
+
+_PAGERANK_WIDE_NODES = 2_000_000
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)
+    """
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(
+            f""",
+        s{k} AS (
+            SELECT e.dst AS id, SUM(r.r // d.outdeg) AS c
+            FROM edges e
+            JOIN r{k - 1} r ON r.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        r{k} AS (
+            SELECT n.id,
+                   CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN s{k} s ON s.id = n.id
+        )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n        SELECT id AS node_id, r AS rank_ppm FROM r{n_iter}\n    "
+    )
+
+
+def orders_pivot(sf_dir: str):
+    """Cross-tab / PIVOT: order counts and fixed-point revenue per
+    priority (rows) × status (fixed columns F/O/P). One partial pass
+    over the fact table; the pivot reshape runs on the tiny combined
+    partial table."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=_cents(df["o_totalprice"]))
+        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum")
+        )
+
+    base = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["n", "cents"],
+    )
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"o_orderpriority": sorted(df["o_orderpriority"].unique())}
+        idx = pd.Index(out["o_orderpriority"])
+        for status in ("F", "O", "P"):
+            sub = df[df["o_orderstatus"] == status].set_index("o_orderpriority")
+            out[f"n_{status}"] = (
+                sub["n"].reindex(idx).fillna(0).astype(np.int64).to_numpy()
+            )
+            out[f"cents_{status}"] = (
+                sub["cents"].reindex(idx).fillna(0).astype(np.int64).to_numpy()
+            )
+        return pd.DataFrame(out)
+
+    return base.map_batches(pivot, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2404,6 +2525,8 @@ QUERIES = {
     "lang_length_quantiles": lang_length_quantiles,
     "events_heavy_hitters": events_heavy_hitters,
     "part_size_mode": part_size_mode,
+    "graph_pagerank": graph_pagerank,
+    "orders_pivot": orders_pivot,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
     "events_asof_attribution": events_asof_attribution,
@@ -2645,6 +2768,20 @@ ORACLES = {
             FROM part GROUP BY p_brand, p_size
         )
         WHERE rk = 1
+    """,
+    "orders_pivot": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_P
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     "customer_order_counts": """
         SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
@@ -3085,6 +3222,7 @@ def _lang_id_oracle_sql() -> str:
 
 
 ORACLES["doc_lang_id"] = _lang_id_oracle_sql()
+ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 
 
 # --------------------------------------------------------------------------

@@ -237,3 +237,17 @@ def test_heavy_hitters_mg_compaction_path(ray_session, tmp_path):
     out = events_heavy_hitters(str(d))
     assert list(out["user_id"]) == [42]
     assert list(out["n"]) == [2_000]
+
+
+def test_graph_pagerank_wide_parity(ray_session, sf_dir, oracle_con):
+    """Forced wide-path PageRank (hash-partitioned per-iteration joins)
+    must match the narrow single-kernel path and the unrolled-CTE
+    oracle bit-for-bit."""
+    import __ray_entry__ as e
+    from searchgov_spider_ray.pipelines.queries import graph_pagerank
+
+    wide = _to_df(graph_pagerank(sf_dir, wide=True))
+    narrow = _to_df(graph_pagerank(sf_dir, wide=False))
+    theirs = oracle_con.execute(e.oracle_sql()["graph_pagerank"]).fetchdf()
+    assert _value_hash(wide) == _value_hash(narrow)
+    assert _value_hash(wide) == _value_hash(theirs)
