@@ -224,6 +224,9 @@ def run_query_bench() -> dict[str, float]:
         "doc_pack_windows",
         "ann_topk_brute",
         "ann_topk_ivf",
+        "events_rank_windows",
+        "events_heavy_hitters",
+        "graph_pagerank",
     ]
     for name in bench_queries:
         t0 = time.time()
