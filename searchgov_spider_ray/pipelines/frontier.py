@@ -129,6 +129,20 @@ class CrawlConfig:
     # instead of the groupby(part) exchange. Driver memory for the merge
     # is bounded by this row count.
     politeness_driver_rows: int = 4_000_000
+    # Frontier-row count up to which the WHOLE round runs on the
+    # micro-round fast path: cheap kernels called directly on driver-
+    # side Arrow tables, payload-bound stages (body gather + link
+    # extraction, image attach/decode) as raw Ray tasks over table
+    # chunks, sinks via direct pq.write_table — ZERO streaming-executor
+    # launches. A normal tiny round pays ~9 executor spin-ups
+    # (~0.2 s each at 32 CPUs, growing with cluster size) plus their
+    # scheduling barriers for milliseconds of real work; the BFS ramp
+    # (rounds 0-1) and tail rounds are exactly such rounds
+    # (BASELINE.md: ~13 s of the 68 s 32-CPU wall). 0 disables.
+    # Row semantics are identical by construction — the same kernel
+    # objects run in both paths; parity is pinned by the e2e simulator
+    # tests in BOTH modes (tests/test_frontier_e2e.py).
+    micro_round_rows: int = 8192
 
 
 @dataclass
@@ -386,6 +400,67 @@ def _write_round(ds: rd.Dataset, base: Path, round_id: int) -> None:
     # directory partition with the materialized "round" column.
     out = base / f"round-{round_id:04d}"
     ds.write_parquet(str(out))
+
+
+def _write_table_round(t: pa.Table, base: Path, round_id: int) -> None:
+    """Micro-round sink: one driver-side parquet write, same directory
+    layout as :func:`_write_round` (readers glob ``*.parquet``)."""
+    out = base / f"round-{round_id:04d}"
+    out.mkdir(parents=True, exist_ok=True)
+    pq.write_table(t, out / "part-000000.parquet")
+
+
+_FETCH_META_COLS = [
+    "depth", "seq", "url", "url_hash", "domain", "status", "content_type", "image_id"
+]
+
+
+def _order_rows_kernel(t: pa.Table, k: int) -> pa.Table:
+    """Order-lineage rows: url_hash + int16 status; the URL string is
+    kept ONLY for corpus misses (status 0 — dead links, rare); hit rows
+    reconstruct their string from the corpus metadata at read time
+    (read_order)."""
+    miss = pc.equal(t["status"], pa.scalar(0, type=pa.int16()))
+    url_miss = pc.if_else(miss, t["url"], pa.scalar(None, type=pa.string()))
+    out = t.select(["depth", "seq", "url_hash", "status"])
+    out = out.append_column("url_miss", url_miss)
+    return _add_round(out, k)
+
+
+def _table_chunks(t: pa.Table, n: int) -> list[pa.Table]:
+    """Split a table into ≤ n contiguous zero-copy slices."""
+    n = max(1, min(n, len(t)))
+    bounds = np.linspace(0, len(t), n + 1).astype(np.int64)
+    return [t.slice(a, b - a) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+
+class _MicroLinkKernel:
+    """Micro-round link chain as one picklable task kernel: body join →
+    200 filter → link extraction → canonicalize + scope/robots — the
+    same fused chain the Dataset path runs, minus the executor. Shipped
+    once via ray.put (the scope/robots tables can be MBs at web
+    scale)."""
+
+    def __init__(self, corpus_ref, fetcher_cls, scope: JobScope, robots: RobotsRules):
+        self.fetcher = fetcher_cls(corpus_ref)
+        self.canon = _CanonScope(scope, robots)
+
+    def __call__(self, chunk: pa.Table) -> pa.Table:
+        t = self.fetcher(chunk)
+        t = t.filter(pc.equal(t["status"], pa.scalar(200, type=pa.int16())))
+        return self.canon(extract_links_batch(t))
+
+
+class _MicroImageKernel:
+    """Micro-round image landing as one task kernel: payload attach →
+    decode + pHash (same actor-class kernels, called inline)."""
+
+    def __init__(self, images_ref):
+        self.attach = ImageAttach(images_ref)
+        self.decode = DecodePHash()
+
+    def __call__(self, chunk: pa.Table) -> pa.Table:
+        return self.decode(self.attach(chunk))
 
 
 def _add_round(t: pa.Table, k: int) -> pa.Table:
@@ -736,6 +811,182 @@ class CrawlJobRunner:
         )
 
     # --- one BSP round ---------------------------------------------------
+    def _run_round_micro(self, k: int) -> int:
+        """Micro-round fast path (rows_in ≤ cfg.micro_round_rows): the
+        SAME kernel objects as the Dataset path, but cheap stages run
+        as direct calls on one driver-side Arrow table and the two
+        payload-bound stages (body join + link extraction, image
+        attach/decode) run as raw Ray tasks over zero-copy table
+        chunks — no streaming-executor launches at all. A normal tiny
+        round pays ~9 executor spin-ups (~0.2 s each at 32 CPUs,
+        growing with cluster size) for milliseconds of work; the BFS
+        ramp and tail rounds are exactly such rounds. Sinks land via
+        _write_table_round (same directory layout). Parity with the
+        Dataset path is pinned by running the e2e simulator suite in
+        BOTH modes (GRAFT_NO_MICRO / micro_round_rows=0)."""
+        import os
+        import time as _time
+
+        _timing = os.environ.get("GRAFT_CRAWL_TIMING")
+        _marks: list[tuple[str, float]] = []
+        _t = _time.monotonic()
+
+        def _mark(label: str) -> None:
+            nonlocal _t
+            if _timing:
+                now = _time.monotonic()
+                _marks.append((label, now - _t))
+                _t = now
+
+        def _finish(n_fetched: int) -> int:
+            if _timing:
+                total = sum(d for _, d in _marks)
+                print(
+                    f"[round {k}] fetched={n_fetched} total={total:.1f}s micro=1 "
+                    + " ".join(f"{n}={d:.1f}" for n, d in _marks),
+                    flush=True,
+                )
+            return n_fetched
+
+        cfg = self.cfg
+        from ..stages.politeness import (
+            TagGrant,
+            block_grant_candidates,
+            block_grant_counts,
+            merge_grant_thresholds,
+        )
+
+        frontier_tab = pq.read_table(str(self.ckpt.frontier_dir(k)))
+
+        # 1. politeness — identical two-phase narrow logic, one block
+        totals = block_grant_counts()(frontier_tab)
+        over = np.array(
+            sorted(
+                d for d, n in totals.items()
+                if n >= self.robots.budget(d, cfg.round_seconds)
+            ),
+            dtype=object,
+        )
+        if len(over):
+            cand = block_grant_candidates(
+                self.robots, cfg.round_seconds, only_domains=over
+            )(frontier_tab)
+            dom_o, thr_o = merge_grant_thresholds([cand], self.robots, cfg.round_seconds)
+        else:
+            dom_o = np.array([], dtype="U")
+            thr_o = np.array([], dtype=np.uint64)
+        all_doms = np.sort(np.asarray(list(totals.keys()), dtype="U"))
+        thr_all = np.full(len(all_doms), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(dom_o):
+            thr_all[np.searchsorted(all_doms, dom_o)] = thr_o
+        marked = TagGrant(ray.put((all_doms, thr_all)))(frontier_tab)
+        granted = marked.filter(marked["granted"]).drop_columns(["granted"])
+        carry = marked.filter(pc.invert(marked["granted"])).drop_columns(["granted"])
+        _mark("politeness")
+
+        # 2. fetch metadata join (broadcast corpus metadata, no payloads)
+        fetched = CorpusFetcher(self.corpus_ref, meta_only=True)(granted).select(
+            _FETCH_META_COLS
+        )
+        n_fetched = len(fetched)
+        _mark("fetch")
+
+        # 3. order + spent lineage
+        _write_table_round(_order_rows_kernel(fetched, k), self.out_dir / "order", k)
+        _mark("order_sink")
+        spent = {d: int(c) for d, c in block_grant_counts()(fetched).items()}
+        _mark("spent_lineage")
+
+        # 4. emit + image landing (payload gathers as chunked raw tasks)
+        emit = _add_round(_EmitKernel(self.site.output_target)(fetched), k)
+        _write_table_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
+        if self.images_ref is not None and len(emit):
+            kern = ray.put(_MicroImageKernel(self.images_ref))
+            chunks = _table_chunks(
+                emit, min(cfg.fetch_max_parallelism, max(1, len(emit) // 16))
+            )
+            parts = [
+                p
+                for p in ray.get([_block_apply.remote(kern, c) for c in chunks])
+                if len(p)
+            ]
+            if parts:
+                _write_table_round(
+                    pa.concat_tables(parts).combine_chunks(), self.out_dir / "corpus", k
+                )
+        _mark("emit_decode_serial")
+
+        # 5. link chain (body gathers as chunked raw tasks)
+        if self.site.prevent_follow:
+            scoped = None
+        else:
+            fetcher_cls = JsFetcher if self.site.handle_javascript else CorpusFetcher
+            kern = ray.put(
+                _MicroLinkKernel(self.corpus_ref, fetcher_cls, self.scope, self.robots)
+            )
+            chunks = _table_chunks(
+                granted, min(cfg.fetch_max_parallelism, max(1, len(granted) // 8))
+            )
+            parts = [
+                p
+                for p in ray.get([_block_apply.remote(kern, c) for c in chunks])
+                if len(p)
+            ]
+            scoped = pa.concat_tables(parts).combine_chunks() if parts else None
+        _mark("links_scope")
+        if scoped is None or len(scoped) == 0:
+            next_tab = pa.concat_tables(
+                [carry.select(FRONTIER_COLUMNS).cast(_FRONTIER_SCHEMA)]
+            )
+            self._write_checkpoint(
+                k + 1, next_tab, {"granted": spent, "fetched": n_fetched}
+            )
+            _mark("checkpoint")
+            return _finish(n_fetched)
+
+        # 6+7. fused intra-round first-wins + URL-seen membership — the
+        # identical RPC protocol, one driver-side pass
+        denied_tab = _DeniedKernel(k, keep_side=False)(scoped)
+        cands = _DeniedKernel(k, keep_side=True)(scoped)
+        if len(cands):
+            offered = FusedDedupRouter(self.shards, k)(_pack_admission(cands))
+            fixed = CorrectionFix(ray.put(collect_corrections(self.shards, k)))(offered)
+            _mark("dedup_fused")
+            intra_dups = _IntraDupKernel(k)(fixed)
+            marked2 = fixed.filter(fixed["intra_first"])
+            dup_denied = _DupDeniedKernel(k)(marked2)
+            novel_tab = marked2.filter(marked2["novel"]).drop_columns(
+                ["novel", "intra_first"]
+            )
+            denied_all = pa.concat_tables([denied_tab, intra_dups, dup_denied])
+        else:
+            _mark("dedup_fused")
+            novel_tab = _empty_frontier()
+            denied_all = denied_tab
+        _write_table_round(denied_all, self.out_dir / "denied", k)
+        _mark("denied_sink")
+
+        # 8. admission-order seq assignment (always the narrow kernel:
+        # novel is bounded by the fan-out of ≤ micro_round_rows pages)
+        counters = dict(self.depth_counters)
+        if len(novel_tab):
+            nf_tab = _assign_seq_kernel(novel_tab.combine_chunks(), counters)
+            vals, cnts = np.unique(nf_tab["depth"].to_numpy(), return_counts=True)
+            for dd, cnt in zip(vals, cnts):
+                self.depth_counters[int(dd)] = self.depth_counters.get(int(dd), 0) + int(cnt)
+        else:
+            nf_tab = _empty_frontier()
+        _mark("seq_assign")
+        next_tab = pa.concat_tables(
+            [
+                carry.select(FRONTIER_COLUMNS).cast(_FRONTIER_SCHEMA),
+                nf_tab.select(FRONTIER_COLUMNS).cast(_FRONTIER_SCHEMA),
+            ]
+        )
+        self._write_checkpoint(k + 1, next_tab, {"granted": spent, "fetched": n_fetched})
+        _mark("checkpoint")
+        return _finish(n_fetched)
+
     def _run_round(self, k: int) -> int:
         import os
         import time as _time
@@ -752,8 +1003,14 @@ class CrawlJobRunner:
                 _t = now
 
         cfg = self.cfg
-        frontier = rd.read_parquet(str(self.ckpt.frontier_dir(k)))
         rows_in = self.ckpt.read_manifest(k)["frontier_rows"]
+        if (
+            0 < cfg.micro_round_rows
+            and rows_in <= cfg.micro_round_rows
+            and not os.environ.get("GRAFT_NO_MICRO")
+        ):
+            return self._run_round_micro(k)
+        frontier = rd.read_parquet(str(self.ckpt.frontier_dir(k)))
 
         # 1. politeness grant. Normal rounds: NO exchange — each block
         # surfaces its per-domain top-B (depth, seq) packs via raw
@@ -883,9 +1140,6 @@ class CrawlJobRunner:
         # only at read time — read_order/read_emitted), so the blocks
         # the order/emit sinks and the image path move are ints + the
         # short domain/content_type strings.
-        _FETCH_META_COLS = [
-            "depth", "seq", "url", "url_hash", "domain", "status", "content_type", "image_id"
-        ]
         fetched = granted.map_batches(
             CorpusFetcher(self.corpus_ref, meta_only=True),
             batch_format="pyarrow",
@@ -897,19 +1151,11 @@ class CrawlJobRunner:
         _mark("fetch")
 
         # 3. order/lineage sink (fetch order = (round, depth, seq)):
-        # url_hash + int16 status per row — the URL string is written
-        # ONLY for corpus misses (status 0, dead links: rare), null
-        # otherwise; hit rows reconstruct their string from the corpus
-        # metadata at read time (read_order). status stays for the
-        # close monitors' HTTP-code budget.
-        def _order_rows(t: pa.Table) -> pa.Table:
-            miss = pc.equal(t["status"], pa.scalar(0, type=pa.int16()))
-            url_miss = pc.if_else(miss, t["url"], pa.scalar(None, type=pa.string()))
-            out = t.select(["depth", "seq", "url_hash", "status"])
-            out = out.append_column("url_miss", url_miss)
-            return _add_round(out, k)
-
-        order = fetched.map_batches(_order_rows, batch_format="pyarrow")
+        # url_hash + int16 status per row (see _order_rows_kernel);
+        # status stays for the close monitors' HTTP-code budget.
+        order = fetched.map_batches(
+            lambda t, _k=k: _order_rows_kernel(t, _k), batch_format="pyarrow"
+        )
         _write_round(order, self.out_dir / "order", k)
 
         _mark("order_sink")

@@ -188,3 +188,35 @@ def test_latest_complete_round_numeric_not_lexicographic(tmp_path):
         d.mkdir(parents=True)
         ckpt.manifest_path(k).write_text(json.dumps({"round": k, "frontier_rows": 1}))
     assert ckpt.latest_complete_round() == 10050
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDatasetPathParity:
+    """micro_round_rows defaults route these tiny fixtures through the
+    micro fast path, so the classes above pin THAT path against the
+    simulator. This class forces the full Dataset path on the same
+    fixture and requires byte-parity between the two modes — order
+    (incl. round boundaries), URL-seen set, denial set, emitted rows."""
+
+    def test_dataset_path_matches_micro(self, corpus_dir, sim_env, tmp_path_factory):
+        _, _, sites, _ = sim_env
+        out_m = tmp_path_factory.mktemp("micro_mode_out")
+        out_d = tmp_path_factory.mktemp("dataset_mode_out")
+        rm, res_m = _run(sites["plain"], corpus_dir, out_m)
+        rd_, res_d = _run(sites["plain"], corpus_dir, out_d, micro_round_rows=0)
+        try:
+            om, od = read_order(out_m), read_order(out_d)
+            for col in ("round", "depth", "seq", "url"):
+                assert om[col].tolist() == od[col].tolist(), col
+            assert read_seen(rm) == read_seen(rd_)
+            assert read_denied(out_m) == read_denied(out_d)
+            em, ed = read_emitted(out_m), read_emitted(out_d)
+            assert em["url"].tolist() == ed["url"].tolist()
+            assert em["doc_id"].tolist() == ed["doc_id"].tolist()
+            cm = pq.read_table(str(out_m / "corpus")).to_pandas()
+            cd = pq.read_table(str(out_d / "corpus")).to_pandas()
+            assert sorted(cm["image_id"]) == sorted(cd["image_id"])
+            assert cm["phash_match"].all() and cd["phash_match"].all()
+        finally:
+            rm.close()
+            rd_.close()
