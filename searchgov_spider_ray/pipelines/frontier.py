@@ -811,6 +811,36 @@ class CrawlJobRunner:
         )
 
     # --- one BSP round ---------------------------------------------------
+    def _grant_thresholds(self, totals: dict[str, int], candidates_for):
+        """Two-phase narrow politeness merge shared by the Dataset and
+        micro paths: domains whose global count stays under budget
+        grant everything (threshold = UINT64_MAX) without a candidate
+        pass; ``candidates_for(over)`` supplies per-block candidate
+        packs only for the over-budget domains. Returns the sorted
+        (domains, thresholds) broadcast table."""
+        from ..stages.politeness import merge_grant_thresholds
+
+        cfg = self.cfg
+        over = np.array(
+            sorted(
+                d for d, n in totals.items()
+                if n >= self.robots.budget(d, cfg.round_seconds)
+            ),
+            dtype=object,
+        )
+        if len(over):
+            dom_o, thr_o = merge_grant_thresholds(
+                candidates_for(over), self.robots, cfg.round_seconds
+            )
+        else:
+            dom_o = np.array([], dtype="U")
+            thr_o = np.array([], dtype=np.uint64)
+        all_doms = np.sort(np.asarray(list(totals.keys()), dtype="U"))
+        thr_all = np.full(len(all_doms), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(dom_o):
+            thr_all[np.searchsorted(all_doms, dom_o)] = thr_o
+        return all_doms, thr_all
+
     def _run_round_micro(self, k: int) -> int:
         """Micro-round fast path (rows_in ≤ cfg.micro_round_rows): the
         SAME kernel objects as the Dataset path, but cheap stages run
@@ -853,32 +883,20 @@ class CrawlJobRunner:
             TagGrant,
             block_grant_candidates,
             block_grant_counts,
-            merge_grant_thresholds,
         )
 
         frontier_tab = pq.read_table(str(self.ckpt.frontier_dir(k)))
 
-        # 1. politeness — identical two-phase narrow logic, one block
+        # 1. politeness — the shared two-phase narrow merge, one block
         totals = block_grant_counts()(frontier_tab)
-        over = np.array(
-            sorted(
-                d for d, n in totals.items()
-                if n >= self.robots.budget(d, cfg.round_seconds)
-            ),
-            dtype=object,
+        all_doms, thr_all = self._grant_thresholds(
+            totals,
+            lambda over: [
+                block_grant_candidates(
+                    self.robots, cfg.round_seconds, only_domains=over
+                )(frontier_tab)
+            ],
         )
-        if len(over):
-            cand = block_grant_candidates(
-                self.robots, cfg.round_seconds, only_domains=over
-            )(frontier_tab)
-            dom_o, thr_o = merge_grant_thresholds([cand], self.robots, cfg.round_seconds)
-        else:
-            dom_o = np.array([], dtype="U")
-            thr_o = np.array([], dtype=np.uint64)
-        all_doms = np.sort(np.asarray(list(totals.keys()), dtype="U"))
-        thr_all = np.full(len(all_doms), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if len(dom_o):
-            thr_all[np.searchsorted(all_doms, dom_o)] = thr_o
         marked = TagGrant(ray.put((all_doms, thr_all)))(frontier_tab)
         granted = marked.filter(marked["granted"]).drop_columns(["granted"])
         carry = marked.filter(pc.invert(marked["granted"])).drop_columns(["granted"])
@@ -1024,7 +1042,6 @@ class CrawlJobRunner:
             TagGrant,
             block_grant_candidates,
             block_grant_counts,
-            merge_grant_thresholds,
             partition_grant_thresholds,
             politeness_partition_key,
             prune_grant_candidates,
@@ -1042,31 +1059,15 @@ class CrawlJobRunner:
             for part in _map_block_refs(fmat, block_grant_counts()):
                 for dom, cnt in part.items():
                     totals[dom] = totals.get(dom, 0) + cnt
-            over = np.array(
-                sorted(
-                    d for d, n in totals.items()
-                    if n >= self.robots.budget(d, cfg.round_seconds)
-                ),
-                dtype=object,
-            )
-            if len(over):
-                cand_parts = _map_block_refs(
+            all_doms, thr_all = self._grant_thresholds(
+                totals,
+                lambda over: _map_block_refs(
                     fmat,
-                    block_grant_candidates(self.robots, cfg.round_seconds, only_domains=over),
-                )
-                dom_o, thr_o = merge_grant_thresholds(
-                    cand_parts, self.robots, cfg.round_seconds
-                )
-            else:
-                dom_o = np.array([], dtype="U")
-                thr_o = np.array([], dtype=np.uint64)
-            # full threshold table: MAX (grant-all) for under-budget
-            # domains, merged threshold for over-budget ones — O(domains)
-            all_doms = np.sort(np.asarray(list(totals.keys()), dtype="U"))
-            thr_all = np.full(len(all_doms), np.iinfo(np.uint64).max, dtype=np.uint64)
-            if len(dom_o):
-                pos = np.searchsorted(all_doms, dom_o)
-                thr_all[pos] = thr_o
+                    block_grant_candidates(
+                        self.robots, cfg.round_seconds, only_domains=over
+                    ),
+                ),
+            )
             thr_ref = ray.put((all_doms, thr_all))
             marked = fmat.map_batches(TagGrant(thr_ref), batch_format="pyarrow")
         else:

@@ -706,7 +706,7 @@ def _explode_words(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
     C-level explode: pandas ``str.split`` + ``chain.from_iterable`` +
     numpy repeat/arange — no per-row Python loop in callers. Split is
-    on a single space, matching DuckDB ``string_split(text, ' ')``
+    on a single space, matching DuckDB ``string_split(coalesce(text, ''), ' ')``
     (documents text is single-space word-joined; '' splits to ['']
     on both sides)."""
     from itertools import chain
@@ -1009,7 +1009,9 @@ def doc_bow_dedup(sf_dir: str):
             {"doc_id": joined.index.to_numpy(np.int64), "h": _md5_series(joined.reset_index(drop=True))}
         )
 
-    rows = ds.map_batches(bow, batch_format="pandas")
+    # materialize: rows feeds BOTH the owner groupby and the join left
+    # side — lazily the explode/sort/md5 kernel would run twice
+    rows = ds.map_batches(bow, batch_format="pandas").materialize()
     owners = rows.groupby("h").aggregate(_Min("doc_id", alias_name="bow_owner"))
     joined = hash_join(rows, owners, on="h")
 
@@ -1070,12 +1072,12 @@ def customer_event_outer(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
-def orders_rollup(sf_dir: str):
-    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): subtotal rows at
-    (priority, status), (priority, ALL) and (ALL, ALL) — the grouping-
-    sets surface. One map-side partial pass over orders; the rollup
-    expansion runs on the combined partial table (≤ priorities×statuses
-    rows), so no extra pass touches the fact table."""
+def _orders_pri_status_base(sf_dir: str) -> rd.Dataset:
+    """Per-block (priority, status) count + fixed-point-cents partials
+    with the tiny combine — the shared base of orders_rollup /
+    orders_cube / orders_pivot. NULL-keyed rows drop on both sides
+    (pandas groupby dropna here; WHERE ... IS NOT NULL in the oracles —
+    COALESCE's 'ALL' rendering would collide with the subtotal rows)."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1084,11 +1086,20 @@ def orders_rollup(sf_dir: str):
             n=("cents", "size"), total_cents=("cents", "sum")
         )
 
-    base = _combine_partials(
+    return _combine_partials(
         ds.map_batches(partial, batch_format="pandas"),
         ["o_orderpriority", "o_orderstatus"],
         ["n", "total_cents"],
     )
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): subtotal rows at
+    (priority, status), (priority, ALL) and (ALL, ALL) — the grouping-
+    sets surface. One map-side partial pass over orders; the rollup
+    expansion runs on the combined partial table (≤ priorities×statuses
+    rows), so no extra pass touches the fact table."""
+    base = _orders_pri_status_base(sf_dir)
 
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
         lvl1 = df.groupby("o_orderpriority", as_index=False).agg(
@@ -2008,7 +2019,10 @@ def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
     ``PHASH_PLANT_MOD`` by image_id hash): decode, +2 brightness, PNG
     re-encode — a DC-only DCT perturbation, so planted pairs sit at
     Hamming ≤ 1 and every one must be found (pinned in
-    tests/test_queries_oracle.py). String image ids hash to int64 via
+    tests/test_queries_oracle.py) — the guarantee holds while band
+    buckets stay under the 200-member degeneracy cap; beyond it the
+    pair kernel emits verified hub pairs only (cluster stays connected;
+    training._simhash_pairs_kernel). String image ids hash to int64 via
     xxhash64 for the pair kernel; names join back through
     ``relational.hash_join`` on the (tiny) pair set. Rows-only driver
     entry — pHash has no SQL form; the planted-pair invariant is the
@@ -2140,7 +2154,9 @@ def events_rank_windows(sf_dir: str):
         uid = g["user_id"].to_numpy(np.int64)
         ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         eid = g["event_id"].to_numpy(np.int64)
-        et = g["event_type"].to_numpy(dtype=object)
+        # NULL event_type coalesces to '' like the oracle's
+        # COALESCE(LEAD(event_type) OVER w, '')
+        et = g["event_type"].fillna("").to_numpy(dtype=object)
         n = len(g)
         if n == 0:
             return pd.DataFrame(
@@ -2190,19 +2206,7 @@ def orders_cube(sf_dir: str):
     sets. Same partial-aggregate base as orders_rollup — the cube
     expansion runs on the combined partial table (≤ priorities×statuses
     rows), never re-touching the fact table."""
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(cents=_cents(df["o_totalprice"]))
-        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
-            n=("cents", "size"), total_cents=("cents", "sum")
-        )
-
-    base = _combine_partials(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["o_orderpriority", "o_orderstatus"],
-        ["n", "total_cents"],
-    )
+    base = _orders_pri_status_base(sf_dir)
 
     def cube(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["o_orderpriority", "o_orderstatus", "n", "total_cents"]
@@ -2238,7 +2242,8 @@ def doc_length_histogram(sf_dir: str):
     ds = _read(sf_dir, "documents", ["n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.minimum(df["n_chars"].to_numpy(np.int64) // 200, 19)
+        # dropna: NULL n_chars is excluded on both sides (oracle WHERE)
+        b = np.minimum(df["n_chars"].dropna().to_numpy(np.int64) // 200, 19)
         vc = pd.Series(b).value_counts()
         return pd.DataFrame({"bucket": vc.index.astype("int64"), "n": vc.to_numpy().astype("int64")})
 
@@ -2317,7 +2322,9 @@ def events_heavy_hitters(sf_dir: str):
             vc = (vc - cut)[lambda s: s > 0]
         return pd.DataFrame({"user_id": vc.index.astype("int64")})
 
-    total = ds.count()  # parquet-footer metadata, no data pass
+    # count the BARE read (footer metadata): .count() on the mapped
+    # dataset would execute the whole read+strip lineage just to count
+    total = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).count()
     cand = np.unique(
         ds.map_batches(mg_partial, batch_format="pandas").to_pandas()["user_id"].to_numpy(np.int64)
     )
@@ -2459,19 +2466,7 @@ def orders_pivot(sf_dir: str):
     priority (rows) × status (fixed columns F/O/P). One partial pass
     over the fact table; the pivot reshape runs on the tiny combined
     partial table."""
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(cents=_cents(df["o_totalprice"]))
-        return df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
-            n=("cents", "size"), cents=("cents", "sum")
-        )
-
-    base = _combine_partials(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["o_orderpriority", "o_orderstatus"],
-        ["n", "cents"],
-    )
+    base = _orders_pri_status_base(sf_dir)
 
     def pivot(df: pd.DataFrame) -> pd.DataFrame:
         out = {"o_orderpriority": sorted(df["o_orderpriority"].unique())}
@@ -2482,7 +2477,7 @@ def orders_pivot(sf_dir: str):
                 sub["n"].reindex(idx).fillna(0).astype(np.int64).to_numpy()
             )
             out[f"cents_{status}"] = (
-                sub["cents"].reindex(idx).fillna(0).astype(np.int64).to_numpy()
+                sub["total_cents"].reindex(idx).fillna(0).astype(np.int64).to_numpy()
             )
         return pd.DataFrame(out)
 
@@ -2574,12 +2569,19 @@ QUERIES = {
 #    than the rounding gap can swap at the top-k boundary. Fixtures
 #    keep scores well separated; an integer-exact cosine would need
 #    fixed-point vectors on both sides.
+# 3. 64-bit-hash pair kernels (doc_simhash_near_dup,
+#    image_phash_near_dup): band buckets beyond 200 members emit
+#    verified hub pairs (min-id star) instead of the O(n²) all-pairs
+#    set the SQL replay produces — the cluster stays connected for
+#    downstream components, but non-hub direct pairs are not rows.
+#    Reachable only on 201+ hashes sharing one 16-bit band (identical
+#    logos / boilerplate at production scale, never in the fixtures).
 ORACLES = {
     "doc_passage_dedup": """
         WITH w AS (
             SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+                   unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                   generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS i
             FROM documents
         ), p AS (
             SELECT doc_id, i // 8 AS pidx,
@@ -2602,8 +2604,8 @@ ORACLES = {
             SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
         ), cw AS (
             SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+                   unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                   generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS i
             FROM corpus
         ), csh AS (
             SELECT doc_id,
@@ -2612,8 +2614,8 @@ ORACLES = {
             FROM cw WINDOW win AS (PARTITION BY doc_id ORDER BY i)
         ), ew AS (
             SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+                   unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                   generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS i
             FROM documents WHERE doc_id % 97 = 0
         ), ev AS (
             SELECT DISTINCT md5(s) AS h FROM (
@@ -2636,8 +2638,8 @@ ORACLES = {
     "doc_repetition_stats": """
         WITH w AS (
             SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+                   unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                   generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS i
             FROM documents
         ), d1 AS (
             SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct
@@ -2663,8 +2665,8 @@ ORACLES = {
     "doc_bigram_topk": """
         WITH w AS (
             SELECT doc_id,
-                   unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+                   unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                   generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS i
             FROM documents
         ), bg AS (
             SELECT word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY i) AS b
@@ -2677,7 +2679,7 @@ ORACLES = {
     """,
     "doc_bow_dedup": """
         WITH w AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
             FROM documents
         ), bow AS (
             SELECT doc_id, md5(string_agg(word, ' ' ORDER BY word)) AS h
@@ -2708,6 +2710,7 @@ ORACLES = {
                COUNT(*) AS n,
                CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
     """,
     "orders_cube": """
@@ -2716,6 +2719,7 @@ ORACLES = {
                COUNT(*) AS n,
                CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
         GROUP BY CUBE(o_orderpriority, o_orderstatus)
     """,
     "events_rank_windows": """
@@ -2730,7 +2734,7 @@ ORACLES = {
     "doc_length_histogram": """
         WITH b AS (
             SELECT LEAST(n_chars // 200, 19) AS bucket, COUNT(*) AS n
-            FROM documents GROUP BY 1
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
         )
         SELECT bucket, n,
                CAST(n * 1000000 // GREATEST(SUM(n) OVER (), 1) AS BIGINT) AS share_ppm
@@ -2739,7 +2743,9 @@ ORACLES = {
     "lang_length_quantiles": """
         WITH c AS (
             SELECT lang, n_chars AS v, count(*) AS cnt
-            FROM documents GROUP BY lang, n_chars
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            GROUP BY lang, n_chars
         ),
         w AS (
             SELECT lang, v,
@@ -2765,7 +2771,9 @@ ORACLES = {
                    ROW_NUMBER() OVER (
                        PARTITION BY p_brand ORDER BY COUNT(*) DESC, p_size
                    ) AS rk
-            FROM part GROUP BY p_brand, p_size
+            FROM part
+            WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+            GROUP BY p_brand, p_size
         )
         WHERE rk = 1
     """,
@@ -2781,6 +2789,7 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'P'
                     THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_P
         FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
         GROUP BY o_orderpriority
     """,
     "customer_order_counts": """

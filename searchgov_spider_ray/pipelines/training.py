@@ -467,7 +467,25 @@ def _simhash_pairs_kernel(t: pa.Table, max_hamming: int) -> pa.Table:
     rows = []
     for s, e in zip(starts, ends):
         n = e - s
-        if n < 2 or n > 200:
+        if n < 2:
+            continue
+        if n > 200:
+            # degenerate bucket (201+ hashes sharing a 16-bit band —
+            # identical logos / solid-color templates): all-pairs is
+            # O(n²), so verify members against the min-id hub instead.
+            # True near-dup clusters stay CONNECTED through the hub for
+            # downstream connected components; the direct (a, b) pair
+            # between two non-hub members is not emitted (documented
+            # kernel↔oracle divergence — the SQL replay has no cap and
+            # the fixtures stay under it).
+            d = hamming64(np.full(n - 1, hs[s], dtype=np.uint64), hs[s + 1 : e])
+            ok = d <= max_hamming
+            if ok.any():
+                rows.append(
+                    np.stack(
+                        [np.full(int(ok.sum()), doc[s]), doc[s + 1 : e][ok], d[ok]], axis=1
+                    ).astype(np.int64)
+                )
             continue
         iu, ju = np.triu_indices(n, 1)
         d = hamming64(hs[s:e][iu], hs[s:e][ju])

@@ -405,3 +405,28 @@ class TestTopTermsDFDispatch:
             zip(df["doc_id"], df["term"], df["tf"], df["df"], df["rank"])
         )
         assert key(wide) == key(bcast)
+
+
+def test_simhash_pairs_kernel_oversized_bucket_stays_connected():
+    """A 250-member identical-hash bucket (logo/boilerplate shape) must
+    not vanish: the kernel emits verified hub pairs (min-id star with
+    Hamming check) instead of skipping — or the O(n^2) all-pairs set."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchgov_spider_ray.pipelines.training import _simhash_pairs_kernel
+
+    n = 250
+    h = np.uint64(0xDEADBEEFCAFE1234)
+    t = pa.table(
+        {
+            "band_id": pa.array(np.zeros(n, dtype=np.int32)),
+            "band_key": pa.array(np.full(n, int(h & np.uint64(0xFFFF)), dtype=np.int32)),
+            "doc_id": pa.array(np.arange(100, 100 + n, dtype=np.int64)),
+            "simhash": pa.array(np.full(n, h, dtype=np.uint64)),
+        }
+    )
+    out = _simhash_pairs_kernel(t, max_hamming=3)
+    assert len(out) == n - 1  # hub (min id 100) to every other member
+    assert set(out["doc_a"].to_pylist()) == {100}
+    assert set(out["hamming"].to_pylist()) == {0}
