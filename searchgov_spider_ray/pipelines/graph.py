@@ -71,6 +71,87 @@ def pagerank_int(edges: pd.DataFrame, n_iter: int = 5) -> pd.DataFrame:
     return pd.DataFrame({"node_id": nodes, "rank_ppm": r})
 
 
+def bfs_depths(
+    edges: pd.DataFrame, sources: np.ndarray, max_depth: int = 6
+) -> pd.DataFrame:
+    """Multi-source BFS over a distinct directed edge list: (node_id,
+    dist) for every node reachable within ``max_depth`` hops — the
+    crawl frontier expressed as a graph query (the engine's BSP rounds
+    walk exactly this recurrence with politeness in the loop;
+    pipelines/frontier.py).
+
+    Narrow kernel: CSR adjacency (lexsort + searchsorted) + a frontier
+    membership sweep per hop — one np.unique per level, no Python
+    per-node work. The wide path at 10^9 edges is the crawl engine
+    itself: frontier ⨝ edges hash join per hop with a seen-set
+    membership stage; this kernel is the single-partition leaf the
+    forced-wide test compares against (mirrors pagerank_int vs
+    pagerank_wide)."""
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    order = np.argsort(src, kind="mergesort")
+    s_sorted, d_sorted = src[order], dst[order]
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    cur = np.unique(np.searchsorted(nodes, np.asarray(sources, dtype=np.int64)))
+    cur = cur[np.isin(nodes[cur], sources)]  # drop sources not in the graph
+    dist[cur] = 0
+    for d in range(1, max_depth + 1):
+        if not len(cur):
+            break
+        lo = np.searchsorted(s_sorted, nodes[cur], side="left")
+        hi = np.searchsorted(s_sorted, nodes[cur], side="right")
+        spans = hi - lo
+        take = np.concatenate(
+            [d_sorted[a:b] for a, b in zip(lo, hi)]
+        ) if spans.sum() else np.array([], dtype=np.int64)
+        nxt_nodes = np.unique(take)
+        nxt = np.searchsorted(nodes, nxt_nodes)
+        nxt = nxt[dist[nxt] < 0]
+        dist[nxt] = d
+        cur = nxt
+    hit = dist >= 0
+    return pd.DataFrame({"node_id": nodes[hit], "dist": dist[hit]})
+
+
+def bfs_depths_wide(
+    edges: pd.DataFrame, sources: np.ndarray, max_depth: int = 6, n_parts: int = 64
+) -> pd.DataFrame:
+    """Wide path: per hop, the current frontier joins the edge Dataset
+    on src via the hash-partitioned join (per-partition distinct dst
+    partials) — the edge exchange is the scale term; the driver keeps
+    only the O(visited) dist map, exactly like the crawl engine's
+    URL-seen shards hold the seen set."""
+    from .relational import hash_join
+
+    deg_edges = rd.from_pandas(edges[["src", "dst"]]).materialize()
+    dist: dict[int, int] = {int(s): 0 for s in np.asarray(sources, dtype=np.int64)}
+    all_nodes = set(
+        int(x)
+        for x in np.unique(
+            np.concatenate([edges["src"].to_numpy(np.int64), edges["dst"].to_numpy(np.int64)])
+        )
+    )
+    dist = {k: v for k, v in dist.items() if k in all_nodes}
+    cur = np.array(sorted(dist), dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        if not len(cur):
+            break
+        fds = rd.from_pandas(pd.DataFrame({"src": cur}))
+
+        def post(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["dst"]].drop_duplicates()
+
+        reached = hash_join(deg_edges, fds, on="src", n_parts=n_parts, post=post).to_pandas()
+        nxt = np.unique(reached["dst"].to_numpy(np.int64))
+        nxt = np.array([x for x in nxt if int(x) not in dist], dtype=np.int64)
+        for x in nxt:
+            dist[int(x)] = d
+        cur = nxt
+    out = pd.DataFrame(sorted(dist.items()), columns=["node_id", "dist"])
+    return out.astype({"node_id": "int64", "dist": "int64"})
+
+
 def pagerank_wide(edges: pd.DataFrame, n_iter: int = 5, n_parts: int = 64) -> pd.DataFrame:
     """Wide path: same recurrence, but the edge-heavy work — the only
     term that grows with |E| — runs as a hash-partitioned join per

@@ -2389,6 +2389,22 @@ def graph_pagerank(sf_dir: str, wide: bool | None = None):
     nodes, hash-partitioned per-iteration joins above (pipelines/
     graph.py); forced-wide parity pinned in tests."""
     from .graph import pagerank_int, pagerank_wide
+
+    edges = _order_graph_edges(sf_dir)
+    n_nodes = pd.concat([edges["src"], edges["dst"]]).nunique()
+    if wide is None:
+        wide = n_nodes > _PAGERANK_WIDE_NODES
+    return pagerank_wide(edges) if wide else pagerank_int(edges)
+
+
+_PAGERANK_WIDE_NODES = 2_000_000
+
+
+def _order_graph_edges(sf_dir: str) -> pd.DataFrame:
+    """Distinct bipartite customer↔supplier edges (both directions,
+    node ids customer=key*2 / supplier=key*2+1) via the
+    hash-partitioned lineitem⨝orders join with per-partition dedup —
+    shared by graph_pagerank / graph_bfs_depths."""
     from .relational import hash_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -2412,14 +2428,62 @@ def graph_pagerank(sf_dir: str, wide: bool | None = None):
     fwd = hash_join(li, orders, on="o_orderkey", post=post).to_pandas()
     fwd = fwd.drop_duplicates(["src", "dst"])
     rev = fwd.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]
-    edges = pd.concat([fwd[["src", "dst"]], rev], ignore_index=True)
+    return pd.concat([fwd[["src", "dst"]], rev], ignore_index=True)
+
+
+def graph_bfs_depths(sf_dir: str, wide: bool | None = None):
+    """Multi-source BFS distances (≤ 6 hops) from the three smallest
+    customer nodes over the bipartite order graph — the crawl frontier
+    as a graph query (the BSP engine walks this recurrence with
+    politeness in the loop). Narrow CSR kernel vs per-hop
+    hash-join wide path (pipelines/graph.py), forced-wide parity in
+    tests; the oracle is six unrolled Bellman-Ford CTE steps (MIN over
+    UNION ALL — exact for unit weights)."""
+    from .graph import bfs_depths, bfs_depths_wide
+
+    edges = _order_graph_edges(sf_dir)
+    cust_nodes = np.unique(edges.loc[edges["src"] % 2 == 0, "src"].to_numpy(np.int64))
+    sources = cust_nodes[:3]
     n_nodes = pd.concat([edges["src"], edges["dst"]]).nunique()
     if wide is None:
         wide = n_nodes > _PAGERANK_WIDE_NODES
-    return pagerank_wide(edges) if wide else pagerank_int(edges)
+    return bfs_depths_wide(edges, sources) if wide else bfs_depths(edges, sources)
 
 
-_PAGERANK_WIDE_NODES = 2_000_000
+def _bfs_oracle_sql(max_depth: int = 6) -> str:
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        d0 AS (
+            SELECT id, CAST(0 AS BIGINT) AS dist
+            FROM (SELECT DISTINCT src AS id FROM e0 ORDER BY src LIMIT 3)
+        )
+    """
+    steps = []
+    for k in range(1, max_depth + 1):
+        steps.append(
+            f""",
+        d{k} AS (
+            SELECT id, MIN(dist) AS dist FROM (
+                SELECT id, dist FROM d{k - 1}
+                UNION ALL
+                SELECT e.dst AS id, CAST({k} AS BIGINT) AS dist
+                FROM edges e JOIN d{k - 1} f ON f.id = e.src
+            ) GROUP BY id
+        )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n        SELECT id AS node_id, CAST(dist AS BIGINT) AS dist FROM d{max_depth}\n    "
+    )
 
 
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
@@ -2521,6 +2585,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "part_size_mode": part_size_mode,
     "graph_pagerank": graph_pagerank,
+    "graph_bfs_depths": graph_bfs_depths,
     "orders_pivot": orders_pivot,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
@@ -3232,6 +3297,7 @@ def _lang_id_oracle_sql() -> str:
 
 ORACLES["doc_lang_id"] = _lang_id_oracle_sql()
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+ORACLES["graph_bfs_depths"] = _bfs_oracle_sql()
 
 
 # --------------------------------------------------------------------------

@@ -251,3 +251,16 @@ def test_graph_pagerank_wide_parity(ray_session, sf_dir, oracle_con):
     theirs = oracle_con.execute(e.oracle_sql()["graph_pagerank"]).fetchdf()
     assert _value_hash(wide) == _value_hash(narrow)
     assert _value_hash(wide) == _value_hash(theirs)
+
+
+def test_graph_bfs_wide_parity(ray_session, sf_dir, oracle_con):
+    """Forced wide-path BFS (per-hop hash joins) must match the narrow
+    CSR kernel and the unrolled Bellman-Ford oracle exactly."""
+    import __ray_entry__ as e
+    from searchgov_spider_ray.pipelines.queries import graph_bfs_depths
+
+    wide = _to_df(graph_bfs_depths(sf_dir, wide=True))
+    narrow = _to_df(graph_bfs_depths(sf_dir, wide=False))
+    theirs = oracle_con.execute(e.oracle_sql()["graph_bfs_depths"]).fetchdf()
+    assert _value_hash(wide) == _value_hash(narrow)
+    assert _value_hash(wide) == _value_hash(theirs)
