@@ -1554,6 +1554,87 @@ def events_user_hll(sf_dir: str):
     return hll_registers(ds, "user_id")
 
 
+def events_type_hll(sf_dir: str):
+    """GROUPED HyperLogLog: one register table per event_type
+    (approximate distinct users per type) — sketch-as-grouped-
+    aggregation. Per-batch sparse (type, bucket, rho) partials fold
+    inside map_batches (≤ types × 4096 rows leave any task at any data
+    size); a hash-shuffle groupby().max finishes the merge. The state
+    is integer-exact, so the oracle replays it per group."""
+    from ray.data.aggregate import Max
+
+    from ..functions.sketch import hll_partial
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        types, buckets, rhos = [], [], []
+        for ty in pd.unique(pd.Series(et)):
+            b, r = hll_partial(uid[et == ty])
+            types.extend([ty] * len(b))
+            buckets.append(b)
+            rhos.append(r)
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "bucket": pa.array(
+                    np.concatenate(buckets) if buckets else np.array([], dtype=np.int64)
+                ),
+                "rho": pa.array(
+                    np.concatenate(rhos) if rhos else np.array([], dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(kernel, batch_format="pyarrow")
+    return partials.groupby(["event_type", "bucket"]).aggregate(Max("rho", alias_name="rho"))
+
+
+def events_value_ntile(sf_dir: str):
+    """NTILE(4) per user ordered by (value, event_id) — the quantile-
+    bucket window shape, integer-exact (DuckDB tile sizing: the first
+    n%4 tiles get one extra row). Same partition-kernel discipline as
+    events_rank_windows: one vectorized pass per coarse hash partition,
+    NaN values ordered last like SQL's default NULLS LAST."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["user_id", "value", "event_id"], kind="mergesort", na_position="last"
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                }
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        sizes = np.diff(np.append(starts, n))
+        i = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes).astype(np.int64)
+        big, r = cnt // 4 + 1, cnt % 4
+        small = np.maximum(cnt // 4, 1)  # guard: n<4 users have r=n, small unused
+        in_big = i < r * big
+        tile = np.where(in_big, i // big, r + (i - r * big) // small) + 1
+        return pd.DataFrame({"event_id": eid, "user_id": uid, "tile": tile.astype(np.int64)})
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def doc_lang_id(sf_dir: str):
     from .training import LangIdStage
 
@@ -2587,6 +2668,8 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_bfs_depths": graph_bfs_depths,
     "orders_pivot": orders_pivot,
+    "events_type_hll": events_type_hll,
+    "events_value_ntile": events_value_ntile,
     "events_sessions": events_sessions,
     "events_sliding_counts": events_sliding_counts,
     "events_asof_attribution": events_asof_attribution,
@@ -2828,6 +2911,13 @@ ORACLES = {
         FROM events
         GROUP BY user_id
         HAVING COUNT(*) > (SELECT COUNT(*) FROM events) // 128
+    """,
+    "events_value_ntile": """
+        SELECT event_id, user_id,
+               CAST(NTILE(4) OVER (
+                   PARTITION BY user_id ORDER BY value, event_id
+               ) AS BIGINT) AS tile
+        FROM events
     """,
     "part_size_mode": """
         SELECT p_brand, CAST(p_size AS BIGINT) AS mode_size, n
@@ -3656,7 +3746,29 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def _hll_grouped_oracle_sql() -> str:
+    """Per-event_type replay of the HLL register state — the grouped
+    variant of _hll_oracle_sql, same integer bit logic."""
+    from ..functions.sketch import HLL_SALT, _W_BITS
+
+    w_mod = 1 << _W_BITS
+    return f"""
+        SELECT event_type, bucket, MAX(rho) AS rho FROM (
+            SELECT event_type, CAST(hv >> {_W_BITS} AS BIGINT) AS bucket,
+                   CASE WHEN CAST(hv AS HUGEINT) % {w_mod} = 0 THEN {_W_BITS + 1}
+                        ELSE CAST(instr(lpad(bin(CAST(CAST(hv AS HUGEINT) % {w_mod} AS BIGINT)),
+                             {_W_BITS}, '0'), '1') AS BIGINT) END AS rho
+            FROM (
+                SELECT event_type, {_sql_mm64('user_id', int(HLL_SALT))} AS h0,
+                       {_sql_avalanche_select('h0', 'hv')}
+                FROM events
+            )
+        ) GROUP BY event_type, bucket
+    """
+
+
 ORACLES["events_user_hll"] = _hll_oracle_sql()
+ORACLES["events_type_hll"] = _hll_grouped_oracle_sql()
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()
