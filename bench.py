@@ -86,13 +86,11 @@ def ensure_bench_corpus() -> str:
     return BENCH_CORPUS
 
 
-def run_crawl_bench() -> tuple[float, int]:
-    """Headline: URLs fetched+deduped/sec on the synthetic frontier over
-    the image+caption corpus (all domains, politeness 1 h virtual
-    rounds → few, wide BSP rounds)."""
-    import shutil
-
-    from searchgov_spider_ray.pipelines.frontier import CrawlConfig, CrawlJobRunner
+def make_bench_job():
+    """(site, cfg, corpus_dir) for the headline crawl — shared by
+    run_crawl_bench and scripts/resume_receipt.py so the receipt runs
+    the exact benchmarked configuration."""
+    from searchgov_spider_ray.pipelines.frontier import CrawlConfig
     from searchgov_spider_ray.sources.corpusgen import page_url
     from searchgov_spider_ray.sources.crawl_sites import CrawlSite
 
@@ -105,8 +103,6 @@ def run_crawl_bench() -> tuple[float, int]:
         depth_limit=30,
         output_target="elasticsearch",
     )
-    out = BENCH_OUT
-    shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(
         round_seconds=3600.0,
         num_shards=NUM_CPUS,  # URL-seen shard actors scale with the cluster
@@ -117,6 +113,23 @@ def run_crawl_bench() -> tuple[float, int]:
         fetch_max_parallelism=max(8, NUM_CPUS * 2),
         wide_round_rows=2_000_000,
     )
+    return site, cfg, cdir
+
+
+def run_crawl_bench() -> tuple[float, int]:
+    """Headline: URLs fetched+deduped/sec on the synthetic frontier over
+    the image+caption corpus (all domains, politeness 1 h virtual
+    rounds → few, wide BSP rounds)."""
+    import shutil
+
+    from searchgov_spider_ray.pipelines.frontier import CrawlConfig, CrawlJobRunner
+    from searchgov_spider_ray.sources.corpusgen import page_url
+    from searchgov_spider_ray.sources.crawl_sites import CrawlSite
+
+    site, cfg, cdir = make_bench_job()
+    domains = list(site.allowed_domains)
+    out = BENCH_OUT
+    shutil.rmtree(out, ignore_errors=True)
     # Untimed warmup: a 2-domain depth-1 job through the same operator
     # paths (politeness groupby, fused fetch/link chain, image
     # attach/decode, checkpoint sinks, shard actors). First-use costs —
