@@ -2456,6 +2456,115 @@ def part_size_mode(sf_dir: str):
     return combined.repartition(1).map_batches(mode, batch_format="pandas", batch_size=None)
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — six-table join: revenue per nation where the
+    customer and supplier share the nation, ASIA region, one order
+    year. Composition pattern: the three dimension chains
+    (region→nation→{customer, supplier}) collapse into two broadcast
+    int arrays (custkey→nationkey for ASIA customers, suppkey→nationkey
+    for ASIA suppliers); the only real exchange is the large-large
+    lineitem⨝orders hash join with the revenue combiner pushed into
+    the partitions. Per-batch kernels then match nations via two
+    searchsorted lookups — no row leaves with a string; n_name attaches
+    to the ≤25-row result."""
+    from .relational import hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nat_keys = set(nat["n_nationkey"].astype(int))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)]
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey").loc[ck, "c_nationkey"].to_numpy(np.int64)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey").loc[sk, "s_nationkey"].to_numpy(np.int64)
+    cust_ref = ray.put((ck, cn))
+    supp_ref = ray.put((sk, sn))
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    class _OrderSide:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._k is None:
+                self._k = ray.get(cust_ref)
+            ck_, cn_ = self._k
+            t = t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = _in_sorted(ck_, keys)
+            t = t.filter(pa.array(ok))
+            keys = keys[ok]
+            c_nat = cn_[np.searchsorted(ck_, keys)]
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "c_nat": pa.array(c_nat, type=pa.int64()),
+                }
+            )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _OrderSide(), batch_format="pyarrow"
+    )
+
+    class _LiSide:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._k is None:
+                self._k = ray.get(supp_ref)
+            sk_, sn_ = self._k
+            keys = df["l_suppkey"].to_numpy(np.int64)
+            ok = _in_sorted(sk_, keys)
+            df = df[ok]
+            s_nat = sn_[np.searchsorted(sk_, keys[ok])]
+            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+            part = pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "s_nat": s_nat,
+                    "rev": rev,
+                }
+            )
+            return part.groupby(["o_orderkey", "s_nat"], as_index=False).agg(
+                revenue_cents=("rev", "sum")
+            )
+
+    # task-based (instance, not actor pool): an actor pool sized near
+    # num_cpus starves the upstream read tasks on small sessions —
+    # the livelock documented at image_phash_near_dup's decode pool
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_LiSide(), batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nat"] == df["s_nat"]]
+        return df.groupby("s_nat", as_index=False).agg(revenue_cents=("revenue_cents", "sum"))
+
+    parts = hash_join(li, orders, on="o_orderkey", post=combine).to_pandas()
+    agg = parts.groupby("s_nat", as_index=False).agg(revenue_cents=("revenue_cents", "sum"))
+    names = nat.set_index("n_nationkey")["n_name"]
+    return pd.DataFrame(
+        {
+            "n_name": [str(names[int(k)]) for k in agg["s_nat"]],
+            "revenue_cents": agg["revenue_cents"].to_numpy(np.int64),
+        }
+    )
+
+
 def graph_pagerank(sf_dir: str, wide: bool | None = None):
     """Distributed PageRank (5 iterations, damping 0.85) over the
     bipartite customer↔supplier order graph — the iterative-algorithm
@@ -2665,6 +2774,7 @@ QUERIES = {
     "lang_length_quantiles": lang_length_quantiles,
     "events_heavy_hitters": events_heavy_hitters,
     "part_size_mode": part_size_mode,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_depths": graph_bfs_depths,
     "orders_pivot": orders_pivot,
@@ -2931,6 +3041,19 @@ ORACLES = {
             GROUP BY p_brand, p_size
         )
         WHERE rk = 1
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+        WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+          AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+          AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
     """,
     "orders_pivot": """
         SELECT o_orderpriority,
