@@ -2456,6 +2456,52 @@ def part_size_mode(sf_dir: str):
     return combined.repartition(1).map_batches(mode, batch_format="pandas", batch_size=None)
 
 
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery decorrelation: orders strictly above their
+    own customer's average order value. One partial pass builds
+    per-customer (n, total_cents); the filter re-joins it per batch via
+    a broadcast sorted lookup (upgrade path at 10^9 customers:
+    relational.hash_join, same discipline as priority_by_region). The
+    comparison is EXACT — cross-multiplied integers (cents*n > total),
+    no float average on either side."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=_cents(df["o_totalprice"]))
+        return df.groupby("o_custkey", as_index=False).agg(
+            n=("cents", "size"), total_cents=("cents", "sum")
+        )
+
+    stats = (
+        _combine_partials(
+            ds.map_batches(partial, batch_format="pandas"), ["o_custkey"], ["n", "total_cents"]
+        )
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    keys = stats["o_custkey"].to_numpy(np.int64)
+    ref = ray.put(
+        (keys, stats["n"].to_numpy(np.int64), stats["total_cents"].to_numpy(np.int64))
+    )
+
+    class _Filter:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._k is None:
+                self._k = ray.get(ref)
+            k, n, tot = self._k
+            cents = _cents(df["o_totalprice"])
+            pos = np.searchsorted(k, df["o_custkey"].to_numpy(np.int64))
+            keep = cents * n[pos] > tot[pos]  # exact: cents > total/n
+            out = df.loc[keep, ["o_orderkey", "o_custkey"]].copy()
+            out["cents"] = cents[keep]
+            return out
+
+    return ds.map_batches(_Filter(), batch_format="pandas")
+
+
 def q5_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape — six-table join: revenue per nation where the
     customer and supplier share the nation, ASIA region, one order
@@ -2775,6 +2821,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "part_size_mode": part_size_mode,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "orders_above_cust_avg": orders_above_cust_avg,
     "graph_pagerank": graph_pagerank,
     "graph_bfs_depths": graph_bfs_depths,
     "orders_pivot": orders_pivot,
@@ -3041,6 +3088,18 @@ ORACLES = {
             GROUP BY p_brand, p_size
         )
         WHERE rk = 1
+    """,
+    "orders_above_cust_avg": """
+        WITH s AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS tot
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN s ON s.o_custkey = o.o_custkey
+        WHERE CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) * s.n > s.tot
     """,
     "q5_local_supplier_volume": """
         SELECT n.n_name,
