@@ -94,6 +94,7 @@ def bfs_depths(
     s_sorted, d_sorted = src[order], dst[order]
     dist = np.full(len(nodes), -1, dtype=np.int64)
     cur = np.unique(np.searchsorted(nodes, np.asarray(sources, dtype=np.int64)))
+    cur = cur[cur < len(nodes)]  # sources beyond the max node id
     cur = cur[np.isin(nodes[cur], sources)]  # drop sources not in the graph
     dist[cur] = 0
     for d in range(1, max_depth + 1):
