@@ -313,7 +313,14 @@ def main() -> None:
     ray.shutdown()
 
 
-def scaling() -> None:
+def scaling(cpu_lo: int = 8, cpu_hi: int = 32) -> None:
+    """Default pair 8→32 (the driver's invocation). A supplementary
+    pair can be requested as `--scaling --cpus 4 16`: same 4× ratio,
+    but the high leg leaves headroom on the shared 32-vCPU box so the
+    measurement isolates the ENGINE's scaling from the box's own
+    oversubscription (ambient tenants compress exactly the leg the
+    efficiency ratio divides by — see BASELINE.md run ledger)."""
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -322,23 +329,27 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     ensure_bench_corpus()  # build once, outside timing
-    lo, hi = run(8), run(32)
+    lo, hi = run(cpu_lo), run(cpu_hi)
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
-    crawl_eff = (lo["queries"]["crawl_frontier"] / hi["queries"]["crawl_frontier"]) / 4
+    eff = (t_lo / t_hi) / (cpu_hi / cpu_lo)
+    ratio = cpu_hi / cpu_lo
+    crawl_eff = (
+        lo["queries"]["crawl_frontier"] / hi["queries"]["crawl_frontier"]
+    ) / ratio
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
+                f"sec_{cpu_lo}": t_lo,
+                f"sec_{cpu_hi}": t_hi,
                 "scaling_efficiency": round(eff, 3),
-                "crawl_urls_per_sec_8": lo["crawl_urls_per_sec"],
-                "crawl_urls_per_sec_32": hi["crawl_urls_per_sec"],
+                f"crawl_urls_per_sec_{cpu_lo}": lo["crawl_urls_per_sec"],
+                f"crawl_urls_per_sec_{cpu_hi}": hi["crawl_urls_per_sec"],
                 "crawl_scaling_efficiency": round(crawl_eff, 3),
-                "compute_probe_pages_per_sec_8": lo["compute_probe_pages_per_sec"],
-                "compute_probe_pages_per_sec_32": hi["compute_probe_pages_per_sec"],
+                f"compute_probe_pages_per_sec_{cpu_lo}": lo["compute_probe_pages_per_sec"],
+                f"compute_probe_pages_per_sec_{cpu_hi}": hi["compute_probe_pages_per_sec"],
                 "compute_probe_scaling_efficiency": round(
-                    (hi["compute_probe_pages_per_sec"] / lo["compute_probe_pages_per_sec"]) / 4,
+                    (hi["compute_probe_pages_per_sec"] / lo["compute_probe_pages_per_sec"])
+                    / ratio,
                     3,
                 ),
             }
@@ -348,6 +359,10 @@ def scaling() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        if "--cpus" in sys.argv:
+            i = sys.argv.index("--cpus")
+            scaling(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        else:
+            scaling()
     else:
         main()
