@@ -1723,6 +1723,19 @@ def embedding_near_dups(sf_dir: str):
     return df[["vec_a", "vec_b"]].astype("int64").sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def embedding_knn_join(sf_dir: str):
+    """Exact cosine 3-NN self-join over the embeddings table — the
+    semantic-dedup primitive (training.knn_self_join): every vector's
+    top-3 neighbors, self excluded, ties by neighbor_id. One broadcast
+    GEMM pass, no merge shuffle (each task's rows see the full corpus
+    matrix); scale path above the broadcast bound = IVF per partition
+    (documented at the operator)."""
+    from .training import knn_self_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_self_join(ds, k=3)
+
+
 # --------------------------------------------------------------------------
 # crawl-surface queries (the flagship; rows-only — no SQL equivalent)
 # --------------------------------------------------------------------------
@@ -2847,6 +2860,7 @@ QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
+    "embedding_knn_join": embedding_knn_join,
     "sitemap_diff": sitemap_diff_q,
     "docparse_html": docparse_html_q,
     "crawl_order": crawl_order,
@@ -3387,6 +3401,19 @@ ORACLES = {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    # exact 3-NN self-join: every vector's top-3 cosine neighbors, self
+    # excluded, ties by neighbor_id ASC (mirrors training.knn_self_join)
+    "embedding_knn_join": """
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                            b.vec_id
+               ) AS nn_rank
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id
+        QUALIFY nn_rank <= 3
     """,
     # Closed-form golden for the HTML->i14y parser over the synthetic pages
     # docparse_html_q builds from the documents table: doc_id is

@@ -1078,6 +1078,100 @@ def ann_brute_topk(
     return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
 
 
+class _KnnSelfJoin:
+    """Per-batch exact k-NN against the broadcast (id-sorted) corpus
+    matrix: one GEMM per batch, each row's top-k is COMPLETE within its
+    own task (the broadcast side is the whole corpus), so there is no
+    partial-merge stage. Ties broken by neighbor_id ascending via an
+    exact kth-value cut (float equality, not an argpartition boundary
+    guess). Self-match excluded by sorted-id lookup."""
+
+    def __init__(self, ref, k: int, id_col: str, vec_col: str):
+        self.ref = ref
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._c = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._c is None:
+            ids_all, mat_all = ray.get(self.ref)  # pre-normalized, id-sorted
+            self._c = (ids_all, mat_all)
+        ids_all, mat_all = self._c
+        ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _as_matrix(batch[self.vec_col])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = mat @ mat_all.T  # (B, n)
+        n = sims.shape[1]
+        k = min(self.k, n - 1)
+        if k <= 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "nn_rank": pa.array([], type=pa.int64()),
+                }
+            )
+        # mask self: ids_all is sorted, so one searchsorted per batch
+        pos = np.searchsorted(ids_all, ids)
+        ok = (pos < n) & (ids_all[np.minimum(pos, n - 1)] == ids)
+        sims[np.flatnonzero(ok), pos[ok]] = -2.0
+        out_q, out_n, out_r = [], [], []
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            kth = np.partition(row, n - k)[n - k]  # kth-largest value
+            cand = np.flatnonzero(row >= kth)  # includes ALL ties at the cut
+            order = np.lexsort((ids_all[cand], -row[cand]))
+            take = cand[order[:k]]
+            out_q.extend([int(ids[i])] * len(take))
+            out_n.extend(ids_all[take].tolist())
+            out_r.extend(range(1, len(take) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "nn_rank": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+
+def knn_self_join(
+    ds: rd.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """Exact cosine k-NN self-join: every row's top-k neighbors
+    (excluding itself), ties by neighbor_id ascending — the primitive
+    under semantic dedup / near-dup clustering of an embedding column.
+
+    The corpus matrix is normalized once, sorted by id, and broadcast
+    via ``ray.put`` (one object-store copy per node, zero-copy reads in
+    every task); each ``map_batches`` task then GEMMs its batch against
+    it and emits complete per-row top-k — one pass, no merge shuffle.
+    This is the exact path and is bounded by ``broadcast_rows`` (float64
+    n×d must fit a worker heap: 2 M × 64 dims ≈ 1 GB). Beyond it, exact
+    all-pairs kNN is inherently quadratic; the scale path is the IVF
+    machinery (``ann_ivf_topk``: sample-trained centroids, bucketed
+    scan) run per-partition with n_probe recall documented — same
+    dispatch discipline as WIDE_DOC_ROWS elsewhere."""
+    df = ds.select_columns([id_col, vec_col]).to_pandas()
+    if len(df) > broadcast_rows:
+        raise NotImplementedError(
+            f"exact knn_self_join is broadcast-bounded ({broadcast_rows} rows); "
+            "use ann_ivf_topk per partition for approximate kNN at scale"
+        )
+    ids = df[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    mat = _as_matrix(df[vec_col])[order]
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    ref = ray.put((ids[order], mat))
+    return ds.map_batches(
+        _KnnSelfJoin(ref, k, id_col, vec_col), batch_format="pyarrow"
+    )
+
+
 def kmeans_centroids(
     ds: rd.Dataset,
     n_centroids: int,

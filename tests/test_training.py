@@ -451,3 +451,40 @@ def test_bfs_depths_sources_outside_graph_id_range():
     # all sources foreign -> empty result, no crash
     empty = bfs_depths(edges, np.array([99, 1], dtype=np.int64))
     assert len(empty) == 0
+
+
+class TestKnnSelfJoin:
+    def test_matches_numpy_and_excludes_self(self, emb_ds):
+        out = training.knn_self_join(emb_ds, k=3).to_pandas()
+        assert len(out) == 200 * 3
+        assert (out["query_id"] != out["neighbor_id"]).all()
+        df = emb_ds.to_pandas().sort_values("vec_id")
+        mat = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ matn.T
+        np.fill_diagonal(sims, -np.inf)
+        for q in (0, 10, 50, 199):
+            expect = np.lexsort((np.arange(200), -sims[q]))[:3]
+            got = out[out["query_id"] == q].sort_values("nn_rank")["neighbor_id"].to_numpy()
+            assert got.tolist() == expect.tolist(), q
+        # the planted near-dup pair must be mutual rank-1 neighbors
+        r1 = out[(out["query_id"] == 10) & (out["nn_rank"] == 1)]["neighbor_id"].item()
+        r2 = out[(out["query_id"] == 50) & (out["nn_rank"] == 1)]["neighbor_id"].item()
+        assert (r1, r2) == (50, 10)
+
+    def test_cosine_ties_break_by_neighbor_id(self, ray_session):
+        # three identical vectors + one orthogonal: for query 7 the two
+        # clones tie at cosine 1.0 -> smaller id first
+        vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 0.0]]
+        df = pd.DataFrame(
+            {"vec_id": np.array([7, 3, 5, 9], dtype=np.int64), "embedding": [np.array(v, dtype=np.float32) for v in vecs]}
+        )
+        out = training.knn_self_join(rd.from_pandas(df), k=3).to_pandas()
+        got = out[out["query_id"] == 7].sort_values("nn_rank")["neighbor_id"].tolist()
+        assert got == [3, 9, 5]
+
+    def test_broadcast_bound_raises(self, emb_ds):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            training.knn_self_join(emb_ds, k=3, broadcast_rows=10)
