@@ -64,3 +64,58 @@ def hll_estimate(regs: np.ndarray) -> float:
     if zeros and est <= 2.5 * m:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public construction):
+# frequency estimation with one-sided error — est(k) >= true(k), over-
+# count bounded by e*N/CMS_W per row, min across CMS_D rows. Like HLL
+# above, the register state is pure integer arithmetic over the salted
+# splitmix64 avalanche, so a SQL oracle replays every register AND the
+# min-estimate bit-for-bit. Partials are associative (per-batch dense
+# (D, W) int64 adds, ~32 KB each) — only register tables ever shuffle,
+# never keys, which is what makes the sketch usable at 10^10 keys.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+# four distinct odd 64-bit mix constants (xxHash64 primes 1/3/5 + the
+# splitmix64 golden-gamma) — one independent avalanche chain per row
+CMS_SALTS = np.array(
+    [
+        0x9E3779B97F4A7C15,  # splitmix64 gamma
+        0x9E3779B185EBCA87,  # xxh64 prime 1
+        0x165667B19E3779F9,  # xxh64 prime 3
+        0x27D4EB2F165667C5,  # xxh64 prime 5
+    ],
+    dtype=np.uint64,
+)
+
+
+def cms_cols(keys: np.ndarray) -> np.ndarray:
+    """(CMS_D, n) register column per key per row: column i of row r is
+    avalanche(key * CMS_SALTS[r]) mod CMS_W. Vectorized, integer-exact."""
+    k = keys.astype(np.uint64)
+    return np.stack(
+        [(_avalanche(k * s) % np.uint64(CMS_W)).astype(np.int64) for s in CMS_SALTS]
+    )
+
+
+def cms_partial(keys: np.ndarray, weights: np.ndarray | None = None) -> np.ndarray:
+    """Fold a key batch into a dense (CMS_D, CMS_W) int64 register
+    partial; merge across batches is elementwise sum (associative)."""
+    cols = cms_cols(keys)
+    w = None if weights is None else weights.astype(np.int64)
+    regs = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in range(CMS_D):
+        regs[r] = np.bincount(cols[r], weights=w, minlength=CMS_W).astype(np.int64)
+    return regs
+
+
+def cms_estimate(regs: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-query estimates: min over rows of the key's register —
+    integer, deterministic, always >= the true count."""
+    cols = cms_cols(keys)
+    return np.min(
+        np.stack([regs[r, cols[r]] for r in range(CMS_D)]), axis=0
+    ).astype(np.int64)

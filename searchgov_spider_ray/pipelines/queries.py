@@ -1592,6 +1592,63 @@ def events_type_hll(sf_dir: str):
     return partials.groupby(["event_type", "bucket"]).aggregate(Max("rho", alias_name="rho"))
 
 
+def events_user_cms(sf_dir: str):
+    """Count-Min sketch frequency estimation over events.user_id: the
+    20 busiest users' exact counts next to their CMS estimates. The
+    sketch state (functions/sketch.cms_partial: 4×1024 int64 registers,
+    salted-avalanche column per row, min across rows) is integer-exact,
+    so the DuckDB oracle replays registers AND estimates bit-for-bit —
+    and the one-sided guarantee cms_est >= exact_cnt is pinned in
+    pytest. Per-batch dense 32 KB partials sum associatively (a sparse
+    (r,c,cnt) groupby here); only register tables shuffle, never keys.
+    The exact top-20 side is a post-aggregation table sized by distinct
+    users — at 10^9 users use events_heavy_hitters (Misra-Gries +
+    recount) instead; this entry is the sketch-accuracy companion."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import CMS_D, CMS_W, cms_estimate, cms_partial
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        regs = cms_partial(uid)
+        r, c = np.nonzero(regs)
+        return pa.table(
+            {
+                "r": pa.array(r.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+                "cnt": pa.array(regs[r, c]),
+            }
+        )
+
+    reg_rows = (
+        ds.map_batches(kernel, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    dense = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    dense[reg_rows["r"].to_numpy(np.int64), reg_rows["c"].to_numpy(np.int64)] = (
+        reg_rows["cnt"].to_numpy(np.int64)
+    )
+
+    exact = ds.groupby("user_id").count().to_pandas()
+    cnt_col = [c for c in exact.columns if c != "user_id"][0]
+    exact = exact.rename(columns={cnt_col: "exact_cnt"})
+    top = exact.sort_values(
+        ["exact_cnt", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    uids = top["user_id"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "user_id": uids,
+            "exact_cnt": top["exact_cnt"].to_numpy(np.int64),
+            "cms_est": cms_estimate(dense, uids),
+        }
+    )
+
+
 def events_value_ntile(sf_dir: str):
     """NTILE(4) per user ordered by (value, event_id) — the quantile-
     bucket window shape, integer-exact (DuckDB tile sizing: the first
@@ -2853,6 +2910,7 @@ QUERIES = {
     "doc_curation_pipeline": doc_curation_pipeline,
     "doc_pack_windows": doc_pack_windows,
     "events_user_hll": events_user_hll,
+    "events_user_cms": events_user_cms,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
@@ -3976,8 +4034,58 @@ def _hll_grouped_oracle_sql() -> str:
     """
 
 
+def _cms_oracle_sql() -> str:
+    """Replay events_user_cms end-to-end: four independent salted
+    avalanche chains (one stacked CTE per sketch row, so the chain's
+    lateral aliases stay scoped), register value = SUM of counts
+    hashing to the column, estimate = LEAST across the four rows —
+    all integer arithmetic, bit-exact vs the numpy kernel."""
+    from ..functions.sketch import CMS_SALTS, CMS_W
+
+    ctes = [
+        "ev AS (SELECT CAST(user_id AS BIGINT) AS uid, COUNT(*) AS cnt "
+        "FROM events GROUP BY 1)"
+    ]
+    prev = "ev"
+    carry_cols = ["uid", "cnt"]
+    for i, s in enumerate(CMS_SALTS):
+        sel = ", ".join(carry_cols)
+        ctes.append(
+            f"h{i} AS (SELECT {sel}, "
+            f"{_sql_mm64('uid', int(s))} AS s{i}, "
+            f"{_sql_avalanche_select(f's{i}', f'hv{i}')} FROM {prev})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT {sel}, "
+            f"CAST(CAST(hv{i} AS HUGEINT) % {CMS_W} AS BIGINT) AS c{i} FROM h{i})"
+        )
+        carry_cols.append(f"c{i}")
+        prev = f"g{i}"
+    cols = ", ".join(f"c{i}" for i in range(len(CMS_SALTS)))
+    reg_ctes = ", ".join(
+        f"reg{i} AS (SELECT c{i} AS c, CAST(SUM(cnt) AS BIGINT) AS s "
+        f"FROM cols GROUP BY c{i})"
+        for i in range(len(CMS_SALTS))
+    )
+    joins = " ".join(
+        f"JOIN reg{i} r{i} ON r{i}.c = t.c{i}" for i in range(len(CMS_SALTS))
+    )
+    least = ", ".join(f"r{i}.s" for i in range(len(CMS_SALTS)))
+    return f"""
+        WITH {', '.join(ctes)},
+        cols AS (SELECT uid, cnt, {cols} FROM {prev}),
+        {reg_ctes},
+        top AS (SELECT uid, cnt, {cols} FROM cols
+                ORDER BY cnt DESC, uid LIMIT 20)
+        SELECT t.uid AS user_id, CAST(t.cnt AS BIGINT) AS exact_cnt,
+               CAST(LEAST({least}) AS BIGINT) AS cms_est
+        FROM top t {joins}
+    """
+
+
 ORACLES["events_user_hll"] = _hll_oracle_sql()
 ORACLES["events_type_hll"] = _hll_grouped_oracle_sql()
+ORACLES["events_user_cms"] = _cms_oracle_sql()
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()

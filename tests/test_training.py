@@ -488,3 +488,36 @@ class TestKnnSelfJoin:
 
         with _pytest.raises(NotImplementedError):
             training.knn_self_join(emb_ds, k=3, broadcast_rows=10)
+
+
+class TestCMS:
+    def test_one_sided_and_exact_when_sparse(self):
+        from searchgov_spider_ray.functions.sketch import cms_estimate, cms_partial
+
+        rng = np.random.RandomState(3)
+        keys = rng.randint(0, 300, size=5000).astype(np.int64)
+        regs = cms_partial(keys)
+        probe = np.arange(300, dtype=np.int64)
+        est = cms_estimate(regs, probe)
+        exact = np.bincount(keys, minlength=300).astype(np.int64)
+        assert (est >= exact).all()  # one-sided overcount guarantee
+        # 300 keys in 4x1024 registers: collisions in ALL 4 rows are rare
+        assert (est == exact).mean() > 0.95
+
+    def test_partials_merge_associatively(self):
+        from searchgov_spider_ray.functions.sketch import cms_partial
+
+        rng = np.random.RandomState(4)
+        keys = rng.randint(0, 10**9, size=1000).astype(np.int64)
+        whole = cms_partial(keys)
+        split = cms_partial(keys[:300]) + cms_partial(keys[300:700]) + cms_partial(keys[700:])
+        assert (whole == split).all()
+
+    def test_weighted_counts(self):
+        from searchgov_spider_ray.functions.sketch import cms_estimate, cms_partial
+
+        keys = np.array([7, 7, 9], dtype=np.int64)
+        w = np.array([5, 2, 11], dtype=np.int64)
+        regs = cms_partial(keys, weights=w)
+        assert cms_estimate(regs, np.array([7], dtype=np.int64))[0] >= 7
+        assert regs.sum() == (5 + 2 + 11) * 4
