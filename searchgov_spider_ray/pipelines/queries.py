@@ -1780,6 +1780,65 @@ def embedding_near_dups(sf_dir: str):
     return df[["vec_a", "vec_b"]].astype("int64").sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+class _DigitCountStep:
+    """Actor-pool step for doc_step_pipeline: regex compiled once per
+    actor in __init__ (the stateful-setup contract — reference
+    pipelines hold open files/clients the same way, pipelines.py:37-44),
+    applied vectorized per batch."""
+
+    def __init__(self):
+        self._pat = "[0-9]"  # pyarrow.compute handles the compile cache
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(t["text"], pa.scalar("", type=pa.string())), self._pat
+        )
+        return t.append_column("n_digit", pc.cast(n, pa.int64()))
+
+
+def doc_step_pipeline(sf_dir: str):
+    """The user-extension surface end-to-end: an ITEM_PIPELINES-shaped
+    step registry (stages/steps.py — {step: priority}, lower first,
+    None disables; reference settings.py:105-108) composed over the
+    documents table. Steps run in (priority, name) order regardless of
+    registration order: quality gate (100) → digit-count actor pool
+    (150) → tokenize (200) → min-token drop + projection (300); a
+    None-priority step proves the disable convention. Every kernel is
+    vectorized Arrow, so the whole composition replays in SQL."""
+    from ..stages.steps import compose, steps_from_settings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], pa.scalar(200)))
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(t["text"], pa.scalar("", type=pa.string())),
+            r"[^ \t\n\r\f\v]+",
+        )
+        return t.append_column("ws_tokens", pc.cast(n, pa.int64()))
+
+    def min_tokens(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["ws_tokens"], pa.scalar(10)))
+        return t.select(["doc_id", "lang", "ws_tokens", "n_digit"])
+
+    def drop_everything(t: pa.Table) -> pa.Table:  # disabled below
+        return t.slice(0, 0)
+
+    # registration order is deliberately shuffled — priority governs
+    steps = steps_from_settings(
+        {
+            min_tokens: 300,
+            tokenize: 200,
+            drop_everything: None,  # Scrapy's disable convention
+            quality_gate: 100,
+            _DigitCountStep: 150,
+        }
+    )
+    return compose(ds, steps)
+
+
 def embedding_knn_join(sf_dir: str):
     """Exact cosine 3-NN self-join over the embeddings table — the
     semantic-dedup primitive (training.knn_self_join): every vector's
@@ -2919,6 +2978,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_near_dups": embedding_near_dups,
     "embedding_knn_join": embedding_knn_join,
+    "doc_step_pipeline": doc_step_pipeline,
     "sitemap_diff": sitemap_diff_q,
     "docparse_html": docparse_html_q,
     "crawl_order": crawl_order,
@@ -3459,6 +3519,19 @@ ORACLES = {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    # the step-registry composition replayed: quality gate -> digit
+    # count -> tokenize -> min-token drop (priority order, the disabled
+    # step absent — mirrors stages/steps.py compose over the same kernels)
+    "doc_step_pipeline": """
+        SELECT doc_id, lang, ws_tokens, n_digit FROM (
+            SELECT doc_id, lang,
+                   CAST(length(regexp_extract_all(COALESCE(text, ''),
+                        '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS ws_tokens,
+                   CAST(length(regexp_extract_all(COALESCE(text, ''), '[0-9]')) AS BIGINT) AS n_digit
+            FROM documents
+            WHERE n_chars >= 200
+        ) WHERE ws_tokens >= 10
     """,
     # exact 3-NN self-join: every vector's top-3 cosine neighbors, self
     # excluded, ties by neighbor_id ASC (mirrors training.knn_self_join)
