@@ -1839,6 +1839,139 @@ def doc_step_pipeline(sf_dir: str):
     return compose(ds, steps)
 
 
+def doc_inverted_index(sf_dir: str, min_df: int = 20):
+    """Inverted-index build: term → (df, sorted postings) over the
+    documents table — the search-index construction the reference
+    delegates to Elasticsearch (es_batch_upload bulk-loads docs and ES
+    builds this structure server-side; here the engine materializes it
+    as a flat Arrow table). Tokenization matches the repo-wide
+    _tokenize contract (lowercase, ASCII-whitespace split). Each doc
+    lives in exactly one batch, so the within-batch (term, doc_id)
+    distinct IS the global distinct — the term-keyed groupby is the
+    only exchange, over pre-deduped narrow rows. Stopword skew: the
+    same broadcast-DF upgrade path as doc_top_terms applies
+    (training.py top_distinctive_terms). Postings serialize as a
+    comma-joined string so the result stays flat (and value-hashable);
+    min_df prunes the long tail."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"]
+            .fillna("")
+            .str.lower()
+            .str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        ex = df[["doc_id"]].join(toks.rename("term")).explode("term")
+        ex = ex[ex["term"].notna() & (ex["term"] != "")]
+        ex = ex.drop_duplicates(["term", "doc_id"])
+        return ex[["term", "doc_id"]].astype({"doc_id": "int64"})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < min_df:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "df": np.array([len(ids)], dtype=np.int64),
+                "postings": [",".join(map(str, ids))],
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("term")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+def part_name_fuzzy_pairs(sf_dir: str):
+    """Fuzzy string self-join (entity-resolution shape): part-name
+    pairs at edit distance exactly 1 (distance-0 exact dups are A1/doc_dedup territory), found by prefix blocking. Typos are
+    planted deterministically (p_partkey % 50 == 0 → a copy at
+    partkey + 1000000 with the last character dropped, edit distance
+    exactly 1 from the original), since the base names have no planted near-matches.
+    Blocking = first 4 chars + length band ±1: candidate pairs only
+    form inside a block (groupby(prefix4) → per-group pair scan), so
+    the quadratic term is bounded by the largest block, not the table
+    — the standard ER blocking argument; the SQL oracle applies the
+    IDENTICAL blocking so semantics match by construction."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["p_partkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        pick = np.flatnonzero(keys % 50 == 0)
+        sub = t.take(pa.array(pick))
+        names = pa.array(sub["p_name"].to_pandas().str[:-1], type=pa.string())
+        return pa.table(
+            {
+                "p_partkey": pc.add(pc.cast(sub["p_partkey"], pa.int64()), pa.scalar(1000000, type=pa.int64())),
+                "p_name": names,
+            }
+        )
+
+    base = parts.map_batches(
+        lambda t: pa.table(
+            {"p_partkey": pc.cast(t["p_partkey"], pa.int64()), "p_name": t["p_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    all_parts = base.union(parts.map_batches(plant, batch_format="pyarrow"))
+
+    def block_key(t: pa.Table) -> pa.Table:
+        return t.append_column("blk", pc.utf8_slice_codeunits(t["p_name"], 0, 4))
+
+    def _lev(a: str, b: str) -> int:
+        # classic DP, early-exit on length gap (pairs here are banded ±1)
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["p_partkey"].to_numpy(np.int64)
+        names = g["p_name"].to_numpy()
+        lens = np.char.str_len(names.astype(str))
+        order = np.argsort(keys, kind="mergesort")
+        out_a, out_b, out_d = [], [], []
+        for ii in range(len(order)):
+            i = order[ii]
+            for jj in range(ii + 1, len(order)):
+                j = order[jj]
+                if abs(int(lens[i]) - int(lens[j])) > 1:
+                    continue
+                d = _lev(names[i], names[j])
+                if d == 1:
+                    out_a.append(int(keys[i]))
+                    out_b.append(int(keys[j]))
+                    out_d.append(d)
+        return pd.DataFrame(
+            {
+                "part_a": pd.Series(out_a, dtype="int64"),
+                "part_b": pd.Series(out_b, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    return (
+        all_parts.map_batches(block_key, batch_format="pyarrow")
+        .groupby("blk")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 def embedding_knn_join(sf_dir: str):
     """Exact cosine 3-NN self-join over the embeddings table — the
     semantic-dedup primitive (training.knn_self_join): every vector's
@@ -2979,6 +3112,8 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "embedding_knn_join": embedding_knn_join,
     "doc_step_pipeline": doc_step_pipeline,
+    "doc_inverted_index": doc_inverted_index,
+    "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "sitemap_diff": sitemap_diff_q,
     "docparse_html": docparse_html_q,
     "crawl_order": crawl_order,
@@ -3532,6 +3667,37 @@ ORACLES = {
             FROM documents
             WHERE n_chars >= 200
         ) WHERE ws_tokens >= 10
+    """,
+    # inverted index: same _tokenize contract (lowercase, ASCII-ws
+    # split, drop empties); postings = comma-joined sorted doc_ids
+    "doc_inverted_index": """
+        WITH toks AS (
+            SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\v]+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        )
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM toks GROUP BY term HAVING COUNT(*) >= 20
+    """,
+    # fuzzy self-join with the IDENTICAL prefix-4 + length-band blocking
+    # the engine applies (part_name_fuzzy_pairs); typos planted the same
+    # way (p_partkey % 50 = 0 -> +1000000, last char dropped)
+    "part_name_fuzzy_pairs": """
+        WITH all_parts AS (
+            SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS n FROM part
+            UNION ALL
+            SELECT CAST(p_partkey AS BIGINT) + 1000000,
+                   substr(p_name, 1, length(p_name) - 1)
+            FROM part WHERE p_partkey % 50 = 0
+        ),
+        b AS (SELECT k, n, substr(n, 1, 4) AS blk, length(n) AS ln FROM all_parts)
+        SELECT a.k AS part_a, c.k AS part_b,
+               CAST(levenshtein(a.n, c.n) AS BIGINT) AS dist
+        FROM b a JOIN b c ON a.blk = c.blk AND a.k < c.k AND abs(a.ln - c.ln) <= 1
+        WHERE levenshtein(a.n, c.n) = 1
     """,
     # exact 3-NN self-join: every vector's top-3 cosine neighbors, self
     # excluded, ties by neighbor_id ASC (mirrors training.knn_self_join)
