@@ -1839,6 +1839,25 @@ def doc_step_pipeline(sf_dir: str):
     return compose(ds, steps)
 
 
+_MIX_QUOTAS = {"src0": 20, "src1": 10, "src2": 40}  # src2 capped at |group|
+_MIX_DEFAULT_QUOTA = 5
+
+
+def doc_quota_sample(sf_dir: str):
+    """Exact quota sampling per source (training.quota_sample) — the
+    mixture-weights sampler: exactly min(quota, group size) docs per
+    source, smallest-avalanche-hash-first, deterministic under any
+    partitioning. Distinct from doc_sample_stratified (rate thresholds,
+    exact in expectation); quotas here are exact counts."""
+    from .training import quota_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return quota_sample(
+        ds, _MIX_QUOTAS, group_col="source", key_col="doc_id",
+        default_quota=_MIX_DEFAULT_QUOTA,
+    )
+
+
 def doc_inverted_index(sf_dir: str, min_df: int = 20):
     """Inverted-index build: term → (df, sorted postings) over the
     documents table — the search-index construction the reference
@@ -3114,6 +3133,7 @@ QUERIES = {
     "doc_step_pipeline": doc_step_pipeline,
     "doc_inverted_index": doc_inverted_index,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
+    "doc_quota_sample": doc_quota_sample,
     "sitemap_diff": sitemap_diff_q,
     "docparse_html": docparse_html_q,
     "crawl_order": crawl_order,
@@ -4328,7 +4348,28 @@ ORACLES["events_user_cms"] = _cms_oracle_sql()
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()
+def _quota_sample_oracle_sql() -> str:
+    """Replay quota_sample: avalanche(doc_id * QUOTA_SALT) order,
+    ROW_NUMBER per source vs the same quota CASE."""
+    from .training import _QUOTA_SALT
+
+    cases = " ".join(f"WHEN source = '{s}' THEN {q}" for s, q in _MIX_QUOTAS.items())
+    return f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+            FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                       {_sql_mm64('doc_id', int(_QUOTA_SALT))} AS h0,
+                       {_sql_avalanche_select('h0', 'hv')}
+                FROM documents
+            )
+        ) WHERE rn <= CASE {cases} ELSE {_MIX_DEFAULT_QUOTA} END
+    """
+
+
 ORACLES["doc_sample_stratified"] = _sample_stratified_oracle_sql()
+ORACLES["doc_quota_sample"] = _quota_sample_oracle_sql()
 ORACLES["doc_curation_pipeline"] = _curation_oracle_sql()
 ORACLES["doc_length_percentiles"] = """
     WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),

@@ -798,6 +798,51 @@ def sample_stratified(
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
+_QUOTA_SALT = np.uint64(0xFF51AFD7ED558CCD)  # MurmurHash3 fmix64 constant
+
+
+def quota_sample(
+    ds: rd.Dataset,
+    quotas: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_quota: int = 0,
+) -> rd.Dataset:
+    """Exact deterministic quota sampling — the data-mixing primitive:
+    keep EXACTLY min(quota, |group|) rows per group, chosen as the
+    smallest ``avalanche(key * SALT)`` hashes (ties by key). Unlike
+    sample_stratified's rate thresholds (exact only in expectation),
+    quotas are hit exactly — mixture weights for a training run.
+    Distributed top-k-by-hash: each batch forwards at most
+    groups-in-batch × max(quota) rows (vectorized sort + grouped head),
+    the group-keyed groupby finishes the selection; no full-group
+    materialization anywhere, and the result is invariant to
+    partitioning/resume because the hash order is. SQL-replayable
+    (avalanche + ROW_NUMBER; pipelines/queries.py)."""
+    from ..functions.simdedup import _avalanche
+
+    qmax = max([*quotas.values(), default_quota, 0])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].to_numpy(np.int64)
+        df = df.assign(_h=_avalanche(keys.astype(np.uint64) * _QUOTA_SALT))
+        df = df.sort_values([group_col, "_h", key_col], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(qmax)[
+            [key_col, group_col, "_h"]
+        ]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        q = int(quotas.get(g[group_col].iloc[0], default_quota))
+        g = g.sort_values(["_h", key_col], kind="mergesort").head(q)
+        return g[[key_col, group_col]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def top_distinctive_terms(
     ds: rd.Dataset,
     id_col: str = "doc_id",

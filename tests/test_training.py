@@ -521,3 +521,35 @@ class TestCMS:
         regs = cms_partial(keys, weights=w)
         assert cms_estimate(regs, np.array([7], dtype=np.int64))[0] >= 7
         assert regs.sum() == (5 + 2 + 11) * 4
+
+
+class TestQuotaSample:
+    def test_exact_quotas_and_cap(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(100, dtype=np.int64),
+                "source": ["a"] * 50 + ["b"] * 30 + ["c"] * 20,
+            }
+        )
+        out = training.quota_sample(
+            rd.from_pandas(df), {"a": 10, "b": 99}, default_quota=3
+        ).to_pandas()
+        got = out["source"].value_counts().to_dict()
+        assert got == {"b": 30, "a": 10, "c": 3}  # b capped at |group|
+
+    def test_invariant_under_partitioning(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(200, dtype=np.int64),
+                "source": (["x", "y"] * 100),
+            }
+        )
+        one = training.quota_sample(
+            rd.from_pandas(df), {"x": 7, "y": 5}
+        ).to_pandas()
+        many = training.quota_sample(
+            rd.from_pandas(df).repartition(13), {"x": 7, "y": 5}
+        ).to_pandas()
+        key = lambda d: sorted(map(tuple, d[["doc_id", "source"]].to_numpy()))
+        assert key(one) == key(many)
+        assert len(one) == 12
