@@ -264,3 +264,33 @@ def test_graph_bfs_wide_parity(ray_session, sf_dir, oracle_con):
     theirs = oracle_con.execute(e.oracle_sql()["graph_bfs_depths"]).fetchdf()
     assert _value_hash(wide) == _value_hash(narrow)
     assert _value_hash(wide) == _value_hash(theirs)
+
+
+def test_fuzzy_pairs_every_planted_typo_found(ray_session, sf_dir):
+    """Each planted typo (p_partkey % 50 == 0 -> +1000000, last char
+    dropped) shares its original's first-4 prefix and sits at edit
+    distance exactly 1 -> the blocked join must surface EVERY planted
+    (k, k+1000000) pair, not just some."""
+    import duckdb
+
+    from searchgov_spider_ray.pipelines.queries import part_name_fuzzy_pairs
+
+    out = _to_df(part_name_fuzzy_pairs(sf_dir))
+    pairs = set(zip(out["part_a"], out["part_b"]))
+    planted = duckdb.sql(
+        f"SELECT p_partkey FROM read_parquet('{sf_dir}/part.parquet') "
+        "WHERE p_partkey % 50 = 0"
+    ).fetchdf()["p_partkey"]
+    for k in planted:
+        assert (int(k), int(k) + 1000000) in pairs, k
+
+
+def test_inverted_index_postings_sorted_and_df_consistent(ray_session, sf_dir):
+    from searchgov_spider_ray.pipelines.queries import doc_inverted_index
+
+    out = _to_df(doc_inverted_index(sf_dir))
+    assert len(out) > 0
+    for _, row in out.head(50).iterrows():
+        ids = [int(x) for x in row["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == len(set(ids)) == row["df"] >= 20
