@@ -119,3 +119,47 @@ def cms_estimate(regs: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return np.min(
         np.stack([regs[r, cols[r]] for r in range(CMS_D)]), axis=0
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970, public construction): set membership with
+# one-sided error — a present key ALWAYS hits, an absent key hits with
+# probability ~(1-e^{-kn/m})^k. The training-data use case is scale
+# decontamination / seen-set probing: build once over the reference
+# set (only distinct-bit rows shuffle, never keys), broadcast the 4 KB
+# dense bitset with ray.put, and probe billions of rows map_batches-
+# side with zero further exchanges. Same salted-avalanche chains as
+# the Count-Min sketch above, so the SQL oracle replays every bit
+# position and every membership verdict bit-for-bit.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 15  # 32768 bits = 4 KB dense; ~1.2% FP at 2k keys, k=4
+BLOOM_K = len(CMS_SALTS)
+
+
+def bloom_bits(keys: np.ndarray) -> np.ndarray:
+    """(BLOOM_K, n) bit positions: row r of key k is
+    avalanche(k * CMS_SALTS[r]) mod BLOOM_M. Vectorized, integer-exact."""
+    k = keys.astype(np.uint64)
+    return np.stack(
+        [(_avalanche(k * s) % np.uint64(BLOOM_M)).astype(np.int64) for s in CMS_SALTS]
+    )
+
+
+def bloom_partial(keys: np.ndarray) -> np.ndarray:
+    """Fold a key batch into its sorted unique set-bit indices; merge
+    across batches/blocks/nodes is set union (associative)."""
+    return np.unique(bloom_bits(keys))
+
+
+def bloom_query(bits_sorted: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Membership probe against the sorted set-bit array: True iff all
+    BLOOM_K positions of the key are set. One-sided: never a false
+    negative."""
+    pos = bloom_bits(keys)
+    if len(bits_sorted) == 0:
+        return np.zeros(pos.shape[1], dtype=bool)
+    idx = np.searchsorted(bits_sorted, pos)
+    idx_c = np.minimum(idx, len(bits_sorted) - 1)
+    hit = (idx < len(bits_sorted)) & (bits_sorted[idx_c] == pos)
+    return hit.all(axis=0)

@@ -1649,6 +1649,188 @@ def events_user_cms(sf_dir: str):
     )
 
 
+def customers_in_events_bloom(sf_dir: str):
+    """Bloom-filter membership probe: build a 4 KB Bloom filter over
+    the distinct events.user_id set (functions/sketch.bloom_partial —
+    per-batch sorted unique set-bit rows, distinct-merged by a tiny
+    groupby; only bit indices ever shuffle, never keys), broadcast the
+    dense bitset once with ray.put, then probe every customer key
+    map_batches-side with zero further exchanges. The exact-membership
+    column comes from a hash-partitioned left join against the distinct
+    user set (relational.hash_join — no driver-side key set), so the
+    one-sided guarantee actual=1 ⇒ bloom_hit=1 is verifiable row by
+    row, and the oracle replays every bit position in SQL. This is the
+    scale shape for decontamination probes: the reference's seen-set
+    checks (search_gov_crawler dedup semantics) done at 10^10 probes
+    against a reference set that never leaves its partitions."""
+    from ..functions.sketch import bloom_partial, bloom_query
+    from .relational import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def bits_kernel(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"bit": pa.array(bloom_partial(uid))})
+
+    bit_rows = (
+        ev.map_batches(bits_kernel, batch_format="pyarrow")
+        .groupby("bit")
+        .count()
+        .to_pandas()
+    )
+    bits_sorted = np.sort(bit_rows["bit"].to_numpy(np.int64))
+    bits_ref = ray.put(bits_sorted)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["c_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit = bloom_query(ray.get(bits_ref), keys)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys),
+                "bloom_hit": pa.array(hit.astype(np.int64)),
+            }
+        )
+
+    probed = cust.map_batches(probe, batch_format="pyarrow")
+
+    def uid_distinct(t: pa.Table) -> pa.Table:
+        uid = np.unique(
+            pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(uid),
+                "present": pa.array(np.ones(len(uid), dtype=np.int64)),
+            }
+        )
+
+    uids = (
+        ev.map_batches(uid_distinct, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .max("present")
+    ).map_batches(
+        lambda df: df.rename(columns={"max(present)": "present"}),
+        batch_format="pandas",
+    )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["actual"] = df["present"].fillna(0).astype(np.int64)
+        return df[["c_custkey", "bloom_hit", "actual"]]
+
+    return hash_join(probed, uids, on="c_custkey", how="left", post=mark)
+
+
+def events_user_active_time(sf_dir: str):
+    """Interval-union coverage: each event opens a 5-minute activity
+    window [ts, ts+300s]; per user, the total length of the UNION of
+    those windows (overlaps merged — the classic gaps-and-islands
+    shape). One coarse hash exchange by user, then one vectorized
+    kernel per partition: sort by (user, start), running cummax of
+    window ends, segment break where a start clears the cummax, and a
+    segment reduce — never a per-user Python loop. Integer microsecond
+    arithmetic end to end, so the SQL oracle (windowed MAX ... ROWS
+    UNBOUNDED PRECEDING islands) matches bit-for-bit."""
+    WINDOW_US = 300_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def coverage(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        s = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "active_us": pd.Series([], dtype="int64"),
+                }
+            )
+        # equal-width windows + sorted starts ⇒ window ends are sorted
+        # within each user run, so the running cummax of ends IS e —
+        # no grouped-accumulate machinery needed
+        e = s + WINDOW_US
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_seg = new_user.copy()
+        new_seg[1:] |= s[1:] > e[:-1]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.append(seg_starts[1:], n)
+        seg_len = e[seg_ends - 1] - s[seg_starts]
+        seg_uid = uid[seg_starts]
+        first_of_user = np.empty(len(seg_starts), dtype=bool)
+        first_of_user[0] = True
+        first_of_user[1:] = seg_uid[1:] != seg_uid[:-1]
+        ug = np.cumsum(first_of_user) - 1
+        total = np.zeros(ug[-1] + 1, dtype=np.int64)
+        np.add.at(total, ug, seg_len)
+        return pd.DataFrame(
+            {"user_id": seg_uid[np.flatnonzero(first_of_user)], "active_us": total}
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(coverage, batch_format="pandas")
+    )
+
+
+def orders_events_key_overlap(sf_dir: str):
+    """Distinct-key set algebra between two fact tables: how many
+    distinct order custkeys are also event user ids (INTERSECT), and
+    the two set differences (EXCEPT both ways) — one row of counts.
+    Shape: per-batch unique keys with a side bitmask, ONE hash-shuffle
+    groupby-max to merge masks, then associative count partials. No
+    driver-side key set, no sort — the same plan covers two 10^10-key
+    tables."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def tag(col: str, m1: int, m2: int):
+        def kernel(t: pa.Table) -> pa.Table:
+            k = np.unique(pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "key": pa.array(k),
+                    "m1": pa.array(np.full(len(k), m1, dtype=np.int64)),
+                    "m2": pa.array(np.full(len(k), m2, dtype=np.int64)),
+                }
+            )
+
+        return kernel
+
+    tagged = orders.map_batches(tag("o_custkey", 1, 0), batch_format="pyarrow").union(
+        events.map_batches(tag("user_id", 0, 1), batch_format="pyarrow")
+    )
+    merged = tagged.groupby("key").max(["m1", "m2"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["max(m1)"].to_numpy(np.int64)
+        b = df["max(m2)"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_orders_only": [int(((a == 1) & (b == 0)).sum())],
+                "n_events_only": [int(((a == 0) & (b == 1)).sum())],
+                "n_both": [int(((a == 1) & (b == 1)).sum())],
+            }
+        )
+
+    out = (
+        merged.map_batches(counts, batch_format="pandas")
+        .aggregate(
+            Sum("n_orders_only", alias_name="n_orders_only"),
+            Sum("n_events_only", alias_name="n_events_only"),
+            Sum("n_both", alias_name="n_both"),
+        )
+    )
+    return pd.DataFrame([out])
+
+
 def events_value_ntile(sf_dir: str):
     """NTILE(4) per user ordered by (value, event_id) — the quantile-
     bucket window shape, integer-exact (DuckDB tile sizing: the first
@@ -3122,6 +3304,9 @@ QUERIES = {
     "doc_pack_windows": doc_pack_windows,
     "events_user_hll": events_user_hll,
     "events_user_cms": events_user_cms,
+    "customers_in_events_bloom": customers_in_events_bloom,
+    "events_user_active_time": events_user_active_time,
+    "orders_events_key_overlap": orders_events_key_overlap,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
@@ -4342,6 +4527,93 @@ def _cms_oracle_sql() -> str:
     """
 
 
+def _bloom_oracle_sql() -> str:
+    """Replay customers_in_events_bloom bit-for-bit: the BLOOM_K salted
+    avalanche chains (same stacked-CTE scoping trick as the CMS oracle)
+    run once over the union of distinct event user ids and customer
+    keys; set bits = the distinct positions contributed by the event
+    side; a customer's bloom_hit is 1 iff ALL of its positions are set.
+    The exact-membership column is a plain IN against the distinct user
+    set, so the one-sided guarantee (actual=1 ⇒ bloom_hit=1) is checked
+    row by row by the driver's value hash."""
+    from ..functions.sketch import BLOOM_M, CMS_SALTS
+
+    ctes = [
+        "uidt AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events)",
+        "ck AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer)",
+        "allk AS (SELECT k FROM uidt UNION SELECT DISTINCT k FROM ck)",
+    ]
+    prev = "allk"
+    carry = ["k"]
+    for i, s in enumerate(CMS_SALTS):
+        sel = ", ".join(carry)
+        ctes.append(
+            f"h{i} AS (SELECT {sel}, "
+            f"{_sql_mm64('k', int(s))} AS s{i}, "
+            f"{_sql_avalanche_select(f's{i}', f'hv{i}')} FROM {prev})"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT {sel}, "
+            f"CAST(CAST(hv{i} AS HUGEINT) % {BLOOM_M} AS BIGINT) AS b{i} FROM h{i})"
+        )
+        carry.append(f"b{i}")
+        prev = f"g{i}"
+    bcols = [f"b{i}" for i in range(len(CMS_SALTS))]
+    ctes.append(f"cols AS (SELECT {', '.join(carry)} FROM {prev})")
+    bit_union = " UNION ".join(
+        f"SELECT {b} AS b FROM cols JOIN uidt USING (k)" for b in bcols
+    )
+    ctes.append(f"bits AS ({bit_union})")
+    all_set = " AND ".join(f"c.{b} IN (SELECT b FROM bits)" for b in bcols)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT c.k AS c_custkey,
+               CAST(CASE WHEN {all_set} THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+               CAST(CASE WHEN c.k IN (SELECT k FROM uidt)
+                    THEN 1 ELSE 0 END AS BIGINT) AS actual
+        FROM ck c0 JOIN cols c USING (k)
+    """
+
+
+ORACLES["customers_in_events_bloom"] = _bloom_oracle_sql()
+ORACLES["events_user_active_time"] = """
+    WITH t AS (
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS s
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, s,
+               CASE WHEN LAG(s) OVER w IS NULL
+                         OR s > LAG(s) OVER w + 300000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY s)
+    ),
+    seg AS (
+        SELECT user_id, s,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM o
+    ),
+    isl AS (
+        SELECT user_id, seg_id,
+               MAX(s) + 300000000 - MIN(s) AS len
+        FROM seg GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_us
+    FROM isl GROUP BY 1
+"""
+ORACLES["orders_events_key_overlap"] = """
+    WITH o AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders),
+         e AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events)
+    SELECT
+        CAST((SELECT COUNT(*) FROM o
+              WHERE k NOT IN (SELECT k FROM e)) AS BIGINT) AS n_orders_only,
+        CAST((SELECT COUNT(*) FROM e
+              WHERE k NOT IN (SELECT k FROM o)) AS BIGINT) AS n_events_only,
+        CAST((SELECT COUNT(*) FROM o
+              WHERE k IN (SELECT k FROM e)) AS BIGINT) AS n_both
+"""
 ORACLES["events_user_hll"] = _hll_oracle_sql()
 ORACLES["events_type_hll"] = _hll_grouped_oracle_sql()
 ORACLES["events_user_cms"] = _cms_oracle_sql()
