@@ -1831,6 +1831,94 @@ def orders_events_key_overlap(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def embedding_cluster_assign(sf_dir: str):
+    """Semantic bucketing: assign every embedding to the nearest of 8
+    fixed centroids (the vectors with vec_id < 8) by cosine — the
+    data-mixing / semantic-dedup partition key. One broadcast (8×d
+    matrix via ray.put), one GEMM-argmax per batch, zero shuffles;
+    ties break to the lowest centroid id on both sides. Output keeps
+    only integer columns so the driver hash is float-free (same
+    discipline as the ANN oracles)."""
+    from .training import centroid_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return centroid_assign(ds, centroid_ids=list(range(8)))
+
+
+def events_cumulative_users(sf_dir: str):
+    """Cumulative distinct-user growth by day — the dataset-growth /
+    dashboard shape that naive SQL writes as a windowed COUNT(DISTINCT)
+    (quadratic). Scale form: per-batch (user, min-day) partials, ONE
+    hash-shuffle groupby-min to land each user's true first day, tiny
+    per-day counts, and a driver-side cumsum over the handful of day
+    rows. Two fact-table passes never materialize; only #users and
+    then #days rows ever leave the exchanges."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def first_day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").astype("int64") // DAY_US
+        return (
+            pd.DataFrame({"user_id": df["user_id"].astype(np.int64), "day": day})
+            .groupby("user_id", as_index=False)
+            .agg(day=("day", "min"))
+        )
+
+    first = (
+        ds.map_batches(first_day_partial, batch_format="pandas")
+        .groupby("user_id")
+        .min("day")
+    )
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.rename(columns={"min(day)": "day"})
+            .groupby("day", as_index=False)
+            .agg(new_users=("user_id", "size"))
+        )
+
+    days = _combine_partials(
+        first.map_batches(day_counts, batch_format="pandas"), ["day"], ["new_users"]
+    ).to_pandas()
+    days = days.sort_values("day").reset_index(drop=True)
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(days["day"] * 86400, unit="s").dt.strftime("%Y-%m-%d"),
+            "new_users": days["new_users"].astype(np.int64),
+            "cum_users": days["new_users"].cumsum().astype(np.int64),
+        }
+    )
+    return out
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue with LAG delta: per-batch (month,
+    cents-sum, count) partials, one tiny groupby-sum (#months rows),
+    then the window diff driver-side — the time-series-growth shape
+    with integer cents end to end. First month's delta is 0 (LAG
+    coalesced to itself), matching the SQL oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].dt.strftime("%Y-%m")
+        return (
+            pd.DataFrame({"month": month, "revenue_cents": _cents(df["o_totalprice"])})
+            .groupby("month", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("revenue_cents", "size"))
+        )
+
+    months = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["month"],
+        ["revenue_cents", "n_orders"],
+    ).to_pandas()
+    months = months.sort_values("month").reset_index(drop=True)
+    rev = months["revenue_cents"].to_numpy(np.int64)
+    months["delta_cents"] = rev - np.concatenate([rev[:1], rev[:-1]])
+    months["n_orders"] = months["n_orders"].astype(np.int64)
+    return months[["month", "revenue_cents", "n_orders", "delta_cents"]]
+
+
 def events_value_ntile(sf_dir: str):
     """NTILE(4) per user ordered by (value, event_id) — the quantile-
     bucket window shape, integer-exact (DuckDB tile sizing: the first
@@ -3307,6 +3395,9 @@ QUERIES = {
     "customers_in_events_bloom": customers_in_events_bloom,
     "events_user_active_time": events_user_active_time,
     "orders_events_key_overlap": orders_events_key_overlap,
+    "embedding_cluster_assign": embedding_cluster_assign,
+    "events_cumulative_users": events_cumulative_users,
+    "orders_monthly_growth": orders_monthly_growth,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
@@ -4602,6 +4693,47 @@ ORACLES["events_user_active_time"] = """
     )
     SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_us
     FROM isl GROUP BY 1
+"""
+ORACLES["embedding_cluster_assign"] = """
+    WITH c AS (
+        SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.cid,
+               list_cosine_similarity(e.embedding, c.cv) AS sim
+        FROM embeddings e, c
+    )
+    SELECT vec_id, cid AS cluster_id
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cid
+    ) = 1
+"""
+ORACLES["events_cumulative_users"] = """
+    WITH f AS (
+        SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+        FROM events GROUP BY 1
+    ),
+    d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d
+"""
+ORACLES["orders_monthly_growth"] = """
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents, n_orders,
+           CAST(revenue_cents - coalesce(
+               LAG(revenue_cents) OVER (ORDER BY month), revenue_cents)
+               AS BIGINT) AS delta_cents
+    FROM m
 """
 ORACLES["orders_events_key_overlap"] = """
     WITH o AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders),

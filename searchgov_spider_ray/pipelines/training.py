@@ -1305,6 +1305,48 @@ def ann_ivf_topk(
     return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
 
 
+def centroid_assign(
+    ds: rd.Dataset,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Fixed-centroid nearest-cosine cluster assignment — the semantic
+    bucketing / data-mixing partition-key primitive: gather the K
+    centroid rows (K tiny, vectorized is_in filter), broadcast the
+    L2-normalized centroid matrix ONCE with ray.put, then label every
+    vector map_batches-side with one (B, K) GEMM argmax. No shuffle,
+    no driver-side corpus pass — the cost at 100 TB is exactly one
+    streaming read. ``cluster_id`` is the winning centroid's own id;
+    cosine ties break to the LOWEST centroid id (argmax first-max over
+    id-sorted centroid rows), which the SQL oracle mirrors with
+    ``ORDER BY sim DESC, cid``."""
+    cdf = _vec_is_in(ds.select_columns([id_col, vec_col]), id_col, centroid_ids).to_pandas()
+    cdf = cdf.sort_values(id_col)
+    cid = cdf[id_col].to_numpy(np.int64)
+    cmat = _as_matrix(cdf[vec_col])
+    cmat = cmat / np.clip(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12, None)
+    cref = ray.put((cid, cmat))
+
+    class _Label:
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._c is None:
+                self._c = ray.get(cref)
+            cid, cmat = self._c
+            ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            mat = _as_matrix(batch[vec_col])
+            mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            best = np.argmax(mat @ cmat.T, axis=1)
+            return pa.table(
+                {id_col: pa.array(ids), "cluster_id": pa.array(cid[best])}
+            )
+
+    return ds.map_batches(_Label(), batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.95,

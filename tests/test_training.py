@@ -523,6 +523,47 @@ class TestCMS:
         assert regs.sum() == (5 + 2 + 11) * 4
 
 
+class TestCentroidAssign:
+    def test_centroids_self_assign_and_cover(self, ray_session):
+        import ray.data as rd
+        from searchgov_spider_ray.pipelines import training
+
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(60, 8)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(vecs)}
+        )
+        ds = rd.from_pandas(df)
+        out = training.centroid_assign(ds, centroid_ids=[0, 1, 2, 3]).to_pandas()
+        assert len(out) == 60
+        got = dict(zip(out["vec_id"], out["cluster_id"]))
+        for c in (0, 1, 2, 3):
+            assert got[c] == c  # a centroid is its own nearest centroid
+        assert set(out["cluster_id"]).issubset({0, 1, 2, 3})
+
+    def test_tie_breaks_to_lowest_centroid_id(self, ray_session):
+        import ray.data as rd
+        from searchgov_spider_ray.pipelines import training
+
+        # two identical centroids: every vector ties, lowest id must win
+        base = np.array([1.0, 0.0, 0.0])
+        df = pd.DataFrame(
+            {
+                "vec_id": np.array([5, 9, 42], dtype=np.int64),
+                "embedding": [base, base, np.array([1.0, 0.1, 0.0])],
+            }
+        )
+        cent = pd.DataFrame(
+            {
+                "vec_id": np.array([5, 9], dtype=np.int64),
+                "embedding": [base, base],
+            }
+        )
+        ds = rd.from_pandas(pd.concat([df], ignore_index=True))
+        out = training.centroid_assign(ds, centroid_ids=[5, 9]).to_pandas()
+        assert (out["cluster_id"] == 5).all()
+
+
 class TestBloom:
     def test_no_false_negatives_and_low_fp(self):
         from searchgov_spider_ray.functions.sketch import bloom_partial, bloom_query
