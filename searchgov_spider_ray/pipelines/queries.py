@@ -1919,6 +1919,48 @@ def orders_monthly_growth(sf_dir: str):
     return months[["month", "revenue_cents", "n_orders", "delta_cents"]]
 
 
+def doc_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle of the corpus (training.
+    global_shuffle_rank): contiguous 0..n-1 epoch order in avalanche-
+    hash order — stable across runs, partitioning, and resumes, with
+    no RNG state to checkpoint. Two-pass prefix sum over contiguous
+    hash ranges; the oracle replays the hash chain and ROW_NUMBER."""
+    from .training import global_shuffle_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return global_shuffle_rank(ds, id_col="doc_id")
+
+
+def events_latest_per_user(sf_dir: str):
+    """Latest-wins compaction (the CDC-upsert / snapshot shape): keep
+    each user's most recent event by (ts, event_id). Associative
+    reduce: a per-batch keep-latest partial shrinks the exchange to at
+    most one row per (batch, user) BEFORE the shuffle, then one
+    groupby exchange finishes with the same vectorized kernel — never
+    per-user Python, and the fact table never moves whole."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return g.groupby("user_id", as_index=False).tail(1)
+
+    out = (
+        ds.map_batches(keep_latest, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(keep_latest, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda df: df.rename(
+            columns={
+                "event_id": "last_event_id",
+                "event_type": "last_event_type",
+                "ts": "last_ts",
+            }
+        )[["user_id", "last_event_id", "last_event_type", "last_ts"]],
+        batch_format="pandas",
+    )
+
+
 def events_value_ntile(sf_dir: str):
     """NTILE(4) per user ordered by (value, event_id) — the quantile-
     bucket window shape, integer-exact (DuckDB tile sizing: the first
@@ -3398,6 +3440,8 @@ QUERIES = {
     "embedding_cluster_assign": embedding_cluster_assign,
     "events_cumulative_users": events_cumulative_users,
     "orders_monthly_growth": orders_monthly_growth,
+    "doc_global_shuffle": doc_global_shuffle,
+    "events_latest_per_user": events_latest_per_user,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
@@ -4693,6 +4737,31 @@ ORACLES["events_user_active_time"] = """
     )
     SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_us
     FROM isl GROUP BY 1
+"""
+def _shuffle_oracle_sql() -> str:
+    """Replay global_shuffle_rank's hash chain (avalanche of doc_id *
+    SHUFFLE_SALT, exact 64-bit wrap) and its (h, id) total order."""
+    from .training import SHUFFLE_SALT
+
+    return f"""
+        WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+        h AS (SELECT doc_id, {_sql_mm64('doc_id', int(SHUFFLE_SALT))} AS s0,
+              {_sql_avalanche_select('s0', 'hv')} FROM d)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+                   AS shuffle_rank
+        FROM h
+    """
+
+
+ORACLES["doc_global_shuffle"] = _shuffle_oracle_sql()
+ORACLES["events_latest_per_user"] = """
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type, ts AS last_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
 """
 ORACLES["embedding_cluster_assign"] = """
     WITH c AS (

@@ -1305,6 +1305,68 @@ def ann_ivf_topk(
     return partial.groupby("query_id").map_groups(_merge_topk_factory(k), batch_format="pandas")
 
 
+SHUFFLE_SALT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden gamma (public)
+
+
+def global_shuffle_rank(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    part_bits: int = 12,
+) -> rd.Dataset:
+    """Deterministic global shuffle — the training-data ordering
+    primitive: every row gets a contiguous 0..n-1 ``shuffle_rank`` in
+    avalanche-hash order, so the "shuffled" epoch order is stable
+    across runs, partitioning, and resumes (no RNG, no seed state).
+
+    Scale shape: the total order is (h, id) where h = avalanche(id *
+    SHUFFLE_SALT), and the partition key p = top ``part_bits`` bits of
+    h — a CONTIGUOUS hash range, so ranks are partition offset + local
+    sort index. Pass 1 streams per-partition row counts (only the
+    2^part_bits-row partial table reaches the driver for an O(P)
+    exclusive cumsum); pass 2 is one groupby(p) exchange and a
+    vectorized lexsort per partition. No global sort operator, no
+    driver materialization; the SQL oracle replays the identical hash
+    chain and ROW_NUMBER order."""
+    from ..functions.simdedup import _avalanche
+
+    shift = np.uint64(64 - part_bits)
+
+    def hash_kernel(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        h = _avalanche(ids.astype(np.uint64) * SHUFFLE_SALT)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "h": pa.array(h),
+                "p": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(hash_kernel, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        p = t["p"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(p, return_counts=True)
+        return pa.table({"p": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    parts = hashed.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    totals = parts.groupby("p", sort=True)["n"].sum()
+    offs = totals.cumsum() - totals  # exclusive prefix per hash range
+    off_ref = ray.put((totals.index.to_numpy(np.int64), offs.to_numpy(np.int64)))
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = ray.get(off_ref)
+        h = g["h"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, h))
+        base = vals[np.searchsorted(keys, int(g["p"].iloc[0]))]
+        rank = np.empty(len(g), dtype=np.int64)
+        rank[order] = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({id_col: ids, "shuffle_rank": rank})
+
+    return hashed.groupby("p").map_groups(rank_kernel, batch_format="pandas")
+
+
 def centroid_assign(
     ds: rd.Dataset,
     centroid_ids: list[int],

@@ -523,6 +523,32 @@ class TestCMS:
         assert regs.sum() == (5 + 2 + 11) * 4
 
 
+class TestGlobalShuffle:
+    def test_rank_is_permutation_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+        from searchgov_spider_ray.pipelines import training
+
+        ids = np.arange(500, dtype=np.int64) * 7 + 3  # sparse, non-contiguous
+        df = pd.DataFrame({"doc_id": ids})
+        one = (
+            training.global_shuffle_rank(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        many = (
+            training.global_shuffle_rank(rd.from_pandas(df).repartition(13))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sorted(one["shuffle_rank"]) == list(range(500))  # contiguous 0..n-1
+        pd.testing.assert_frame_equal(one, many)  # block layout can't change order
+        # the order is actually shuffled, not id order
+        by_rank = one.sort_values("shuffle_rank")["doc_id"].to_numpy()
+        assert not np.array_equal(by_rank, np.sort(by_rank))
+
+
 class TestCentroidAssign:
     def test_centroids_self_assign_and_cover(self, ray_session):
         import ray.data as rd
