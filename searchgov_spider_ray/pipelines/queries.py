@@ -1961,6 +1961,77 @@ def events_latest_per_user(sf_dir: str):
     )
 
 
+def doc_shuffled_pack(sf_dir: str):
+    """Epoch construction end-to-end: pack the corpus into 512-token
+    context windows in DETERMINISTIC SHUFFLE order (training.
+    pack_windows_shuffled — global_shuffle_rank composed with the
+    prefix-sum packer through one hash join). The oracle replays the
+    identical hash chain and re-derives every span with a windowed
+    cumsum ordered by the hash."""
+    from .training import pack_windows_shuffled
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_windows_shuffled(ds, capacity=512)
+
+
+def events_value_p99_sketch(sf_dir: str):
+    """Mergeable log2-bucket quantile sketch — the approximate-
+    percentile shape that stays shuffle-light at any scale: each value
+    lands in bucket bit_length(cents) (≤64 buckets, integer-exact via
+    frexp), per-batch (type, bucket, count) partials merge by addition,
+    and only the tiny counts table ever reaches the driver, where the
+    p50/p95/p99 walk picks the first bucket whose cumulative count
+    clears the integer rank. Estimates are the bucket's inclusive
+    upper bound (2^bucket - 1 cents) — a deterministic, SQL-replayable
+    overestimate within 2× of exact, contrast with the exact (but
+    shuffle-heavy) doc_length_percentiles path."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"])
+        bucket = np.zeros(len(cents), dtype=np.int64)
+        pos = cents > 0
+        # frexp exponent of an int < 2^53 is exactly its bit length
+        bucket[pos] = np.frexp(cents[pos].astype(np.float64))[1]
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "bucket": bucket})
+            .groupby(["event_type", "bucket"], as_index=False)
+            .agg(n=("bucket", "size"))
+        )
+
+    counts = _combine_partials(
+        ds.map_batches(bucket_partial, batch_format="pandas"),
+        ["event_type", "bucket"],
+        ["n"],
+    ).to_pandas()
+
+    rows = []
+    for etype, g in counts.groupby("event_type", sort=True):
+        g = g.sort_values("bucket")
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        total = int(cum[-1])
+        buckets = g["bucket"].to_numpy(np.int64)
+
+        def est(pct: int) -> int:
+            rank = (total * pct + 99) // 100
+            b = int(buckets[np.searchsorted(cum, rank)])
+            return (1 << b) - 1
+
+        rows.append(
+            {
+                "event_type": etype,
+                "n": total,
+                "p50_cents": est(50),
+                "p95_cents": est(95),
+                "p99_cents": est(99),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n", "p50_cents", "p95_cents", "p99_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def events_value_ntile(sf_dir: str):
     """NTILE(4) per user ordered by (value, event_id) — the quantile-
     bucket window shape, integer-exact (DuckDB tile sizing: the first
@@ -3442,6 +3513,8 @@ QUERIES = {
     "orders_monthly_growth": orders_monthly_growth,
     "doc_global_shuffle": doc_global_shuffle,
     "events_latest_per_user": events_latest_per_user,
+    "events_value_p99_sketch": events_value_p99_sketch,
+    "doc_shuffled_pack": doc_shuffled_pack,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
@@ -4755,6 +4828,75 @@ def _shuffle_oracle_sql() -> str:
 
 
 ORACLES["doc_global_shuffle"] = _shuffle_oracle_sql()
+
+
+def _shuffled_pack_oracle_sql() -> str:
+    """doc_pack_windows' span oracle with the cumsum ordered by the
+    global_shuffle_rank hash chain instead of doc_id."""
+    from .training import SHUFFLE_SALT
+
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(regexp_extract_all(COALESCE(text, ''),
+                        '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS t
+            FROM documents
+        ),
+        h AS (SELECT doc_id, t, {_sql_mm64('doc_id', int(SHUFFLE_SALT))} AS s0,
+              {_sql_avalanche_select('s0', 'hv')} FROM d),
+        cum AS (
+            SELECT doc_id, t,
+                   SUM(t) OVER (ORDER BY hv, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - t AS s
+            FROM h WHERE t > 0
+        ),
+        spans AS (
+            SELECT doc_id, t, s,
+                   (s // 512) + unnest(range(CAST(0 AS BIGINT),
+                        CAST(((s + t - 1) // 512) - (s // 512) + 1 AS BIGINT)))
+                       AS window_id
+            FROM cum
+        )
+        SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+               CAST(GREATEST(window_id*512 - s, 0) AS BIGINT) AS tok_start,
+               CAST(LEAST((window_id+1)*512, s+t)
+                    - GREATEST(window_id*512, s) AS BIGINT) AS n_toks
+        FROM spans
+    """
+
+
+ORACLES["doc_shuffled_pack"] = _shuffled_pack_oracle_sql()
+ORACLES["events_value_p99_sketch"] = """
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CASE WHEN cents <= 0 THEN 0
+                    ELSE length(bin(cents)) END AS bucket
+        FROM v
+    ),
+    c AS (SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, bucket,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS total
+        FROM c
+    )
+    SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
+           CAST((1::BIGINT << MIN(CASE WHEN cum >= (total * 50 + 99) // 100
+                                       THEN bucket END)) - 1 AS BIGINT) AS p50_cents,
+           CAST((1::BIGINT << MIN(CASE WHEN cum >= (total * 95 + 99) // 100
+                                       THEN bucket END)) - 1 AS BIGINT) AS p95_cents,
+           CAST((1::BIGINT << MIN(CASE WHEN cum >= (total * 99 + 99) // 100
+                                       THEN bucket END)) - 1 AS BIGINT) AS p99_cents
+    FROM cum
+    GROUP BY event_type
+"""
 ORACLES["events_latest_per_user"] = """
     SELECT user_id, event_id AS last_event_id,
            event_type AS last_event_type, ts AS last_ts

@@ -1612,6 +1612,18 @@ def pack_windows(
     # pass and the groupby consume it, and 24 B/row beats re-tokenizing
     # the text column a second time at any scale
     toks = ds.map_batches(tok_kernel, batch_format="pandas").materialize()
+    return _pack_spans(toks, id_col, id_col, capacity)
+
+
+def _pack_spans(
+    toks: rd.Dataset, id_col: str, order_col: str, capacity: int
+) -> rd.Dataset:
+    """Shared two-pass prefix-sum span packer over a narrow
+    (``id_col``, ``t``, ``order_col``, ``p``) table, where ``p`` is a
+    CONTIGUOUS range of ``order_col`` (p = order // part_size): pass 1
+    streams per-partition token totals to an O(P) driver cumsum, pass 2
+    is one groupby(p) exchange + a vectorized kernel per partition (see
+    pack_windows for the full algorithm notes)."""
 
     def part_partials(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch.groupby("p", sort=False)["t"].sum()
@@ -1627,7 +1639,7 @@ def pack_windows(
 
     def span_kernel(group: pd.DataFrame) -> pd.DataFrame:
         keys, vals = ray.get(off_ref)
-        g = group.sort_values(id_col, kind="mergesort")
+        g = group.sort_values(order_col, kind="mergesort")
         t = g["t"].to_numpy(dtype=np.int64)
         base = vals[np.searchsorted(keys, int(g["p"].iloc[0]))]
         s = base + np.cumsum(t) - t  # global token start per doc
@@ -1650,6 +1662,44 @@ def pack_windows(
         )
 
     return toks.groupby("p").map_groups(span_kernel, batch_format="pandas")
+
+
+def pack_windows_shuffled(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 512,
+    part_size: int = 4096,
+) -> rd.Dataset:
+    """Sequence packing in DETERMINISTIC SHUFFLE order — the composed
+    epoch-construction pipeline LLM pre-training actually runs: docs
+    are concatenated in ``global_shuffle_rank`` order (avalanche-hash,
+    RNG-free, partition/resume-invariant) instead of id order, then cut
+    into fixed ``capacity``-token windows. Three exchanges total: the
+    shuffle-rank prefix sum, one hash join landing each doc's rank next
+    to its token count, and the pack prefix sum over contiguous RANK
+    ranges — text is tokenized exactly once and never moves."""
+    from ..functions.textstats import _WS_TOKEN as ws
+    from .relational import hash_join
+
+    def tok_kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "t": batch[text_col].fillna("").str.count(ws).astype("int64"),
+            }
+        )
+
+    toks = ds.map_batches(tok_kernel, batch_format="pandas")
+    ranks = global_shuffle_rank(ds.select_columns([id_col]), id_col)
+
+    def add_p(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["p"] = df["shuffle_rank"].astype("int64") // part_size
+        return df
+
+    narrow = hash_join(toks, ranks, on=id_col, post=add_p).materialize()
+    return _pack_spans(narrow, id_col, "shuffle_rank", capacity)
 
 
 # --------------------------------------------------------------------------

@@ -523,6 +523,32 @@ class TestCMS:
         assert regs.sum() == (5 + 2 + 11) * 4
 
 
+class TestShuffledPack:
+    def test_spans_cover_docs_and_fill_windows(self, ray_session):
+        import ray.data as rd
+        from searchgov_spider_ray.pipelines import training
+
+        rng = np.random.RandomState(7)
+        texts = [" ".join(["w"] * rng.randint(0, 40)) for _ in range(200)]
+        df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+        out = training.pack_windows_shuffled(
+            rd.from_pandas(df), capacity=64, part_size=32
+        ).to_pandas()
+        want = {i: len(t.split()) for i, t in enumerate(texts) if t.split()}
+        got = out.groupby("doc_id")["n_toks"].sum().to_dict()
+        assert got == want  # every token packed exactly once
+        per_win = out.groupby("window_id")["n_toks"].sum()
+        assert (per_win.drop(per_win.index.max()) == 64).all()  # full windows
+        # shuffle order differs from id order: doc 0 is not first
+        first_doc = out.sort_values(["window_id", "tok_start"]).iloc[0]["doc_id"]
+        by_rank = training.global_shuffle_rank(
+            rd.from_pandas(df[["doc_id"]])
+        ).to_pandas()
+        rank_of = dict(zip(by_rank["doc_id"], by_rank["shuffle_rank"]))
+        nonzero = [i for i in want]
+        assert first_doc == min(nonzero, key=lambda i: rank_of[i])
+
+
 class TestGlobalShuffle:
     def test_rank_is_permutation_and_partition_invariant(self, ray_session):
         import ray.data as rd
