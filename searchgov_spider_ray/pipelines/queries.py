@@ -1961,6 +1961,118 @@ def events_latest_per_user(sf_dir: str):
     )
 
 
+def embedding_covariance(sf_dir: str):
+    """Distributed covariance of the embedding matrix — the building
+    block under PCA / whitening / mahalanobis outlier scoring, done the
+    only way that scales: each batch contributes ONE exact int64 d×d
+    Gram partial (Xᵀ X over millis-quantized values — a single integer
+    GEMM per batch) plus per-dimension sums; partials merge by
+    addition (d²+d rows total, never the corpus), and the driver emits
+    the upper triangle of the scaled covariance numerator
+    n·Σxy − Σx·Σy as exact integers. The SQL oracle replays the
+    quantization and both moment sums bit-for-bit (everything stays
+    integer; DuckDB's HUGEINT sums are cast down after the exact
+    multiply). Quantization to 1e-3 keeps every moment far inside
+    int64 through sf1 (|x| ≤ 0.53 ⇒ Σxy ≤ 2.8e5·n)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from .training import _as_matrix
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        mat = _as_matrix(t["embedding"])
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        g = q.T @ q  # exact int64 GEMM
+        iu, ju = np.triu_indices(d)
+        sx = q.sum(axis=0)
+        # pair rows (i, j, sxy, 0, 0) + moment rows (i, -1, 0, sx, n)
+        return pa.table(
+            {
+                "i": pa.array(np.concatenate([iu, np.arange(d)])),
+                "j": pa.array(np.concatenate([ju, np.full(d, -1, dtype=np.int64)])),
+                "sxy": pa.array(np.concatenate([g[iu, ju], np.zeros(d, dtype=np.int64)])),
+                "sx": pa.array(np.concatenate([np.zeros(len(iu), dtype=np.int64), sx])),
+                "nn": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(iu), dtype=np.int64),
+                         np.full(d, len(q), dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    agg = _combine_partials(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["i", "j"],
+        ["sxy", "sx", "nn"],
+    ).to_pandas()
+    mom = agg[agg["j"] == -1].set_index("i")
+    n = int(mom["nn"].iloc[0])
+    sx = mom["sx"]
+    pairs = agg[agg["j"] >= 0].copy()
+    pairs["cov_num"] = (
+        n * pairs["sxy"].to_numpy(np.int64)
+        - sx.loc[pairs["i"]].to_numpy(np.int64) * sx.loc[pairs["j"]].to_numpy(np.int64)
+    )
+    out = pairs[["i", "j", "cov_num"]].sort_values(["i", "j"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def lineitem_qty_price_corr(sf_dir: str):
+    """Distributed Pearson correlation (quantity vs extended price per
+    return flag) from ASSOCIATIVE integer moment partials: each batch
+    contributes exact int64 (n, Σq, Σp, Σq², Σp², Σqp) rows, a tiny
+    groupby-sum merges them, and the final float expression
+    (n·Σqp − Σq·Σp) / (√(n·Σq²−Σq²̂)·√(n·Σp²−Σp²̂)) runs once per
+    group on the driver — the moments-sketch shape that never shuffles
+    the fact table. The SQL oracle evaluates the IDENTICAL expression
+    tree over the same exact integers (doubles only at the end, sqrt is
+    IEEE correctly-rounded), so the float matches bit-for-bit. Price is
+    quantized to whole DOLLARS, not cents: Σp² in cents exceeds int64
+    at sf0.1 (measured 2.2e19); dollar moments stay exact through sf1,
+    and beyond that the partials would move to HUGEINT / compensated
+    doubles."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["l_quantity"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        p = np.floor(df["l_extendedprice"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        t = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": np.ones(len(q), dtype=np.int64),
+                "sq": q,
+                "sp": p,
+                "sqq": q * q,
+                "spp": p * p,
+                "sqp": q * p,
+            }
+        )
+        return t.groupby("l_returnflag", as_index=False).sum()
+
+    agg = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag"],
+        ["n", "sq", "sp", "sqq", "spp", "sqp"],
+    ).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    sq = agg["sq"].to_numpy(np.float64)
+    sp = agg["sp"].to_numpy(np.float64)
+    sqq = agg["sqq"].to_numpy(np.float64)
+    spp = agg["spp"].to_numpy(np.float64)
+    sqp = agg["sqp"].to_numpy(np.float64)
+    corr = (n * sqp - sq * sp) / (np.sqrt(n * sqq - sq * sq) * np.sqrt(n * spp - sp * sp))
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "n": agg["n"].astype(np.int64),
+            "corr_qty_price": corr,
+        }
+    ).sort_values("l_returnflag")
+    return out.reset_index(drop=True)
+
+
 def doc_shuffled_pack(sf_dir: str):
     """Epoch construction end-to-end: pack the corpus into 512-token
     context windows in DETERMINISTIC SHUFFLE order (training.
@@ -3515,6 +3627,8 @@ QUERIES = {
     "events_latest_per_user": events_latest_per_user,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
+    "lineitem_qty_price_corr": lineitem_qty_price_corr,
+    "embedding_covariance": embedding_covariance,
     "events_range_join": events_range_join,
     "events_funnel": events_funnel,
     "doc_lang_id": doc_lang_id,
@@ -4867,6 +4981,46 @@ def _shuffled_pack_oracle_sql() -> str:
 
 
 ORACLES["doc_shuffled_pack"] = _shuffled_pack_oracle_sql()
+ORACLES["embedding_covariance"] = """
+    WITH x AS (
+        SELECT CAST(vec_id AS BIGINT) AS vid, r.range AS i,
+               CAST(floor(embedding[r.range] * 1000 + 0.5) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) r
+    ),
+    s AS (SELECT i, SUM(x) AS sx, COUNT(*) AS n FROM x GROUP BY i),
+    p AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+        FROM x a JOIN x b ON a.vid = b.vid AND b.i >= a.i
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+           CAST(sa.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+    FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+"""
+ORACLES["lineitem_qty_price_corr"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(SUM(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS sp,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                        * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sqq,
+               CAST(SUM(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+                        * CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS spp,
+               CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                        * CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS sqp
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+               AS corr_qty_price
+    FROM m
+"""
 ORACLES["events_value_p99_sketch"] = """
     WITH v AS (
         SELECT event_type,

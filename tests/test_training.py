@@ -523,6 +523,28 @@ class TestCMS:
         assert regs.sum() == (5 + 2 + 11) * 4
 
 
+class TestCovariancePCA:
+    def test_distributed_cov_is_exact_and_supports_pca(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        from searchgov_spider_ray.pipelines.queries import embedding_covariance
+        from searchgov_spider_ray.pipelines.training import _as_matrix
+
+        out = embedding_covariance(sf_dir)
+        mat = _as_matrix(pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"])
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        n, d = q.shape
+        want = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+        tri = np.zeros((d, d), dtype=np.int64)
+        tri[out["i"].to_numpy(), out["j"].to_numpy()] = out["cov_num"].to_numpy()
+        full = tri + tri.T - np.diag(np.diag(tri))
+        assert np.array_equal(full, want)  # distributed == single-machine, exact
+        # PCA on the distributed covariance matches local full-batch PCA
+        _, v1 = np.linalg.eigh(full.astype(np.float64))
+        _, v2 = np.linalg.eigh(np.cov(mat.T, bias=True))
+        assert abs(float(v1[:, -1] @ v2[:, -1])) > 0.99
+
+
 class TestShuffledPack:
     def test_spans_cover_docs_and_fill_windows(self, ray_session):
         import ray.data as rd
