@@ -2866,11 +2866,13 @@ PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images
 PHASH_MAX_HAMMING = 3
 
 
-def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
-    """Image near-duplicate detection over the crawl corpus: decode →
-    64-bit DCT pHash (stages/decode.DecodePHash actor pool) → banded
-    4×16-bit pigeonhole pair search (training.hash64_pairs — the same
-    machinery as SimHash text near-dup) → Hamming ≤ 3 verify.
+def _image_phash_graph(wide_rows: int | None = None):
+    """Shared pair-graph builder for the image near-dup family: corpus
+    ∪ planted clones → DecodePHash actor pool → banded pigeonhole pair
+    search → Hamming verify. Returns (pairs, lookup, keyed) — verified
+    int-id pairs (materialized, tiny), the (iid, image_id) name lookup,
+    and the materialized keyed table. Algorithm notes live on
+    image_phash_near_dup.
 
     Deterministic near-dups are planted distributed (1-in-
     ``PHASH_PLANT_MOD`` by image_id hash): decode, +2 brightness, PNG
@@ -2886,7 +2888,6 @@ def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
     oracle."""
     from ..functions.hashing import xxhash64_array
     from ..stages.decode import DecodePHash, fake_decode, fake_encode, phash64
-    from .relational import hash_join
     from .training import WIDE_DOC_ROWS, hash64_pairs
 
     cdir = _crawl_corpus_dir()
@@ -2958,6 +2959,20 @@ def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
         n_rows=n_imgs + n_imgs // 2,  # upper bound incl. planted rows
     ).materialize()  # tiny (near-dup pairs); joined twice below
     lookup = keyed.select_columns(["iid", "image_id"])
+    return pairs, lookup, keyed
+
+
+def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
+    """Image near-duplicate detection over the crawl corpus: decode →
+    64-bit DCT pHash (stages/decode.DecodePHash actor pool) → banded
+    4×16-bit pigeonhole pair search (training.hash64_pairs — the same
+    machinery as SimHash text near-dup) → Hamming ≤ 3 verify → names
+    joined back through relational.hash_join. See _image_phash_graph
+    for the planting/verify details; rows-only driver entry — pHash
+    has no SQL form, the planted-pair invariant is the oracle."""
+    from .relational import hash_join
+
+    pairs, lookup, _keyed = _image_phash_graph(wide_rows)
 
     def _named(side: str):
         def rn(t: pa.Table, _s=side) -> pa.Table:
@@ -2987,6 +3002,47 @@ def image_phash_near_dup(sf_dir: str, wide_rows: int | None = None):
         return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
     return finish(named.to_pandas())
+
+
+def image_dup_clusters(sf_dir: str, wide_rows: int | None = None):
+    """Image duplicate CLUSTERING over the crawl corpus: the pHash
+    near-dup pair graph (same machinery as image_phash_near_dup) fed
+    through connected components, every image labeled with its cluster
+    representative — the image-side analog of doc_dup_clusters, and the
+    step that turns pairwise detections into a keep-one-per-cluster
+    curation decision. Int-hash ids cluster; representative and member
+    names join back through the (iid, image_id) lookup. Rows-only
+    driver entry (pHash has no SQL form); pytest pins that every
+    planted "X~dup" clone lands in the same cluster as X and that
+    cluster sizes account for every image."""
+    from .relational import hash_join
+    from .training import WIDE_DOC_ROWS, connected_components
+
+    pairs, lookup, keyed = _image_phash_graph(wide_rows)
+    labels = connected_components(
+        pairs.select_columns(["doc_a", "doc_b"]),
+        keyed.select_columns(["iid"]),
+        id_col="iid",
+        wide_doc_rows=wide_rows if wide_rows is not None else WIDE_DOC_ROWS,
+    )
+
+    def rn_member(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["doc_id" if c == "iid" else "image_id" for c in t.schema.names]
+        )
+
+    def rn_rep(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["cluster_id" if c == "iid" else "cluster_image" for c in t.schema.names]
+        )
+
+    named = hash_join(
+        hash_join(labels, lookup.map_batches(rn_member, batch_format="pyarrow"), on="doc_id"),
+        lookup.map_batches(rn_rep, batch_format="pyarrow"),
+        on="cluster_id",
+    )
+    df = named.to_pandas()[["image_id", "cluster_image"]]
+    return df.sort_values(["cluster_image", "image_id"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -3647,6 +3703,7 @@ QUERIES = {
     "crawl_image_corpus": crawl_image_corpus,
     "multimodal_image_pipeline": multimodal_image_pipeline,
     "image_phash_near_dup": image_phash_near_dup,
+    "image_dup_clusters": image_dup_clusters,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,

@@ -150,6 +150,23 @@ def test_image_phash_near_dup_planted(ray_session, sf_dir):
     assert len(planted) == n_planted
 
 
+def test_image_dup_clusters_planted(ray_session, sf_dir):
+    """Every planted "X~dup" clone must land in X's cluster, clusters
+    must cover every image exactly once, and each representative must
+    be a member of its own cluster."""
+    from searchgov_spider_ray.pipelines import queries as q
+
+    df = q.image_dup_clusters(sf_dir)
+    cluster_of = dict(zip(df["image_id"], df["cluster_image"]))
+    dups = [i for i in cluster_of if i.endswith("~dup")]
+    assert dups
+    for d in dups:
+        assert cluster_of[d] == cluster_of[d[: -len("~dup")]]
+    assert len(df) == len(cluster_of)  # one label per image
+    for rep in set(df["cluster_image"]):
+        assert cluster_of[rep] == rep  # representative is its own label
+
+
 def test_ngram_jaccard_kernel_bounded_on_large_source():
     """A single large source must NOT trigger an O(k^2) all-pairs scan:
     5000 gram-disjoint docs plus two planted dup pairs complete in
