@@ -121,3 +121,80 @@ def write_sitemap_snapshot(ds: rd.Dataset, out_dir: str | Path) -> None:
     # tasks whose read-merge-write cycles race (last writer wins,
     # losing URLs that then resurface as spurious 'new' diffs)
     ds.groupby("sitemap_url").map_groups(dump, batch_format="pandas").materialize()
+
+
+def write_partitioned_resumable(
+    ds: rd.Dataset,
+    out_dir: str | Path,
+    key_col: str,
+    n_buckets: int = 256,
+) -> "pd.DataFrame":
+    """Resumable partitioned parquet sink — the 100-TB output contract:
+    rows land in ``n_buckets`` hash-of-key bucket directories
+    (``bucket=0007/part.parquet``), each written ATOMICALLY (temp file +
+    os.replace), so a killed run leaves only whole buckets behind and
+    the restart SKIPS them — completed buckets are detected up front
+    and their rows are dropped at the map stage (a vectorized bucket-id
+    is_in per batch), so a resume re-reads the input but re-writes and
+    re-shuffles only the missing key ranges. One groupby exchange
+    co-locates each bucket; one task owns each file (no write races).
+    Returns the receipt frame (bucket, rows, path) for the buckets
+    written by THIS call — the generalization of the frontier's
+    per-round checkpoint discipline (state/checkpoint.py) to arbitrary
+    query output."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions.simdedup import hash_part
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    done = np.array(
+        sorted(
+            int(p.name.split("=")[1])
+            for p in out.glob("bucket=*")
+            if (p / "part.parquet").exists()
+        ),
+        dtype=np.int64,
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = hash_part(keys, n_buckets).astype(np.int64)
+        t = t.append_column("__bucket", pa.array(b))
+        if len(done):
+            idx = np.searchsorted(done, b)
+            idx_c = np.minimum(idx, len(done) - 1)
+            skip = (idx < len(done)) & (done[idx_c] == b)
+            t = t.filter(pa.array(~skip))
+        return t
+
+    def dump(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["__bucket"].iloc[0])
+        bdir = out / f"bucket={b:04d}"
+        bdir.mkdir(parents=True, exist_ok=True)
+        final = bdir / "part.parquet"
+        tmp = bdir / f".part.parquet.tmp.{os.getpid()}"
+        body = group.drop(columns="__bucket").sort_values(key_col, kind="mergesort")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
+        os.replace(tmp, final)  # atomic: readers never see a torn file
+        return pd.DataFrame({"bucket": [b], "rows": [len(body)], "path": [str(final)]})
+
+    receipts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dump, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(receipts) == 0:
+        receipts = pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"),
+             "rows": pd.Series([], dtype="int64"),
+             "path": pd.Series([], dtype="str")}
+        )
+    return receipts.sort_values("bucket").reset_index(drop=True)

@@ -293,3 +293,35 @@ def test_endpoint_poster_flushes_tail_per_batch():
     p(pa.table({"url": [f"https://x.gov/{i}" for i in range(7)]}))
     got = [u for payload in posted for u in payload["urls"]]
     assert got == [f"https://x.gov/{i}" for i in range(7)]  # nothing buffered/lost
+
+
+class TestResumableSink:
+    def test_kill_and_resume_writes_only_missing_buckets(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from searchgov_spider_ray.sinks.writers import write_partitioned_resumable
+
+        df = pd.DataFrame(
+            {"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 3}
+        )
+        out = tmp_path / "sink"
+        r1 = write_partitioned_resumable(rd.from_pandas(df), out, "k", n_buckets=16)
+        assert sorted(r1["bucket"]) == sorted(set(r1["bucket"]))  # one file per bucket
+        assert int(r1["rows"].sum()) == 1000
+        # simulate a kill that lost three buckets
+        killed = [int(b) for b in r1["bucket"].iloc[:3]]
+        for b in killed:
+            (out / f"bucket={b:04d}" / "part.parquet").unlink()
+        r2 = write_partitioned_resumable(rd.from_pandas(df), out, "k", n_buckets=16)
+        assert sorted(r2["bucket"]) == sorted(killed)  # ONLY the missing buckets
+        # final content is exactly-once and complete
+        got = pd.concat(
+            [pq.read_table(p).to_pandas() for p in out.glob("bucket=*/part.parquet")]
+        ).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, df)
+        # a third run with nothing missing writes nothing
+        r3 = write_partitioned_resumable(rd.from_pandas(df), out, "k", n_buckets=16)
+        assert len(r3) == 0
