@@ -1961,6 +1961,59 @@ def events_latest_per_user(sf_dir: str):
     )
 
 
+def events_profile(sf_dir: str):
+    """Table profiling — the data-quality primitive every ingest runs
+    first: per column, row count, null count, and EXACT distinct count.
+    One streaming pass computes all null counters as associative
+    partials; then one column-pruned pass per column feeds per-batch
+    unique partials into a distinct-merge groupby whose exchange
+    carries only unique values (never rows). Timestamps count distinct
+    as integer microseconds; doubles ride the groupby key directly.
+    At 10^10 rows each distinct exchange is bounded by the column's
+    cardinality, and the narrow passes read one column each."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _read(sf_dir, "events", cols)
+
+    def null_partial(t: pa.Table) -> pa.Table:
+        row = {"n": [len(t)]}
+        for c in cols:
+            row[f"null_{c}"] = [pc.sum(pc.is_null(t[c]).cast(pa.int64())).as_py() or 0]
+        return pa.table(row)
+
+    nulls = (
+        ds.map_batches(null_partial, batch_format="pyarrow")
+        .sum(["n"] + [f"null_{c}" for c in cols])
+    )
+    n_rows = int(nulls["sum(n)"])
+
+    out_rows = []
+    for c in cols:
+        col_ds = _read(sf_dir, "events", [c])
+
+        def uniq(t: pa.Table, _c=c) -> pa.Table:
+            arr = t[_c]
+            if pa.types.is_timestamp(arr.type):
+                arr = pc.cast(arr, pa.int64())
+            v = arr.drop_null().unique()
+            return pa.table({"v": v})
+
+        n_distinct = (
+            col_ds.map_batches(uniq, batch_format="pyarrow").groupby("v").count().count()
+        )
+        out_rows.append(
+            {
+                "col_name": c,
+                "n": n_rows,
+                "n_null": int(nulls[f"sum(null_{c})"]),
+                "n_distinct": int(n_distinct),
+            }
+        )
+    out = pd.DataFrame(out_rows)
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -3681,6 +3734,7 @@ QUERIES = {
     "orders_monthly_growth": orders_monthly_growth,
     "doc_global_shuffle": doc_global_shuffle,
     "events_latest_per_user": events_latest_per_user,
+    "events_profile": events_profile,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -5054,6 +5108,16 @@ ORACLES["embedding_covariance"] = """
            CAST(sa.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
     FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
 """
+ORACLES["events_profile"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events
+    """
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+)
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
         SELECT l_returnflag,
