@@ -2014,6 +2014,202 @@ def events_profile(sf_dir: str):
     return out
 
 
+_WSAMPLE_SALT = np.uint64(0x27D4EB2F165667C5)  # xxhash prime5, distinct from PART_SALT
+
+
+def doc_weighted_sample(sf_dir: str):
+    """Weight-proportional Bernoulli sampling WITHOUT RNG — the
+    data-mixing primitive for upweighting long documents: each doc is
+    kept with probability ws_tokens/4096 (capped), decided by comparing
+    ``avalanche(doc_id * SALT)`` against ``ws_tokens << 52`` in pure
+    uint64 arithmetic. Embarrassingly parallel (no shuffle, no driver
+    state), partition/resume-invariant, and bit-exactly replayable in
+    SQL — the weighted analog of doc_sample_stratified."""
+    from ..functions.simdedup import _avalanche
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            df["text"]
+            .fillna("")
+            .str.count(r"[^ \t\n\r\f\v]+")
+            .clip(upper=4095)
+            .to_numpy(np.uint64)
+        )
+        h = _avalanche(df["doc_id"].to_numpy(np.int64).astype(np.uint64) * _WSAMPLE_SALT)
+        keep = h < (w << np.uint64(52))
+        out = df.loc[keep, ["doc_id"]].copy()
+        out["ws_tokens"] = w[keep].astype(np.int64)
+        return out
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+_BM25_TERMS = ("scan", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def doc_bm25_scores(sf_dir: str):
+    """BM25 relevance scoring for a fixed keyword query — the ranking
+    function the reference delegates to Elasticsearch after
+    es_batch_upload (the engine's doc_inverted_index builds the index;
+    this scores against it). Two narrow passes: (1) corpus stats
+    (N, avg doc length, per-term document frequency) as associative
+    per-batch partials, (2) per-batch vectorized tf extraction +
+    scoring with the 5 broadcast scalars. Term contributions are added
+    in a FIXED literal order and every float op is mirrored verbatim in
+    the SQL oracle. ``ln`` is the one transcendental in the repo's
+    query surface and numpy/DuckDB libm disagree by 1 ulp on some
+    inputs, so each per-term idf scalar is snapped to the dyadic
+    2^-20 grid (floor is exact IEEE) — downstream arithmetic is then
+    bit-exact on both sides. Tokenizer = the repo-wide lowercase
+    ASCII-whitespace contract."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok_low(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.lower()
+
+    def _tf(low: pd.Series, term: str) -> pd.Series:
+        import re as _re
+
+        pat = r"(?:^|[ \t\n\r\f\v])" + _re.escape(term) + r"(?=$|[ \t\n\r\f\v])"
+        return low.str.count(pat)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = _tok_low(df["text"])
+        dl = low.str.count(r"[^ \t\n\r\f\v]+")
+        row = {"n_docs": [len(df)], "sum_dl": [int(dl.sum())]}
+        for t in _BM25_TERMS:
+            row[f"df_{t}"] = [int((_tf(low, t) > 0).sum())]
+        return pd.DataFrame(row)
+
+    agg_cols = ["n_docs", "sum_dl"] + [f"df_{t}" for t in _BM25_TERMS]
+    stats = ds.map_batches(stats_partial, batch_format="pandas").sum(agg_cols)
+    n_docs = int(stats["sum(n_docs)"])
+    avgdl = float(stats["sum(sum_dl)"]) / n_docs
+    idf = {
+        t: float(
+            np.floor(
+                np.log((n_docs - int(stats[f"sum(df_{t})"]) + 0.5)
+                       / (int(stats[f"sum(df_{t})"]) + 0.5) + 1.0)
+                * 1048576.0
+                + 0.5
+            )
+            / 1048576.0
+        )
+        for t in _BM25_TERMS
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        low = _tok_low(df["text"])
+        dl = low.str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.float64)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        total = np.zeros(len(df))
+        any_hit = np.zeros(len(df), dtype=bool)
+        for t in _BM25_TERMS:  # fixed order: scan + merge + window
+            tf = _tf(low, t).to_numpy(np.float64)
+            total = total + np.where(tf > 0, idf[t] * (tf * (_BM25_K1 + 1.0)) / (tf + norm), 0.0)
+            any_hit |= tf > 0
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64)[any_hit], "bm25": total[any_hit]}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def events_user_paths(sf_dir: str):
+    """Sequential-pattern mining: each user's first 8 event types (by
+    ts, event_id) joined into a '>'-delimited path, then path → user
+    count — the funnel-discovery / behavioral-clustering primitive.
+    One coarse hash exchange by user; inside each partition the path
+    assembly is a vectorized pivot + columnwise string concat (8 fixed
+    steps, no per-user Python join), pre-aggregated to (path, partial
+    count) so the final exchange carries paths, not users."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def paths(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["ts"].notna()]
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype=object), "n_users": pd.Series([], dtype="int64")}
+            )
+        rn = g.groupby("user_id").cumcount()
+        g = g.loc[rn < 8].assign(rn=rn[rn < 8])
+        w = g.pivot(index="user_id", columns="rn", values="event_type")
+        path = w.iloc[:, 0].fillna("")
+        for c in range(1, w.shape[1]):
+            col = w.iloc[:, c]
+            path = path.where(col.isna(), path + ">" + col.fillna(""))
+        out = pd.DataFrame({"path": path.to_numpy()})
+        return out.groupby("path", as_index=False).size().rename(columns={"size": "n_users"})
+
+    res = (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(paths, batch_format="pandas")
+        .groupby("path")
+        .sum("n_users")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"path": df["path"], "n_users": df["sum(n_users)"].astype(np.int64)}
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def events_state_intervals(sf_dir: str):
+    """SCD2-style state intervals: collapse each user's consecutive
+    runs of the same event_type into (state, valid_from, valid_to,
+    n_events) rows — the slowly-changing-dimension / state-timeline
+    build every warehouse runs over change streams. One coarse hash
+    exchange by user, then a single vectorized run-detection kernel
+    per partition (sort, boundary mask, reduceat-style slicing) —
+    the sessionization kernel shape with a type-change boundary."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def intervals(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["ts"].notna()]
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "state": pd.Series([], dtype=object),
+                    "valid_from": pd.Series([], dtype="datetime64[us]"),
+                    "valid_to": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "state": et[starts],
+                "valid_from": ts[starts].astype("datetime64[us]"),
+                "valid_to": ts[ends - 1].astype("datetime64[us]"),
+                "n_events": (ends - starts).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(intervals, batch_format="pandas")
+    )
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -3735,6 +3931,10 @@ QUERIES = {
     "doc_global_shuffle": doc_global_shuffle,
     "events_latest_per_user": events_latest_per_user,
     "events_profile": events_profile,
+    "doc_weighted_sample": doc_weighted_sample,
+    "doc_bm25_scores": doc_bm25_scores,
+    "events_user_paths": events_user_paths,
+    "events_state_intervals": events_state_intervals,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -5118,6 +5318,101 @@ ORACLES["events_profile"] = " UNION ALL ".join(
     """
     for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
 )
+ORACLES["doc_weighted_sample"] = f"""
+    SELECT doc_id, CAST(ws_tokens AS BIGINT) AS ws_tokens FROM (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               least(length(regexp_extract_all(coalesce(text, ''),
+                   '[^ \\t\\n\\r\\f\\v]+')), 4095) AS ws_tokens,
+               {_sql_mm64('doc_id', int(_WSAMPLE_SALT))} AS h0,
+               {_sql_avalanche_select('h0', 'hv')}
+        FROM documents
+    )
+    WHERE CAST(hv AS HUGEINT) < CAST(ws_tokens AS HUGEINT) * {2 ** 52}
+"""
+
+
+def _bm25_oracle_sql() -> str:
+    """Replay doc_bm25_scores: every float op mirrored in the kernel's
+    literal order; non-dyadic double constants interpolated via
+    correctly-rounded string→DOUBLE casts so both sides hold the exact
+    same IEEE doubles."""
+    k1 = f"CAST('{_BM25_K1!r}' AS DOUBLE)"
+    k1p1 = f"CAST('{_BM25_K1 + 1.0!r}' AS DOUBLE)"
+    one_minus_b = f"CAST('{1.0 - _BM25_B!r}' AS DOUBLE)"
+    b = f"CAST('{_BM25_B!r}' AS DOUBLE)"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    terms = " + ".join(
+        f"""(CASE WHEN tf_{t} > 0 THEN
+            floor(ln((CAST(nd - df_{t} AS DOUBLE) + 0.5)
+                     / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0)
+                  * 1048576.0 + 0.5) / 1048576.0
+            * (CAST(tf_{t} AS DOUBLE) * {k1p1})
+            / (CAST(tf_{t} AS DOUBLE)
+               + {k1} * ({one_minus_b} + {b} * CAST(dl AS DOUBLE)
+                         / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        ELSE 0.0 END)"""
+        for t in _BM25_TERMS
+    )
+    any_hit = " OR ".join(f"tf_{t} > 0" for t in _BM25_TERMS)
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                       '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl, {tf_cols}
+            FROM d
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl,
+                   {df_cols}
+            FROM s
+        )
+        SELECT doc_id, {terms} AS bm25
+        FROM s, g
+        WHERE {any_hit}
+    """
+
+
+ORACLES["doc_bm25_scores"] = _bm25_oracle_sql()
+ORACLES["events_user_paths"] = """
+    WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM o WHERE rn <= 8 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY path
+"""
+ORACLES["events_state_intervals"] = """
+    WITH o AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE ts IS NOT NULL
+    ),
+    b AS (
+        SELECT user_id, event_type, ts, rn,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+        FROM o
+    )
+    SELECT user_id, event_type AS state, MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY user_id, event_type, run_id
+"""
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
         SELECT l_returnflag,
