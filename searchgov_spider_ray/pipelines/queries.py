@@ -2210,6 +2210,418 @@ def events_state_intervals(sf_dir: str):
     )
 
 
+def events_gap_fill(sf_dir: str):
+    """Time-series regularization: per event_type hourly counts with
+    ZERO-FILLED missing hours between that type's first and last hour
+    — the resample/gap-fill step before any windowed model sees the
+    series. Pre-aggregated (type, hour) partials shuffle once; the
+    per-type grid expansion is one vectorized arange + scatter kernel
+    per group (5 groups), never a per-hour Python loop."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR = 3_600_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["ts"].notna()]
+        hr = d["ts"].astype("datetime64[us]").astype("int64") // HOUR
+        out = (
+            pd.DataFrame({"event_type": d["event_type"], "hr": hr})
+            .groupby(["event_type", "hr"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hr"])
+        .sum("n")
+    )
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        hr = g["hr"].to_numpy(np.int64)
+        n = g["sum(n)"].to_numpy(np.int64)
+        grid = np.arange(hr.min(), hr.max() + 1, dtype=np.int64)
+        filled = np.zeros(len(grid), dtype=np.int64)
+        filled[hr - hr.min()] = n
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(g["event_type"].iloc[0], len(grid)),
+                "hour_ts": (grid * HOUR).astype("datetime64[us]"),
+                "n": filled,
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(expand, batch_format="pandas")
+
+
+_FEATURE_HASH_DIM = 64
+
+
+def doc_feature_hash(sf_dir: str):
+    """Hashing-trick vectorizer (feature hashing): token → bucket =
+    word_hash % 64, emitting the sparse (doc_id, bucket, n) count
+    matrix every linear model / sketch ingests. Tokens and hashes are
+    the repo-wide contract (lowercase ASCII-ws split, polynomial fold
+    + avalanche — simdedup._word_hashes), so the SQL oracle replays
+    the buckets bit-exactly. Each doc lives in one batch → the
+    within-batch groupby IS the global result; zero exchanges."""
+    from ..functions.simdedup import _word_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        ex = df[["doc_id"]].join(toks.rename("word")).explode("word")
+        ex = ex[ex["word"].notna() & (ex["word"] != "")]
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        wh = _word_hashes(ex["word"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "doc_id": ex["doc_id"].to_numpy(np.int64),
+                "bucket": (wh % np.uint64(_FEATURE_HASH_DIM)).astype(np.int64),
+            }
+        )
+        return (
+            out.groupby(["doc_id", "bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .astype({"n": "int64"})
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def doc_length_zscore(sf_dir: str):
+    """Group-wise normalization (ML feature prep): z-score each doc's
+    token count within its language. Two narrow passes: exact integer
+    (n, Σx, Σx²) partials per lang → tiny broadcast of 5 per-lang
+    (mean, var) doubles → per-row vectorized normalize. The variance
+    numerator stays exact int64 on both sides; every double op after
+    the cast is correctly-rounded IEEE, so the oracle matches
+    bit-exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["text"].fillna("").str.count(r"[^ \t\n\r\f\v]+").astype(np.int64)
+        g = pd.DataFrame({"lang": df["lang"], "x": x, "xx": x * x})
+        out = g.groupby("lang", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum")
+        )
+        return out.astype({"n": "int64", "sx": "int64", "sxx": "int64"})
+
+    stats = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .sum(["n", "sx", "sxx"])
+        .to_pandas()
+    )
+    mean_map: dict[str, float] = {}
+    var_map: dict[str, float] = {}
+    for _, r in stats.iterrows():
+        n, sx, sxx = int(r["sum(n)"]), int(r["sum(sx)"]), int(r["sum(sxx)"])
+        var_num = n * sxx - sx * sx  # exact python int
+        if var_num > 0:
+            mean_map[r["lang"]] = float(sx) / n
+            var_map[r["lang"]] = float(var_num) / float(n * n)
+
+    def zscore(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["text"].fillna("").str.count(r"[^ \t\n\r\f\v]+").astype(np.int64)
+        keep = df["lang"].isin(mean_map).to_numpy()
+        sub = df.loc[keep]
+        xv = x.to_numpy()[keep].astype(np.float64)
+        mean = sub["lang"].map(mean_map).to_numpy(np.float64)
+        var = sub["lang"].map(var_map).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "lang": sub["lang"].to_numpy(),
+                "ws_tokens": x.to_numpy()[keep],
+                "z": (xv - mean) / np.sqrt(var),
+            }
+        )
+
+    return ds.map_batches(zscore, batch_format="pandas")
+
+
+def lineitem_zorder_keys(sf_dir: str):
+    """Z-order (Morton) layout keys: interleave the low 16 bits of
+    (l_partkey, l_suppkey) into one locality-preserving sort key — the
+    multi-dimensional clustering trick under Delta/Iceberg OPTIMIZE
+    ZORDER that lets range scans on EITHER column prune blocks after a
+    single sort. Pure vectorized integer bit math per batch; writing
+    the table back sorted by zval is the layout step (sort exchange),
+    the key computation itself is narrow and shuffle-free."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64).astype(np.uint64)
+        sk = df["l_suppkey"].to_numpy(np.int64).astype(np.uint64)
+        z = np.zeros(len(df), dtype=np.uint64)
+        for i in range(16):
+            z |= ((pk >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+            z |= ((sk >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_linenumber": df["l_linenumber"].to_numpy(np.int64),
+                "zval": z.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def events_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts: for every consecutive
+    event pair within a user's (ts, event_id) timeline, count
+    (prev_type → next_type) — the behavioral transition matrix under
+    next-action models and session simulators. One coarse hash
+    exchange by user; inside each partition a single sort + shifted
+    comparison produces all pairs (users are contiguous, the boundary
+    mask drops cross-user pairs), pre-aggregated before the tiny
+    (5×5)-row final exchange."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["ts"].notna()]
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    "next_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+        return (
+            out.groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .astype({"n": "int64"})
+        )
+
+    res = (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prev_type": df["prev_type"],
+                "next_type": df["next_type"],
+                "n": df["sum(n)"].astype(np.int64),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def doc_char_entropy(sf_dir: str):
+    """Character-level Shannon entropy per doc — the gibberish /
+    boilerplate quality signal. Uses H = log2(n) − (Σ c·log2 c)/n with
+    every log2 snapped to the dyadic 2^-20 grid AS AN INTEGER, so the
+    weighted sum Σ c·L(c) is exact int64 (order-free) and the final
+    two divisions are correctly-rounded IEEE — bit-exact vs the SQL
+    replay despite the transcendental. Kernel is one global
+    lexsort/reduceat over the batch's UTF-32 view (the _word_hashes
+    trick) — no per-doc Python. Zero exchanges."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "entropy": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        u = df["text"].fillna("").to_numpy().astype(np.str_)
+        width = u.dtype.itemsize // 4
+        if width == 0:
+            return empty
+        cps = u.view(np.uint32).reshape(len(u), width)
+        flat = cps.ravel()
+        mask = flat != 0  # text carries no interior NULs (corpus contract)
+        if not mask.any():
+            return empty
+        d = np.repeat(np.arange(len(u), dtype=np.int64), width)[mask]
+        c = flat[mask]
+        order = np.lexsort((c, d))
+        d, c = d[order], c[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(d))).astype(np.int64)
+        dd = d[starts]
+        L = np.floor(np.log2(counts.astype(np.float64)) * 1048576.0 + 0.5).astype(np.int64)
+        doc_new = np.empty(len(dd), dtype=bool)
+        doc_new[0] = True
+        doc_new[1:] = dd[1:] != dd[:-1]
+        dstarts = np.flatnonzero(doc_new)
+        S = np.add.reduceat(counts * L, dstarts)
+        n = np.add.reduceat(counts, dstarts)
+        Ln = np.floor(np.log2(n.astype(np.float64)) * 1048576.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[dd[dstarts]],
+                "n_chars": n,
+                "entropy": Ln.astype(np.float64) / 1048576.0
+                - S.astype(np.float64) / (n.astype(np.float64) * 1048576.0),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-seen WEEK (Monday
+    truncation, matching date_trunc('week')), counted in every week
+    they were active — the warehouse staple behind retention
+    triangles. One coarse hash exchange by user; per partition a
+    single vectorized kernel derives each user's cohort (first row of
+    the sorted timeline) and distinct active weeks (lexsort unique),
+    pre-counts (cohort, week) pairs, and the final exchange carries
+    only the tiny cohort×week matrix."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def cohorts(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["ts"].notna()]
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series([], dtype="datetime64[us]"),
+                    "active_week": pd.Series([], dtype="datetime64[us]"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        month = (
+            part["ts"]
+            .astype("datetime64[us]")
+            .dt.to_period("W-SUN")  # week starting Monday = date_trunc('week')
+            .dt.start_time
+            .astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        uid = part["user_id"].to_numpy(np.int64)
+        order = np.lexsort((month, uid))
+        uid, month = uid[order], month[order]
+        new_pair = np.empty(len(uid), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (uid[1:] != uid[:-1]) | (month[1:] != month[:-1])
+        uid_p, month_p = uid[new_pair], month[new_pair]  # distinct (user, month)
+        new_user = np.empty(len(uid_p), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid_p[1:] != uid_p[:-1]
+        ustarts = np.flatnonzero(new_user)
+        grp = np.cumsum(new_user) - 1
+        cohort = month_p[ustarts][grp]  # first week per user (sorted)
+        out = pd.DataFrame(
+            {
+                "cohort_week": cohort.astype("datetime64[us]"),
+                "active_week": month_p.astype("datetime64[us]"),
+            }
+        )
+        return (
+            out.groupby(["cohort_week", "active_week"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+            .astype({"n_users": "int64"})
+        )
+
+    res = (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(cohorts, batch_format="pandas")
+        .groupby(["cohort_week", "active_week"])
+        .sum("n_users")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_week": df["cohort_week"],
+                "active_week": df["active_week"],
+                "n_users": df["sum(n_users)"].astype(np.int64),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def events_anomaly_mad(sf_dir: str):
+    """Robust anomaly detection over the hourly series: flag hours
+    whose count deviates from the per-type LOWER median by more than
+    3× the median absolute deviation — the monitoring primitive behind
+    the reference's threshold alarms (pipelines/monitors.py), done
+    robustly. Pure integer arithmetic end to end (lower medians via
+    partition index), so the oracle (percentile_disc) matches exactly.
+    Pre-aggregated hourly partials shuffle once; the per-type kernel
+    is two sorts over that type's ~thousands of hours."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR = 3_600_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["ts"].notna()]
+        hr = d["ts"].astype("datetime64[us]").astype("int64") // HOUR
+        out = (
+            pd.DataFrame({"event_type": d["event_type"], "hr": hr})
+            .groupby(["event_type", "hr"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hr"])
+        .sum("n")
+    )
+
+    def _lower_median(x: np.ndarray) -> int:
+        s = np.sort(x)
+        return int(s[(len(s) - 1) // 2])
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["sum(n)"].to_numpy(np.int64)
+        med = _lower_median(n)
+        dev = np.abs(n - med)
+        mad = _lower_median(dev)
+        keep = dev > 3 * mad
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[keep],
+                "hour_ts": (g["hr"].to_numpy(np.int64)[keep] * HOUR).astype(
+                    "datetime64[us]"
+                ),
+                "n": n[keep],
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(flag, batch_format="pandas")
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -3935,6 +4347,14 @@ QUERIES = {
     "doc_bm25_scores": doc_bm25_scores,
     "events_user_paths": events_user_paths,
     "events_state_intervals": events_state_intervals,
+    "events_gap_fill": events_gap_fill,
+    "doc_feature_hash": doc_feature_hash,
+    "doc_length_zscore": doc_length_zscore,
+    "lineitem_zorder_keys": lineitem_zorder_keys,
+    "events_transition_matrix": events_transition_matrix,
+    "doc_char_entropy": doc_char_entropy,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_anomaly_mad": events_anomaly_mad,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -5412,6 +5832,165 @@ ORACLES["events_state_intervals"] = """
     SELECT user_id, event_type AS state, MIN(ts) AS valid_from, MAX(ts) AS valid_to,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM b GROUP BY user_id, event_type, run_id
+"""
+ORACLES["events_gap_fill"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM c GROUP BY 1),
+    g AS (
+        SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+        FROM b
+    )
+    SELECT g.event_type, g.hr AS hour_ts, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.hr = g.hr
+"""
+
+
+def _feature_hash_oracle_sql() -> str:
+    """Replay doc_feature_hash: same tokenize → polynomial-fold word
+    hash → avalanche → mod-64 bucket chain as simdedup._word_hashes."""
+    from ..functions.simdedup import _COMB_MULT
+
+    M = int(_COMB_MULT)
+    return f"""
+        WITH doc AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(coalesce(text, '')) AS t
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'),
+                                      x -> x <> '')) AS word
+            FROM doc
+        ),
+        wh0 AS (
+            SELECT word,
+                   list_reduce(
+                       [CAST(0 AS UBIGINT)] ||
+                       list_transform(range(1, length(word) + 1),
+                                      i -> CAST(unicode(word[i]) AS UBIGINT)),
+                       (acc, cp) -> {_sql_mm64('acc', M, add='cp')}
+                   ) AS h0
+            FROM (SELECT DISTINCT word FROM toks)
+        ),
+        whash AS (SELECT word, {_sql_avalanche_select('h0', 'wh')} FROM wh0)
+        SELECT t.doc_id, CAST(w.wh % {_FEATURE_HASH_DIM} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks t JOIN whash w USING (word)
+        GROUP BY 1, 2
+    """
+
+
+ORACLES["doc_feature_hash"] = _feature_hash_oracle_sql()
+ORACLES["doc_length_zscore"] = """
+    WITH x AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(length(regexp_extract_all(coalesce(text, ''),
+                   '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS x
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM x GROUP BY lang
+    ),
+    p AS (
+        SELECT lang, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE) AS var
+        FROM s WHERE n * sxx - sx * sx > 0
+    )
+    SELECT x.doc_id, x.lang, x.x AS ws_tokens,
+           (CAST(x.x AS DOUBLE) - p.mean) / sqrt(p.var) AS z
+    FROM x JOIN p USING (lang)
+"""
+
+
+def _zorder_oracle_sql() -> str:
+    """Replay lineitem_zorder_keys' 16-bit Morton interleave with pure
+    integer div/mod arithmetic."""
+    terms = " + ".join(
+        f"((CAST(l_partkey AS BIGINT) // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((CAST(l_suppkey AS BIGINT) // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(16)
+    )
+    return f"""
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST({terms} AS BIGINT) AS zval
+        FROM lineitem
+    """
+
+
+ORACLES["lineitem_zorder_keys"] = _zorder_oracle_sql()
+ORACLES["events_transition_matrix"] = """
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT prev AS prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+"""
+ORACLES["doc_char_entropy"] = """
+    WITH chars AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS ch
+        FROM documents WHERE length(coalesce(text, '')) > 0
+    ),
+    cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(c * CAST(floor(log2(CAST(c AS DOUBLE)) * 1048576.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS S,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM cc GROUP BY 1
+    )
+    SELECT doc_id, n AS n_chars,
+           CAST(CAST(floor(log2(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1048576.0
+           - CAST(S AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS entropy
+    FROM s
+"""
+ORACLES["events_retention_cohorts"] = """
+    WITH f AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS m
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT f.cohort AS cohort_week, a.m AS active_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2
+"""
+ORACLES["events_anomaly_mad"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS med
+        FROM c GROUP BY 1
+    ),
+    d AS (
+        SELECT c.event_type, hr, n, abs(n - med) AS dev
+        FROM c JOIN m USING (event_type)
+    ),
+    md AS (
+        SELECT event_type,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT) AS mad
+        FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.hr AS hour_ts, d.n
+    FROM d JOIN md USING (event_type)
+    WHERE d.dev > 3 * md.mad
 """
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
