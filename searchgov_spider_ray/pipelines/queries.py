@@ -2622,6 +2622,135 @@ def events_anomaly_mad(sf_dir: str):
     return counts.groupby("event_type").map_groups(flag, batch_format="pandas")
 
 
+def customers_pareto_80(sf_dir: str):
+    """Pareto coverage: the smallest revenue-ranked prefix of customers
+    whose cumulative revenue reaches 80% of the total — the
+    heavy-account analysis that needs a GLOBAL ordered prefix sum, done
+    without a global sort: revenue is exact int64 cents, partitioned by
+    a coarse revenue BUCKET (disjoint value ranges ⇒ bucket order IS
+    global order), pass 1 streams per-bucket totals to an O(P) driver
+    cumsum from the top, pass 2 sorts only within each bucket and
+    applies the broadcast exclusive offset. The 80% cut is the integer
+    predicate 5·(cum − rev) < 4·total — no float thresholds."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    BUCKET = 1 << 20  # ~$10k of cents per bucket: P stays tiny at any sf
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        g = pd.DataFrame({"c_custkey": df["o_custkey"].astype(np.int64), "rev": cents})
+        return g.groupby("c_custkey", as_index=False).sum()
+
+    rev = (
+        orders.map_batches(rev_partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .sum("rev")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].astype(np.int64),
+                    "rev_cents": df["sum(rev)"].astype(np.int64),
+                }
+            ).assign(p=lambda d: d["rev_cents"] // BUCKET),
+            batch_format="pandas",
+        )
+        .materialize()  # narrow (custkey, rev, bucket): consumed twice
+    )
+
+    partials = (
+        rev.map_batches(
+            lambda df: df.groupby("p", as_index=False).agg(
+                bt=("rev_cents", "sum"), bn=("rev_cents", "size")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("p", sort=True)
+        .sum()
+        .sort_index(ascending=False)  # top bucket first
+    )
+    total = int(partials["bt"].sum())
+    offsets = partials["bt"].cumsum() - partials["bt"]  # exclusive, from the top
+    off_ref = ray.put(
+        (offsets.index.to_numpy(np.int64), offsets.to_numpy(np.int64), total)
+    )
+
+    def cut(group: pd.DataFrame) -> pd.DataFrame:
+        keys, vals, tot = ray.get(off_ref)
+        g = group.sort_values(
+            ["rev_cents", "c_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        r = g["rev_cents"].to_numpy(np.int64)
+        # descending bucket keys: find this bucket's exclusive offset
+        idx = np.flatnonzero(keys == int(g["p"].iloc[0]))[0]
+        cum = vals[idx] + np.cumsum(r)
+        keep = 5 * (cum - r) < 4 * tot
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(np.int64)[keep],
+                "rev_cents": r[keep],
+            }
+        )
+
+    return rev.groupby("p").map_groups(cut, batch_format="pandas")
+
+
+def embedding_quantize_int8(sf_dir: str):
+    """Per-dimension min/max int8 quantization of the embedding matrix
+    — the compression step in front of every vector store. Pass 1
+    reduces each batch to 64 (dim, min, max) rows merged by a tiny
+    groupby; pass 2 broadcasts the 64 scale pairs and quantizes each
+    batch with one vectorized expression. Min/max carry no arithmetic
+    and the quantize chain is correctly-rounded IEEE mirrored verbatim
+    in SQL, so q is bit-exact. Emits the flat (vec_id, i, q) table."""
+    from ray.data.aggregate import Max as _Max
+
+    from .training import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        mat = _as_matrix(t["embedding"])
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "i": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(mat.min(axis=0)),
+                "mx": pa.array(mat.max(axis=0)),
+            }
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Min("mn"), _Max("mx"))
+        .to_pandas()
+        .sort_values("i")
+    )
+    mn = mm["min(mn)"].to_numpy(np.float64)
+    mx = mm["max(mx)"].to_numpy(np.float64)
+    scale_ref = ray.put((mn, mx))
+
+    def quant(t: pa.Table) -> pd.DataFrame:
+        lo, hi = ray.get(scale_ref)
+        mat = _as_matrix(t["embedding"])
+        n, d = mat.shape
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(((mat - lo) * 255.0) / span + 0.5)
+        q = np.where(span == 0.0, 0.0, q).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(t["vec_id"].to_numpy(), d),
+                "i": np.tile(np.arange(d, dtype=np.int64), n),
+                "q": q.ravel(),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -4355,6 +4484,8 @@ QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "events_retention_cohorts": events_retention_cohorts,
     "events_anomaly_mad": events_anomaly_mad,
+    "customers_pareto_80": customers_pareto_80,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -5991,6 +6122,37 @@ ORACLES["events_anomaly_mad"] = """
     SELECT d.event_type, d.hr AS hour_ts, d.n
     FROM d JOIN md USING (event_type)
     WHERE d.dev > 3 * md.mad
+"""
+ORACLES["customers_pareto_80"] = """
+    WITH r AS (
+        SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM r),
+    w AS (
+        SELECT c_custkey, rev_cents,
+               SUM(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, c_custkey
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM r
+    )
+    SELECT c_custkey, rev_cents FROM w, t WHERE 5 * (cum - rev_cents) < 4 * total
+"""
+ORACLES["embedding_quantize_int8"] = """
+    WITH x AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(r.range - 1 AS BIGINT) AS i,
+               CAST(embedding[r.range] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) r
+    ),
+    s AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i)
+    SELECT x.vec_id, x.i,
+           CAST(CASE WHEN s.mx - s.mn = 0.0 THEN 0
+                ELSE floor(((x.v - s.mn) * 255.0) / (s.mx - s.mn) + 0.5)
+                END AS BIGINT) AS q
+    FROM x JOIN s USING (i)
 """
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
