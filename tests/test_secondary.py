@@ -325,3 +325,39 @@ class TestResumableSink:
         # a third run with nothing missing writes nothing
         r3 = write_partitioned_resumable(rd.from_pandas(df), out, "k", n_buckets=16)
         assert len(r3) == 0
+
+    def test_range_partitioning_and_zone_map_pruning(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from searchgov_spider_ray.sinks.writers import (
+            read_partitioned_pruned,
+            write_partitioned_resumable,
+        )
+
+        df = pd.DataFrame(
+            {"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 7}
+        )
+        out = tmp_path / "rsink"
+        r = write_partitioned_resumable(
+            rd.from_pandas(df), out, "k", partitioning="range", range_size=100
+        )
+        assert sorted(r["bucket"]) == list(range(10))  # contiguous key ranges
+        # predicate spans buckets 1-3: footer stats must skip the other 7
+        ds, stats = read_partitioned_pruned(out, "k", 150, 349)
+        assert stats == {"files_total": 10, "files_read": 3}
+        got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        want = df[(df["k"] >= 150) & (df["k"] <= 349)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        # empty predicate range: zero files touched, zero rows
+        ds0, st0 = read_partitioned_pruned(out, "k", 5000, 6000)
+        assert st0["files_read"] == 0 and ds0.count() == 0
+        # hash layout spans every range per bucket — pruning degrades
+        # to read-all (correct, never silently wrong)
+        out_h = tmp_path / "hsink"
+        write_partitioned_resumable(rd.from_pandas(df), out_h, "k", n_buckets=8)
+        ds_h, st_h = read_partitioned_pruned(out_h, "k", 150, 349)
+        assert st_h["files_read"] == st_h["files_total"]
+        got_h = ds_h.to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_h, want)
