@@ -2435,6 +2435,9 @@ def events_transition_matrix(sf_dir: str):
     return res.map_batches(finish, batch_format="pandas")
 
 
+_ENTROPY_CELL_BUDGET = 1 << 26  # 64M uint32 cells (~256 MB) per view chunk
+
+
 def doc_char_entropy(sf_dir: str):
     """Character-level Shannon entropy per doc — the gibberish /
     boilerplate quality signal. Uses H = log2(n) − (Σ c·log2 c)/n with
@@ -2446,7 +2449,9 @@ def doc_char_entropy(sf_dir: str):
     trick) — no per-doc Python. Zero exchanges."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+    CELL_BUDGET = _ENTROPY_CELL_BUDGET
+
+    def one_chunk(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "doc_id": pd.Series([], dtype="int64"),
@@ -2491,6 +2496,30 @@ def doc_char_entropy(sf_dir: str):
                 - S.astype(np.float64) / (n.astype(np.float64) * 1048576.0),
             }
         )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # the fixed-width view costs rows × max_len cells: one huge doc
+        # in a 4k-row batch would allocate GBs. Sort by length and cut
+        # greedy chunks under CELL_BUDGET so skewed lengths stay bounded
+        # (per-doc results are independent, so chunking is exact).
+        if len(df) == 0:
+            return one_chunk(df)
+        ln = df["text"].fillna("").str.len().to_numpy(np.int64)
+        order = np.argsort(ln, kind="stable")
+        cuts, rows, width = [0], 0, 1
+        for pos, i in enumerate(order):
+            width = max(width, int(ln[i]))
+            rows += 1
+            if rows * width > CELL_BUDGET:
+                cuts.append(pos)
+                rows, width = 1, int(ln[i])
+        cuts.append(len(order))
+        parts = [
+            one_chunk(df.iloc[order[a:b]])
+            for a, b in zip(cuts[:-1], cuts[1:])
+            if b > a
+        ]
+        return pd.concat(parts, ignore_index=True)
 
     return ds.map_batches(kernel, batch_format="pandas")
 
@@ -2749,6 +2778,78 @@ def embedding_quantize_int8(sf_dir: str):
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def events_dau_stickiness(sf_dir: str):
+    """DAU/WAU stickiness: distinct users per day over distinct users
+    of that day's (Monday-truncated) week — the engagement ratio every
+    product dashboard tracks. Users are hash-partitioned whole, so
+    per-partition distinct (user, day)/(user, week) pairs ARE the
+    global distincts; the exchange carries pre-counted day/week rows
+    and the final day↔week merge is a ~30-row driver frame. The one
+    double op (dau/wau) is a single correctly-rounded division,
+    mirrored in SQL."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY = 86_400_000_000
+
+    def partial(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part["ts"].notna()]
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "kind": pd.Series([], dtype="int64"),
+                    "t": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        ts = part["ts"].astype("datetime64[us]")
+        uid = part["user_id"].to_numpy(np.int64)
+        day = (ts.astype("int64").to_numpy() // DAY) * DAY
+        week = (
+            ts.dt.to_period("W-SUN").dt.start_time.astype("datetime64[us]")
+            .astype("int64")
+            .to_numpy()
+        )
+        out = []
+        for kind, t in ((0, day), (1, week)):
+            pairs = np.unique(np.stack([uid, t]), axis=1)  # distinct (user, t)
+            tt, cnt = np.unique(pairs[1], return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {"kind": np.full(len(tt), kind, dtype=np.int64), "t": tt, "n": cnt}
+                )
+            )
+        return pd.concat(out, ignore_index=True).astype({"n": "int64"})
+
+    agg = (
+        ds.map_batches(_add_user_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partial, batch_format="pandas")
+        .groupby(["kind", "t"])
+        .sum("n")
+        .to_pandas()
+    )
+    dau = agg[agg["kind"] == 0]
+    wau = agg[agg["kind"] == 1].set_index("t")["sum(n)"]
+    day = dau["t"].to_numpy(np.int64)
+    week = (
+        pd.Series(day.astype("datetime64[us]"))
+        .dt.to_period("W-SUN")
+        .dt.start_time.astype("datetime64[us]")
+        .astype("int64")
+        .to_numpy()
+    )
+    d = dau["sum(n)"].to_numpy(np.int64)
+    w = wau.loc[week].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "day_ts": day.astype("datetime64[us]"),
+            "dau": d,
+            "wau": w,
+            "stickiness": d.astype(np.float64) / w.astype(np.float64),
+        }
+    ).sort_values("day_ts").reset_index(drop=True)
+    return out
 
 
 def embedding_covariance(sf_dir: str):
@@ -4486,6 +4587,7 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "customers_pareto_80": customers_pareto_80,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "events_dau_stickiness": events_dau_stickiness,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -6153,6 +6255,21 @@ ORACLES["embedding_quantize_int8"] = """
                 ELSE floor(((x.v - s.mn) * 255.0) / (s.mx - s.mn) + 0.5)
                 END AS BIGINT) AS q
     FROM x JOIN s USING (i)
+"""
+ORACLES["events_dau_stickiness"] = """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day_ts,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+        SELECT date_trunc('week', ts) AS wk,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT d.day_ts, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM d JOIN w ON date_trunc('week', d.day_ts) = w.wk
 """
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (

@@ -231,6 +231,18 @@ class TestRowsOnlyValuePins:
         assert df["decode_ok"].all()
 
 
+def test_char_entropy_forced_chunking_parity(ray_session, sf_dir, monkeypatch):
+    """The skew guard (length-sorted greedy chunks under the cell
+    budget) must be exact: forcing a tiny budget so every batch splits
+    into many view chunks yields bit-identical entropies."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    base = _to_df(q.doc_char_entropy(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(q, "_ENTROPY_CELL_BUDGET", 4096)  # ~8 docs per chunk
+    forced = _to_df(q.doc_char_entropy(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+
+
 def test_heavy_hitters_mg_compaction_path(ray_session, tmp_path):
     """Force the Misra-Gries cut to actually fire (block cardinality >
     512 — the sf fixtures stay under it) and pin exactness: one planted
