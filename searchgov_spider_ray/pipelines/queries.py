@@ -2852,6 +2852,115 @@ def events_dau_stickiness(sf_dir: str):
     return out
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: revenue delta from discounted small-quantity
+    1996 shipments — the pure scan-filter-aggregate every engine
+    benchmarks. One column-pruned pass, per-batch exact integer
+    partials (cents × discount-hundredths), one tiny sum. Filters ride
+    integer comparisons (discount snapped to hundredths) so the oracle
+    row set is identical by construction."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+    LO = np.datetime64("1996-01-01", "us").astype("int64")
+    HI = np.datetime64("1997-01-01", "us").astype("int64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        disc_h = np.floor(df["l_discount"].to_numpy(np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        keep = (
+            (sd >= LO)
+            & (sd < HI)
+            & (disc_h >= 5)
+            & (disc_h <= 7)
+            & (df["l_quantity"].to_numpy(np.float64) < 24.0)
+        )
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[keep] * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "revenue_num": [int((cents * disc_h[keep]).sum())],
+                "n_rows": [int(keep.sum())],
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pandas").sum(["revenue_num", "n_rows"])
+    return pd.DataFrame(
+        {
+            "revenue_num": [int(agg["sum(revenue_num)"])],
+            "n_rows": [int(agg["sum(n_rows)"])],
+        }
+    ).astype("int64")
+
+
+def q14_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: PROMO parts' share of 1996 discounted revenue.
+    The scale-correct plan: lineitem pre-aggregates revenue PER PART
+    inside each batch (the combiner), so both exchanges — the partkey
+    groupby and the hash_join against the part dimension — are bounded
+    by the part count, never the fact-row count. Revenue stays exact
+    int64 (cents × (100 − discount-hundredths)); the single share
+    division is one mirrored double op."""
+    from .relational import hash_join
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_discount", "l_extendedprice"]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    LO = np.datetime64("1996-01-01", "us").astype("int64")
+    HI = np.datetime64("1997-01-01", "us").astype("int64")
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        keep = (sd >= LO) & (sd < HI)
+        d = df.loc[keep]
+        disc_h = np.floor(d["l_discount"].to_numpy(np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        cents = np.floor(d["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        g = pd.DataFrame(
+            {"p_partkey": d["l_partkey"].astype(np.int64), "rev": cents * (100 - disc_h)}
+        )
+        return g.groupby("p_partkey", as_index=False).sum()
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pandas")
+        .groupby("p_partkey")
+        .sum("rev")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "p_partkey": df["p_partkey"].astype(np.int64),
+                    "rev": df["sum(rev)"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        promo = int(df.loc[df["p_type"] == "PROMO", "rev"].sum())
+        return pd.DataFrame(
+            {"promo": [promo], "total": [int(df["rev"].sum())]}
+        )
+
+    joined = hash_join(rev, part, on="p_partkey", how="inner", post=tally)
+    agg = joined.sum(["promo", "total"])
+    p, t = int(agg["sum(promo)"]), int(agg["sum(total)"])
+    return pd.DataFrame(
+        {
+            "promo_rev_num": pd.Series([p], dtype="int64"),
+            "total_rev_num": pd.Series([t], dtype="int64"),
+            "promo_share": [(100.0 * float(p)) / float(t)],
+        }
+    )
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -4588,6 +4697,8 @@ QUERIES = {
     "customers_pareto_80": customers_pareto_80,
     "embedding_quantize_int8": embedding_quantize_int8,
     "events_dau_stickiness": events_dau_stickiness,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -6270,6 +6381,41 @@ ORACLES["events_dau_stickiness"] = """
     SELECT d.day_ts, d.dau, w.wau,
            CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
     FROM d JOIN w ON date_trunc('week', d.day_ts) = w.wk
+"""
+ORACLES["q6_forecast_revenue"] = """
+    WITH f AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_h
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24.0
+    )
+    SELECT CAST(coalesce(SUM(cents * disc_h), 0) AS BIGINT) AS revenue_num,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM f
+"""
+ORACLES["q14_promo_revenue_share"] = """
+    WITH r AS (
+        SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN r.rev ELSE 0 END)
+                    AS BIGINT) AS promo,
+               CAST(SUM(r.rev) AS BIGINT) AS total
+        FROM r JOIN part p USING (p_partkey)
+    )
+    SELECT promo AS promo_rev_num, total AS total_rev_num,
+           (100.0 * CAST(promo AS DOUBLE)) / CAST(total AS DOUBLE) AS promo_share
+    FROM j
 """
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
