@@ -2961,6 +2961,121 @@ def q14_promo_revenue_share(sf_dir: str):
     )
 
 
+def doc_bpe_pair_counts(sf_dir: str, min_count: int = 20):
+    """The first BPE-training step: corpus-wide adjacent character-pair
+    frequencies, weighted by word frequency — what a tokenizer trainer
+    merges first. Two bounded exchanges: per-batch word-frequency
+    partials → vocabulary groupby (distinct words), then per-word pair
+    extraction over the UTF-32 view (vectorized, no per-word Python) →
+    alphabet²-bounded pair groupby. Pair counts are exact integers;
+    ``min_count`` prunes the tail exactly like the inverted index's
+    min_df."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        g = ex.value_counts()
+        return pd.DataFrame({"word": g.index.to_numpy(), "f": g.to_numpy().astype(np.int64)})
+
+    wf = ds.map_batches(wf_partial, batch_format="pandas").groupby("word").sum("f")
+
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_cp": pd.Series([], dtype="int64"),
+                "b_cp": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        w = df["word"].to_numpy().astype(np.str_)
+        f = df["sum(f)"].to_numpy(np.int64)
+        width = w.dtype.itemsize // 4
+        if width < 2:
+            return empty
+        cps = w.view(np.uint32).reshape(len(w), width)
+        a, b = cps[:, :-1], cps[:, 1:]
+        valid = ((a != 0) & (b != 0)).ravel()
+        rows = np.repeat(np.arange(len(w)), width - 1)[valid]
+        out = pd.DataFrame(
+            {
+                "a_cp": a.ravel()[valid].astype(np.int64),
+                "b_cp": b.ravel()[valid].astype(np.int64),
+                "n": f[rows],
+            }
+        )
+        return out.groupby(["a_cp", "b_cp"], as_index=False).sum()
+
+    pairs = (
+        wf.map_batches(pair_kernel, batch_format="pandas")
+        .groupby(["a_cp", "b_cp"])
+        .sum("n")
+        .to_pandas()
+    )
+    pairs = pairs[pairs["sum(n)"] >= min_count]
+    return pd.DataFrame(
+        {
+            "a": [chr(c) for c in pairs["a_cp"].astype(int)],
+            "b": [chr(c) for c in pairs["b_cp"].astype(int)],
+            "n": pairs["sum(n)"].to_numpy(np.int64),
+        }
+    )
+
+
+_PQ_SUBS, _PQ_SUBDIM, _PQ_CODES = 8, 8, 16
+
+
+def embedding_pq_codes(sf_dir: str):
+    """Product-quantization code assignment — the vector-compression
+    workhorse under every large ANN index: each vector's 8 contiguous
+    8-dim subvectors map to the nearest of 16 codebook entries
+    (deterministic codebook: the subvectors of vec_id 0..15, the same
+    first-N convention as the IVF fallback). The codebook is one tiny
+    broadcast; assignment is a vectorized argmin per batch with the
+    8-term squared-L2 accumulated in FIXED dim order so the SQL replay
+    (explicit per-dim expansion, left-associated) lands the same
+    doubles; ties break to the smallest code on both sides."""
+    from .training import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(_PQ_CODES))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cb = np.asarray([np.asarray(v, dtype=np.float64) for v in first["embedding"]])
+    cb_ref = ray.put(cb)  # (16, 64)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        codes = ray.get(cb_ref)
+        mat = _as_matrix(t["embedding"])  # (n, 64) float64
+        n = len(mat)
+        out_vec = np.repeat(t["vec_id"].to_numpy(), _PQ_SUBS)
+        out_sub = np.tile(np.arange(_PQ_SUBS, dtype=np.int64), n)
+        out_code = np.empty(n * _PQ_SUBS, dtype=np.int64)
+        for s in range(_PQ_SUBS):
+            lo = s * _PQ_SUBDIM
+            v = mat[:, lo : lo + _PQ_SUBDIM]  # (n, 8)
+            c = codes[:, lo : lo + _PQ_SUBDIM]  # (16, 8)
+            d0 = v[:, None, 0] - c[None, :, 0]
+            dist = d0 * d0
+            for k in range(1, _PQ_SUBDIM):  # fixed dim order = SQL's chain
+                dk = v[:, None, k] - c[None, :, k]
+                dist = dist + dk * dk
+            out_code[s::_PQ_SUBS] = np.argmin(dist, axis=1)  # first min = code tiebreak
+        return pd.DataFrame({"vec_id": out_vec, "sub": out_sub, "code": out_code})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -4699,6 +4814,8 @@ QUERIES = {
     "events_dau_stickiness": events_dau_stickiness,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue_share": q14_promo_revenue_share,
+    "doc_bpe_pair_counts": doc_bpe_pair_counts,
+    "embedding_pq_codes": embedding_pq_codes,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -6417,6 +6534,52 @@ ORACLES["q14_promo_revenue_share"] = """
            (100.0 * CAST(promo AS DOUBLE)) / CAST(total AS DOUBLE) AS promo_share
     FROM j
 """
+ORACLES["doc_bpe_pair_counts"] = """
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\v]+'),
+                   x -> x <> '')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+    e AS (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+    SELECT substr(word, CAST(i AS INT), 1) AS a,
+           substr(word, CAST(i AS INT) + 1, 1) AS b,
+           CAST(SUM(f) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2 HAVING SUM(f) >= 20
+"""
+
+
+def _pq_oracle_sql() -> str:
+    """Replay embedding_pq_codes: explicit per-dim squared-L2 expansion
+    (left-associated, matching the kernel's accumulation order),
+    argmin via row_number ordered by (dist, code)."""
+    blocks = []
+    for s in range(_PQ_SUBS):
+        terms = " + ".join(
+            f"((CAST(e.embedding[{s * _PQ_SUBDIM + k + 1}] AS DOUBLE)"
+            f" - CAST(c.embedding[{s * _PQ_SUBDIM + k + 1}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{s * _PQ_SUBDIM + k + 1}] AS DOUBLE)"
+            f" - CAST(c.embedding[{s * _PQ_SUBDIM + k + 1}] AS DOUBLE)))"
+            for k in range(_PQ_SUBDIM)
+        )
+        blocks.append(
+            f"""SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {s} AS sub,
+                   CAST(c.vec_id AS BIGINT) AS code, {terms} AS dist
+            FROM embeddings e JOIN embeddings c ON c.vec_id < {_PQ_CODES}"""
+        )
+    union = " UNION ALL ".join(blocks)
+    return f"""
+        SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist, code) AS rn
+            FROM ({union})
+        ) WHERE rn = 1
+    """
+
+
+ORACLES["embedding_pq_codes"] = _pq_oracle_sql()
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
         SELECT l_returnflag,
