@@ -3076,6 +3076,152 @@ def embedding_pq_codes(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def doc_lang_confusion(sf_dir: str):
+    """Label-vs-prediction confusion matrix for the trigram language
+    identifier — the data-quality audit that decides whether lang
+    metadata or the detector gates the corpus. Same actor-pool LangId
+    stage as doc_lang_id with the labeled column carried through;
+    per-batch (lang, lang_pred) tallies pre-aggregate ahead of the
+    languages²-bounded exchange. Unconfident predictions stay NULL on
+    both sides."""
+    from .training import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        # unconfident predictions are None; Ray's sort-based groupby
+        # can't order NaN against strings, so ride a sentinel through
+        # the exchange and restore NULL at the end (langs are never "")
+        g = (
+            df.assign(lang_pred=df["lang_pred"].fillna(""))
+            .groupby(["lang", "lang_pred"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    res = (
+        out.map_batches(tally, batch_format="pandas")
+        .groupby(["lang", "lang_pred"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "lang_pred": df["lang_pred"].replace("", None),
+                "n": df["sum(n)"].astype(np.int64),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def orders_fulfillment_days(sf_dir: str):
+    """Order-fulfillment latency histogram: whole days from order date
+    to the LAST line shipment, counted per day bucket — the operations
+    metric joining the two fact tables. lineitem pre-aggregates
+    max(shipdate) per order inside each batch, so the orderkey groupby
+    and the hash_join against orders are both bounded by the order
+    count; the day histogram is a final tiny exchange. Pure integer
+    date math (µs // 86400e6)."""
+    from .relational import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    DAY = 86_400_000_000
+
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype(np.int64),
+                "ship": df["l_shipdate"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+        return g.groupby("o_orderkey", as_index=False).max()
+
+    ship = (
+        li.map_batches(ship_partial, batch_format="pandas")
+        .groupby("o_orderkey")
+        .max("ship")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].astype(np.int64),
+                    "ship": df["max(ship)"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = (df["ship"].to_numpy(np.int64) - od) // DAY
+        out = pd.DataFrame({"days": d})
+        return out.groupby("days", as_index=False).size().rename(columns={"size": "n"})
+
+    res = (
+        hash_join(ship, orders, on="o_orderkey", how="inner", post=days)
+        .groupby("days")
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"days": df["days"].astype(np.int64), "n_orders": df["sum(n)"].astype(np.int64)}
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def orders_duplicate_payments(sf_dir: str):
+    """Duplicate-payment detection: (customer, exact cent amount)
+    groups appearing more than once — the fraud/QA dedup over a fact
+    table. Per-batch pre-count partials, one (custkey, cents)-bounded
+    exchange, exact integers throughout. The synthetic orders carry no
+    natural duplicates, so every o_orderkey % 100 == 0 row is planted
+    a second time on BOTH sides (the part_name_fuzzy_pairs fixture
+    discipline) — the detector has real positives to find."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df["o_orderkey"].astype(np.int64) % 100 == 0]
+        df = pd.concat([df, dup], ignore_index=True)
+        g = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype(np.int64),
+                "cents": np.floor(
+                    df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        return (
+            g.groupby(["o_custkey", "cents"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["o_custkey", "cents"])
+        .sum("n")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sum(n)"] > 1]
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype(np.int64),
+                "cents": df["cents"].astype(np.int64),
+                "n": df["sum(n)"].astype(np.int64),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -4816,6 +4962,9 @@ QUERIES = {
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "embedding_pq_codes": embedding_pq_codes,
+    "doc_lang_confusion": doc_lang_confusion,
+    "orders_fulfillment_days": orders_fulfillment_days,
+    "orders_duplicate_payments": orders_duplicate_payments,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -5611,6 +5760,35 @@ def _lang_id_oracle_sql() -> str:
 
 
 ORACLES["doc_lang_id"] = _lang_id_oracle_sql()
+ORACLES["doc_lang_confusion"] = f"""
+    WITH pred AS ({_lang_id_oracle_sql()})
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+"""
+ORACLES["orders_fulfillment_days"] = """
+    WITH s AS (
+        SELECT l_orderkey AS o_orderkey, MAX(l_shipdate) AS ship
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST((epoch_us(s.ship) - epoch_us(o.o_orderdate)) // 86400000000
+                AS BIGINT) AS days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM s JOIN orders o USING (o_orderkey)
+    GROUP BY 1
+"""
+ORACLES["orders_duplicate_payments"] = """
+    WITH o AS (
+        SELECT o_custkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o
+    GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 ORACLES["graph_bfs_depths"] = _bfs_oracle_sql()
 
