@@ -3222,6 +3222,114 @@ def orders_duplicate_payments(sf_dir: str):
     return res.map_batches(finish, batch_format="pandas")
 
 
+def doc_unigram_perplexity(sf_dir: str):
+    """Unigram negative-log-likelihood per doc — the perplexity-proxy
+    quality filter (low = boilerplate/common words, high = gibberish).
+    nll = log2(T) − (Σ_tokens L(f(word)))/(n·2^20) with L = dyadic-
+    snapped log2 of the INTEGER corpus frequency, so the token sum is
+    exact int64 (the doc_char_entropy discipline). Pass 1 builds the
+    corpus word-frequency table (vocab-bounded exchange); pass 2
+    broadcasts it as a lookup (fixture-sized here; the documented
+    upgrade at open-web vocab is the doc_top_terms hash-join path) and
+    scores each doc vectorized."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def wf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        g = ex.value_counts()
+        return pd.DataFrame(
+            {"word": g.index.to_numpy(), "f": g.to_numpy().astype(np.int64)}
+        )
+
+    wf = (
+        ds.map_batches(wf_partial, batch_format="pandas")
+        .groupby("word")
+        .sum("f")
+        .to_pandas()
+    )
+    total = int(wf["sum(f)"].sum())
+    Lf = np.floor(
+        np.log2(wf["sum(f)"].to_numpy(np.float64)) * 1048576.0 + 0.5
+    ).astype(np.int64)
+    lookup = dict(zip(wf["word"], Lf))
+    Lt = float(
+        np.floor(np.log2(np.float64(total)) * 1048576.0 + 0.5)
+    )  # snapped log2(T), integer-valued
+    look_ref = ray.put(lookup)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(look_ref)
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        ex = df[["doc_id"]].join(toks.rename("word")).explode("word")
+        ex = ex[ex["word"].notna() & (ex["word"] != "")]
+        if len(ex) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "nll_bits": pd.Series([], dtype="float64"),
+                }
+            )
+        lw = ex["word"].map(lk).to_numpy(np.int64)  # every word is in the corpus
+        g = pd.DataFrame({"doc_id": ex["doc_id"].to_numpy(np.int64), "lw": lw})
+        agg = g.groupby("doc_id", as_index=False).agg(
+            S=("lw", "sum"), n=("lw", "size")
+        )
+        n = agg["n"].to_numpy(np.int64)
+        S = agg["S"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "nll_bits": Lt / 1048576.0
+                - S.astype(np.float64) / (n.astype(np.float64) * 1048576.0),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def events_value_benford(sf_dir: str):
+    """Benford first-digit audit over event values — the classic
+    fabricated-data screen. Values snap to exact integer cents; the
+    first significant digit comes from the decimal string (identical
+    integer→string semantics in Python and SQL, no log10), counted per
+    digit with per-batch partials ahead of a 9-row exchange."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].fillna(0.0).to_numpy(np.float64) * 100 + 0.5).astype(
+            np.int64
+        )
+        cents = cents[cents > 0]
+        if len(cents) == 0:
+            return pd.DataFrame(
+                {"digit": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+            )
+        first = (
+            pd.Series(cents).astype(str).str[0].astype(np.int64)
+        )
+        out = pd.DataFrame({"digit": first})
+        return out.groupby("digit", as_index=False).size().rename(columns={"size": "n"})
+
+    res = ds.map_batches(partial, batch_format="pandas").groupby("digit").sum("n")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"digit": df["digit"].astype(np.int64), "n": df["sum(n)"].astype(np.int64)}
+        )
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -4965,6 +5073,8 @@ QUERIES = {
     "doc_lang_confusion": doc_lang_confusion,
     "orders_fulfillment_days": orders_fulfillment_days,
     "orders_duplicate_payments": orders_duplicate_payments,
+    "doc_unigram_perplexity": doc_unigram_perplexity,
+    "events_value_benford": events_value_benford,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -6758,6 +6868,41 @@ def _pq_oracle_sql() -> str:
 
 
 ORACLES["embedding_pq_codes"] = _pq_oracle_sql()
+ORACLES["doc_unigram_perplexity"] = """
+    WITH toks AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               unnest(list_filter(
+                   string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\r\\f\\v]+'),
+                   x -> x <> '')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+    t AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM wf),
+    lw AS (
+        SELECT word,
+               CAST(floor(log2(CAST(f AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS L
+        FROM wf
+    ),
+    d AS (
+        SELECT toks.doc_id, CAST(SUM(lw.L) AS BIGINT) AS S,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks JOIN lw USING (word) GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(CAST(floor(log2(CAST(total AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)
+                AS DOUBLE) / 1048576.0
+           - CAST(S AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS nll_bits
+    FROM d, t
+"""
+ORACLES["events_value_benford"] = """
+    WITH c AS (
+        SELECT CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c WHERE cents > 0 GROUP BY 1
+"""
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
         SELECT l_returnflag,
