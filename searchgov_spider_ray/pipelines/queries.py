@@ -4414,6 +4414,39 @@ def image_dup_clusters(sf_dir: str, wide_rows: int | None = None):
     return df.sort_values(["cluster_image", "image_id"]).reset_index(drop=True)
 
 
+def image_dedup_keep_best(sf_dir: str):
+    """Keep-best image dedup policy: within each pHash duplicate
+    cluster, keep the highest-resolution member (w×h), breaking ties
+    by lexicographically smallest image_id — the curation decision
+    that turns cluster labels into a kept/dropped corpus. Composes the
+    verified cluster machinery (image_dup_clusters) with a per-cluster
+    vectorized argmax (sort + first-per-group, the same shape the
+    partitioned groupby runs at scale; planted "~dup" clones share the
+    original's dimensions, so the ORIGINAL always wins the tiebreak —
+    pinned in pytest). Rows-only driver entry (pHash has no SQL
+    form)."""
+    members = image_dup_clusters(sf_dir)  # (image_id, cluster_image), tiny
+    cdir = _crawl_corpus_dir()
+    meta = rd.read_parquet(
+        cdir + "/corpus_images.parquet", columns=["image_id", "w", "h"]
+    ).to_pandas()
+    dims = dict(zip(meta["image_id"], meta["w"].astype(int) * meta["h"].astype(int)))
+    base = members["image_id"].str.replace("~dup", "", regex=False)
+    px = base.map(dims).astype(np.int64)  # clones share the original's dims
+    m = members.assign(pixels=px)
+    g = m.sort_values(
+        ["cluster_image", "pixels", "image_id"], ascending=[True, False, True]
+    )
+    best = g.drop_duplicates("cluster_image")[["cluster_image", "image_id", "pixels"]]
+    sizes = m.groupby("cluster_image", as_index=False).size()
+    out = best.merge(sizes, on="cluster_image").rename(
+        columns={"image_id": "keep_image", "size": "n_members", "pixels": "keep_pixels"}
+    )
+    out["n_members"] = out["n_members"].astype(np.int64)
+    out["keep_pixels"] = out["keep_pixels"].astype(np.int64)
+    return out.sort_values("cluster_image").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # window functions, grouping sets, histograms, sketch-guided exact counts
 # --------------------------------------------------------------------------
@@ -5098,6 +5131,7 @@ QUERIES = {
     "multimodal_image_pipeline": multimodal_image_pipeline,
     "image_phash_near_dup": image_phash_near_dup,
     "image_dup_clusters": image_dup_clusters,
+    "image_dedup_keep_best": image_dedup_keep_best,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,

@@ -243,6 +243,21 @@ def test_char_entropy_forced_chunking_parity(ray_session, sf_dir, monkeypatch):
     pd.testing.assert_frame_equal(base, forced)
 
 
+def test_image_keep_best_prefers_original(ray_session, sf_dir):
+    """Keep-best dedup must keep the ORIGINAL of every planted clone
+    pair (same dims, lexicographic tiebreak) and account for every
+    cluster member."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    out = q.image_dedup_keep_best(sf_dir)
+    assert len(out) > 0
+    assert not out["keep_image"].str.contains("~dup").any()
+    planted = out[out["n_members"] > 1]
+    assert len(planted) > 0  # the planted clones produce real clusters
+    members = q.image_dup_clusters(sf_dir)
+    assert int(out["n_members"].sum()) == len(members)  # every member accounted
+
+
 def test_heavy_hitters_mg_compaction_path(ray_session, tmp_path):
     """Force the Misra-Gries cut to actually fire (block cardinality >
     512 — the sf fixtures stay under it) and pin exactness: one planted
