@@ -4231,6 +4231,72 @@ def multimodal_image_pipeline(sf_dir: str):
     )
 
 
+def image_resolution_buckets(sf_dir: str):
+    """Resolution bucketing — the batching prep every vision trainer
+    runs so one batch holds same-shaped tensors: snap (w, h) down to a
+    64-px grid (floor, min 64) and count images per bucket. Metadata-
+    only (columns pruned to w/h — image bytes never leave storage),
+    per-batch pre-counts ahead of a ladder-bounded exchange. Rows-only
+    driver entry (corpus table, not an sf view); the snap function is
+    pinned by pytest."""
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(cdir + "/corpus_images.parquet", columns=["w", "h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bw = np.maximum((df["w"].to_numpy(np.int64) // 64) * 64, 64)
+        bh = np.maximum((df["h"].to_numpy(np.int64) // 64) * 64, 64)
+        out = pd.DataFrame({"bucket_w": bw, "bucket_h": bh})
+        return (
+            out.groupby(["bucket_w", "bucket_h"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    res = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["bucket_w", "bucket_h"])
+        .sum("n")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "bucket_w": res["bucket_w"].astype(np.int64),
+            "bucket_h": res["bucket_h"].astype(np.int64),
+            "n_images": res["sum(n)"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["bucket_w", "bucket_h"]).reset_index(drop=True)
+
+
+def caption_token_stats(sf_dir: str):
+    """Caption-side text stats over the image corpus — the caption
+    quality gate in an image+caption pipeline: whitespace token count
+    and character length per caption, plus the empty-caption flag.
+    Columns pruned to (image_id, caption); one vectorized pass, no
+    exchange. Rows-only driver entry (corpus table); invariants pinned
+    by pytest."""
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(cdir + "/corpus_images.parquet", columns=["image_id", "caption"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cap = df["caption"].fillna("")
+        return pd.DataFrame(
+            {
+                "image_id": df["image_id"],
+                "cap_tokens": cap.str.count(r"[^ \t\n\r\f\v]+").astype(np.int64),
+                "cap_chars": cap.str.len().astype(np.int64),
+                "empty": (cap == "").astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(kernel, batch_format="pandas")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
 PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images
 PHASH_MAX_HAMMING = 3
 
@@ -5132,6 +5198,8 @@ QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_dup_clusters": image_dup_clusters,
     "image_dedup_keep_best": image_dedup_keep_best,
+    "image_resolution_buckets": image_resolution_buckets,
+    "caption_token_stats": caption_token_stats,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,

@@ -258,6 +258,36 @@ def test_image_keep_best_prefers_original(ray_session, sf_dir):
     assert int(out["n_members"].sum()) == len(members)  # every member accounted
 
 
+def test_image_resolution_buckets_and_caption_stats(ray_session, sf_dir):
+    """Bucket snap (64-px floor grid) and caption token/char counts
+    must match a direct pandas replay over the same corpus."""
+    import ray.data as rd
+
+    import searchgov_spider_ray.pipelines.queries as q
+
+    cdir = q._crawl_corpus_dir()
+    raw = rd.read_parquet(cdir + "/corpus_images.parquet").to_pandas()
+    buckets = q.image_resolution_buckets(sf_dir)
+    want = (
+        pd.DataFrame(
+            {
+                "bucket_w": (raw["w"] // 64 * 64).clip(lower=64),
+                "bucket_h": (raw["h"] // 64 * 64).clip(lower=64),
+            }
+        )
+        .groupby(["bucket_w", "bucket_h"], as_index=False)
+        .size()
+    )
+    assert int(buckets["n_images"].sum()) == len(raw)
+    assert len(buckets) == len(want)
+    caps = q.caption_token_stats(sf_dir)
+    assert len(caps) == len(raw)
+    row = caps.iloc[0]
+    cap0 = raw.sort_values("image_id")["caption"].fillna("").iloc[0]
+    assert row["cap_chars"] == len(cap0)
+    assert row["cap_tokens"] == len([w for w in cap0.split() if w])
+
+
 def test_heavy_hitters_mg_compaction_path(ray_session, tmp_path):
     """Force the Misra-Gries cut to actually fire (block cardinality >
     512 — the sf fixtures stay under it) and pin exactness: one planted
