@@ -3330,6 +3330,71 @@ def events_value_benford(sf_dir: str):
     return res.map_batches(finish, batch_format="pandas")
 
 
+_MIX_TARGET_TOKENS = 5_000  # per-language token budget for the mix plan
+_MIXPLAN_SALT = np.uint64(0x165667B19E3779F9)  # xxhash prime3
+
+
+def doc_mix_plan(sf_dir: str):
+    """Data-mixing PLAN: per-language sampling rates that hit a fixed
+    per-language token budget — the planning half of corpus mixing
+    (rate = min(1, budget/tokens), held in exact integer micros so the
+    plan is reproducible and SQL-replayable). One pre-aggregated pass;
+    the output is languages-bounded."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok = df["text"].fillna("").str.count(r"[^ \t\n\r\f\v]+").astype(np.int64)
+        g = pd.DataFrame({"lang": df["lang"], "t": tok})
+        return g.groupby("lang", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas").groupby("lang").sum("t").to_pandas()
+    )
+    tokens = agg["sum(t)"].astype(np.int64)
+    rate = np.minimum(
+        1_000_000, (_MIX_TARGET_TOKENS * 1_000_000) // tokens.to_numpy(np.int64)
+    )
+    return (
+        pd.DataFrame(
+            {
+                "lang": agg["lang"],
+                "lang_tokens": tokens.to_numpy(np.int64),
+                "rate_micros": rate.astype(np.int64),
+            }
+        )
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+def doc_sample_by_plan(sf_dir: str):
+    """Data-mixing EXECUTE: apply doc_mix_plan's computed rates with
+    the deterministic avalanche-hash Bernoulli (the stratified-sampler
+    discipline, fresh salt) — plan and execution compose into one
+    reproducible, partition-invariant mixing pipeline, both halves
+    replayed exactly in SQL."""
+    from ..functions.simdedup import _avalanche
+
+    plan = doc_mix_plan(sf_dir)
+    rate = dict(zip(plan["lang"], plan["rate_micros"].astype(int)))
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        h = _avalanche(
+            df["doc_id"].to_numpy(np.int64).astype(np.uint64) * _MIXPLAN_SALT
+        ) % np.uint64(1_000_000)
+        r = df["lang"].map(rate).fillna(0).to_numpy(np.int64)
+        keep = h.astype(np.int64) < r
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "lang": df["lang"].to_numpy()[keep],
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -5174,6 +5239,8 @@ QUERIES = {
     "orders_duplicate_payments": orders_duplicate_payments,
     "doc_unigram_perplexity": doc_unigram_perplexity,
     "events_value_benford": events_value_benford,
+    "doc_mix_plan": doc_mix_plan,
+    "doc_sample_by_plan": doc_sample_by_plan,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,
@@ -7004,6 +7071,37 @@ ORACLES["events_value_benford"] = """
     SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM c WHERE cents > 0 GROUP BY 1
+"""
+_MIX_PLAN_SQL_CTES = f"""
+    tt AS (
+        SELECT lang,
+               CAST(SUM(length(regexp_extract_all(coalesce(text, ''),
+                   '[^ \\t\\n\\r\\f\\v]+'))) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY 1
+    ),
+    plan AS (
+        SELECT lang, lang_tokens,
+               CAST(least(1000000,
+                   (CAST({_MIX_TARGET_TOKENS} AS BIGINT) * 1000000) // lang_tokens)
+                   AS BIGINT) AS rate_micros
+        FROM tt
+    )
+"""
+ORACLES["doc_mix_plan"] = f"""
+    WITH {_MIX_PLAN_SQL_CTES}
+    SELECT lang, lang_tokens, rate_micros FROM plan
+"""
+ORACLES["doc_sample_by_plan"] = f"""
+    WITH {_MIX_PLAN_SQL_CTES},
+    s AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               {_sql_mm64('doc_id', int(_MIXPLAN_SALT))} AS h0,
+               {_sql_avalanche_select('h0', 'hv')}
+        FROM documents
+    )
+    SELECT s.doc_id, s.lang
+    FROM s JOIN plan p USING (lang)
+    WHERE hv % 1000000 < p.rate_micros
 """
 ORACLES["lineitem_qty_price_corr"] = """
     WITH m AS (
