@@ -209,3 +209,14 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
         return 1.0
     inter = len(np.intersect1d(a, b, assume_unique=True))
     return inter / (len(a) + len(b) - inter)
+
+
+def containment(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact asymmetric containment max(|∩|/|a|, |∩|/|b|) — catches
+    subset duplication (quoted/embedded documents) that symmetric
+    Jaccard dilutes. Empty sets contain/are contained trivially
+    (1.0), matching jaccard()'s both-empty convention."""
+    if len(a) == 0 or len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return max(inter / len(a), inter / len(b))

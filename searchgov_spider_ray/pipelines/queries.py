@@ -1338,6 +1338,24 @@ def doc_minhash_near_dup(sf_dir: str):
     )
 
 
+def doc_containment_near_dup(sf_dir: str):
+    """Asymmetric-containment near-dup: same MinHash-LSH candidate
+    machinery as doc_minhash_near_dup, verified with
+    max(|∩|/|A|, |∩|/|B|) ≥ 0.9 — the subset-duplication detector
+    (quoted articles, boilerplate-wrapped copies) that symmetric
+    Jaccard dilutes. Narrow/wide dispatch and the banding recall
+    caveat are inherited from minhash_lsh_pairs."""
+    from .training import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.9, metric="containment").map_batches(
+        lambda df: df.assign(
+            containment=np.floor(df["containment"] * 1e6 + 0.5).astype(np.int64)
+        ).rename(columns={"containment": "containment_micros"}),
+        batch_format="pandas",
+    )
+
+
 def doc_simhash_near_dup(sf_dir: str):
     from .training import simhash_pairs
 
@@ -5197,6 +5215,7 @@ QUERIES = {
     "events_asof_attribution": events_asof_attribution,
     "top_parts_per_brand": top_parts_per_brand,
     "doc_minhash_near_dup": doc_minhash_near_dup,
+    "doc_containment_near_dup": doc_containment_near_dup,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_sample_stratified": doc_sample_stratified,
@@ -6174,7 +6193,11 @@ def _sql_shingle_ctes(k: int, doc_where: str = "") -> str:
 
 
 def _minhash_oracle_sql(
-    num_perm: int = 128, threshold: float = 0.8, k: int = 5, doc_where: str = ""
+    num_perm: int = 128,
+    threshold: float = 0.8,
+    k: int = 5,
+    doc_where: str = "",
+    metric: str = "jaccard",
 ) -> str:
     """Replay minhash_lsh_pairs (pipelines/training.py) verbatim:
     distinct shingle sets → 128-permutation MinHash ((a*x mod 2^64 + b
@@ -6251,14 +6274,18 @@ def _minhash_oracle_sql(
             GROUP BY c.doc_a, c.doc_b
         )
         SELECT doc_a, doc_b,
-               CAST(FLOOR(jac * 1000000 + 0.5) AS BIGINT) AS jaccard_micros
+               CAST(FLOOR(jac * 1000000 + 0.5) AS BIGINT) AS {metric}_micros
         FROM (
             SELECT c.doc_a, c.doc_b,
-                   CASE WHEN coalesce(na.ns, 0) + coalesce(nb.ns, 0) = 0 THEN 1.0
-                        ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
-                             / CAST(coalesce(na.ns, 0) + coalesce(nb.ns, 0)
-                                    - coalesce(i.ni, 0) AS DOUBLE)
-                   END AS jac
+                   {"CASE WHEN coalesce(na.ns, 0) = 0 OR coalesce(nb.ns, 0) = 0 THEN 1.0"
+                    " ELSE GREATEST("
+                    "CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(na.ns AS DOUBLE), "
+                    "CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(nb.ns AS DOUBLE)) END"
+                    if metric == "containment" else
+                    "CASE WHEN coalesce(na.ns, 0) + coalesce(nb.ns, 0) = 0 THEN 1.0"
+                    " ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)"
+                    " / CAST(coalesce(na.ns, 0) + coalesce(nb.ns, 0)"
+                    " - coalesce(i.ni, 0) AS DOUBLE) END"} AS jac
             FROM cand c
             LEFT JOIN scnt na ON na.doc_id = c.doc_a
             LEFT JOIN scnt nb ON nb.doc_id = c.doc_b
@@ -7221,6 +7248,9 @@ ORACLES["events_user_hll"] = _hll_oracle_sql()
 ORACLES["events_type_hll"] = _hll_grouped_oracle_sql()
 ORACLES["events_user_cms"] = _cms_oracle_sql()
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
+ORACLES["doc_containment_near_dup"] = _minhash_oracle_sql(
+    threshold=0.9, metric="containment"
+)
 ORACLES["doc_simhash_near_dup"] = _simhash_oracle_sql()
 ORACLES["doc_dup_clusters"] = _dup_clusters_oracle_sql()
 def _quota_sample_oracle_sql() -> str:

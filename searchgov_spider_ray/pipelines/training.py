@@ -29,7 +29,14 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import xxhash64_array
-from ..functions.simdedup import MinHasher, hamming64, jaccard, shingle_hash_sets, simhash_batch
+from ..functions.simdedup import (
+    MinHasher,
+    containment,
+    hamming64,
+    jaccard,
+    shingle_hash_sets,
+    simhash_batch,
+)
 from ..functions.textstats import content_hashes, detect_lang, fingerprint, quality_scores, token_counts
 
 # --------------------------------------------------------------------------
@@ -269,6 +276,7 @@ def _verified_pairs_wide(
     k: int,
     threshold: float,
     n_parts: int,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """Hash-partitioned candidate ⨝ docs verify (the 100-TB path): no
     driver-side text materialization, no broadcast. Two exchanges —
@@ -312,6 +320,8 @@ def _verified_pairs_wide(
         )
         return df
 
+    score_fn = containment if metric == "containment" else jaccard
+
     def verify_group(group: pd.DataFrame) -> pd.DataFrame:
         a_rows = group[group["side"] == 0]
         b_rows = group[group["side"] == 1]
@@ -321,13 +331,13 @@ def _verified_pairs_wide(
                 {
                     "doc_a": pd.Series([], dtype="int64"),
                     "doc_b": pd.Series([], dtype="int64"),
-                    "jaccard": pd.Series([], dtype="float64"),
+                    metric: pd.Series([], dtype="float64"),
                 }
             )
         a_sets = shingle_hash_sets(merged["text_a"].tolist(), k)
         b_sets = shingle_hash_sets(merged["text_b"].tolist(), k)
         jac = np.fromiter(
-            (jaccard(sa, sb) for sa, sb in zip(a_sets, b_sets)),
+            (score_fn(sa, sb) for sa, sb in zip(a_sets, b_sets)),
             dtype=np.float64,
             count=len(merged),
         )
@@ -335,10 +345,10 @@ def _verified_pairs_wide(
             {
                 "doc_a": merged["doc_a"].astype("int64"),
                 "doc_b": merged["doc_b"].astype("int64"),
-                "jaccard": jac,
+                metric: jac,
             }
         )
-        return out[out["jaccard"] >= threshold]
+        return out[out[metric] >= threshold]
 
     return (
         sided.map_batches(add_pair_part, batch_format="pandas")
@@ -358,10 +368,16 @@ def minhash_lsh_pairs(
     texts_ref=None,
     wide_doc_rows: int = WIDE_DOC_ROWS,
     n_parts: int | None = None,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """MinHash → LSH band buckets → candidate pairs → exact n-gram
-    Jaccard verification ≥ threshold. ``bands=None`` derives the band
-    count from the threshold (see ``_derive_bands``).
+    verification ≥ threshold. ``metric`` picks the verify score:
+    symmetric ``"jaccard"`` (default) or asymmetric ``"containment"``
+    (max(|∩|/|a|, |∩|/|b|) — catches subset duplication; note the LSH
+    banding itself is Jaccard-tuned, so high-containment/low-Jaccard
+    pairs surface only when banding catches them, the standard
+    MinHash-LSH recall caveat). ``bands=None`` derives the band count
+    from the threshold (see ``_derive_bands``).
 
     Narrow/wide dispatch on the doc count (``wide_doc_rows``, same
     pattern as frontier.py's ``wide_round_rows``): below it, pair
@@ -393,7 +409,9 @@ def minhash_lsh_pairs(
             ["doc_a", "doc_b"],
             n_parts,
         )
-        return _verified_pairs_wide(uniq, docs, id_col, text_col, shingle_k, threshold, n_parts)
+        return _verified_pairs_wide(
+            uniq, docs, id_col, text_col, shingle_k, threshold, n_parts, metric
+        )
 
     # narrow: one vectorized pass generates + dedupes candidate pairs
     uniq = bands_ds.repartition(1).map_batches(
@@ -404,6 +422,8 @@ def minhash_lsh_pairs(
         texts_ref = ray.put(dict(zip(proj[id_col], proj[text_col])))
 
     k = shingle_k
+
+    score_fn = containment if metric == "containment" else jaccard
 
     class _Verify:
         def __init__(self, ref):
@@ -416,12 +436,12 @@ def minhash_lsh_pairs(
             a_sets = shingle_hash_sets([self._texts.get(a, "") for a in batch["doc_a"]], k)
             b_sets = shingle_hash_sets([self._texts.get(b, "") for b in batch["doc_b"]], k)
             jac = np.fromiter(
-                (jaccard(sa, sb) for sa, sb in zip(a_sets, b_sets)),
+                (score_fn(sa, sb) for sa, sb in zip(a_sets, b_sets)),
                 dtype=np.float64,
                 count=len(batch),
             )
-            batch["jaccard"] = jac
-            return batch[batch["jaccard"] >= threshold]
+            batch[metric] = jac
+            return batch[batch[metric] >= threshold]
 
     return uniq.map_batches(_Verify(texts_ref), batch_format="pandas")
 

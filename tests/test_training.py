@@ -169,6 +169,29 @@ class TestForcedWideParity:
         assert len(wide) > 0
         assert key(narrow) == key(wide)
 
+    def test_containment_wide_matches_narrow(self, docs_ds):
+        narrow = training.minhash_lsh_pairs(
+            docs_ds, threshold=0.6, metric="containment"
+        ).to_pandas()
+        wide = training.minhash_lsh_pairs(
+            docs_ds, threshold=0.6, metric="containment", wide_doc_rows=0, n_parts=5
+        ).to_pandas()
+        key = lambda df: sorted(
+            (int(a), int(b), round(float(j), 9))
+            for a, b, j in zip(df["doc_a"], df["doc_b"], df["containment"])
+        )
+        assert len(wide) > 0
+        assert key(narrow) == key(wide)
+        # containment dominates jaccard on every pair by definition
+        jac = training.minhash_lsh_pairs(docs_ds, threshold=0.6).to_pandas()
+        jmap = {(a, b): j for a, b, j in zip(jac["doc_a"], jac["doc_b"], jac["jaccard"])}
+        cmap = {
+            (a, b): c
+            for a, b, c in zip(narrow["doc_a"], narrow["doc_b"], narrow["containment"])
+        }
+        shared = set(jmap) & set(cmap)
+        assert shared and all(cmap[p] >= jmap[p] for p in shared)
+
     def test_simhash_wide_matches_narrow(self, docs_ds):
         narrow = training.simhash_pairs(docs_ds, max_hamming=6).to_pandas()
         wide = training.simhash_pairs(
