@@ -3413,6 +3413,72 @@ def doc_sample_by_plan(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pandas")
 
 
+def events_profile_approx(sf_dir: str):
+    """The 100-TB companion to events_profile: per-column APPROXIMATE
+    distinct counts from ONE streaming pass — every column folds into
+    its own HyperLogLog register set per batch (ints/timestamps keyed
+    directly, doubles by bit pattern, strings via xxhash64), and the
+    single exchange carries at most columns × 4096 register rows
+    instead of one cardinality-bounded distinct exchange per column.
+    Registers merge by max (associative), so the result is
+    partition/resume-invariant. Rows-only driver entry; pytest pins
+    each estimate within standard HLL error of the exact profile."""
+    from ..functions.hashing import xxhash64_array
+    from ..functions.sketch import hll_estimate, hll_partial
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = _read(sf_dir, "events", cols)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        frames = []
+        for ci, c in enumerate(cols):
+            arr = t[c].drop_null()
+            if pa.types.is_timestamp(arr.type):
+                keys = pc.cast(arr, pa.int64()).to_numpy().astype(np.uint64)
+            elif pa.types.is_floating(arr.type):
+                keys = arr.to_numpy().astype(np.float64).view(np.uint64)
+            elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                keys = xxhash64_array(arr.to_pylist())
+            else:
+                keys = arr.to_numpy().astype(np.uint64)
+            b, r = hll_partial(keys)
+            frames.append(
+                pd.DataFrame(
+                    {"col_id": np.full(len(b), ci, dtype=np.int64), "bucket": b, "rho": r}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from ..functions.sketch import HLL_M
+
+    def merge_col(g: pd.DataFrame) -> pd.DataFrame:
+        dense = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(dense, g["bucket"].to_numpy(np.int64), g["rho"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "col_id": [int(g["col_id"].iloc[0])],
+                "n_distinct_approx": [int(np.floor(hll_estimate(dense) + 0.5))],
+            }
+        )
+
+    # one 6-group exchange (≤ cols × 4096 rows per batch on the wire),
+    # dense max-merge vectorized per group — far cheaper than a 24k-
+    # group two-key aggregate at this register count
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("col_id")
+        .map_groups(merge_col, batch_format="pandas")
+        .to_pandas()
+        .sort_values("col_id")
+    )
+    return pd.DataFrame(
+        {
+            "col_name": [cols[i] for i in regs["col_id"]],
+            "n_distinct_approx": regs["n_distinct_approx"].astype(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
 def embedding_covariance(sf_dir: str):
     """Distributed covariance of the embedding matrix — the building
     block under PCA / whitening / mahalanobis outlier scoring, done the
@@ -5260,6 +5326,7 @@ QUERIES = {
     "events_value_benford": events_value_benford,
     "doc_mix_plan": doc_mix_plan,
     "doc_sample_by_plan": doc_sample_by_plan,
+    "events_profile_approx": events_profile_approx,
     "events_value_p99_sketch": events_value_p99_sketch,
     "doc_shuffled_pack": doc_shuffled_pack,
     "lineitem_qty_price_corr": lineitem_qty_price_corr,

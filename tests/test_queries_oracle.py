@@ -288,6 +288,20 @@ def test_image_resolution_buckets_and_caption_stats(ray_session, sf_dir):
     assert row["cap_tokens"] == len([w for w in cap0.split() if w])
 
 
+def test_profile_approx_within_hll_error(ray_session, sf_dir):
+    """Single-pass HLL profile must land within standard HLL error
+    (~1.6% at 2^12 registers; allow 5%) of the exact per-column
+    distinct counts."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    exact = q.events_profile(sf_dir).set_index("col_name")["n_distinct"]
+    approx = q.events_profile_approx(sf_dir).set_index("col_name")["n_distinct_approx"]
+    assert set(exact.index) == set(approx.index)
+    for c in exact.index:
+        e, a = int(exact[c]), int(approx[c])
+        assert abs(a - e) <= max(2, 0.05 * e), (c, e, a)
+
+
 def test_heavy_hitters_mg_compaction_path(ray_session, tmp_path):
     """Force the Misra-Gries cut to actually fire (block cardinality >
     512 — the sf fixtures stay under it) and pin exactness: one planted
