@@ -240,6 +240,13 @@ def run_query_bench() -> dict[str, float]:
         "events_rank_windows",
         "events_heavy_hitters",
         "graph_pagerank",
+        # round-3 late-wave training-data flagships
+        "events_profile",
+        "doc_bpe_pair_counts",
+        "embedding_pq_codes",
+        "doc_unigram_perplexity",
+        "customers_pareto_80",
+        "doc_containment_near_dup",
     ]
     for name in bench_queries:
         t0 = time.time()

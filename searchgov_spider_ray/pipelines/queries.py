@@ -2004,26 +2004,42 @@ def events_profile(sf_dir: str):
     )
     n_rows = int(nulls["sum(n)"])
 
+    from ..functions.simdedup import hash_part
+
     out_rows = []
     for c in cols:
         col_ds = _read(sf_dir, "events", [c])
 
-        def uniq(t: pa.Table, _c=c) -> pa.Table:
+        def uniq(t: pa.Table, _c=c) -> pd.DataFrame:
             arr = t[_c]
             if pa.types.is_timestamp(arr.type):
                 arr = pc.cast(arr, pa.int64())
-            v = arr.drop_null().unique()
-            return pa.table({"v": v})
+            v = arr.drop_null().unique().to_pandas()
+            # coarse partition (64 groups on the wire, not one group per
+            # value): distinct-within-partition sums to the global count
+            if len(v) and v.dtype == object:
+                part = pd.util.hash_array(v.to_numpy()) % np.uint64(64)
+            elif len(v) and v.dtype == np.float64:
+                part = hash_part(v.to_numpy(np.float64).view(np.uint64), 64)
+            else:
+                part = hash_part(v.to_numpy(np.int64), 64) if len(v) else np.array([], dtype=np.int64)
+            return pd.DataFrame({"v": v, "part": part.astype(np.int64)})
 
-        n_distinct = (
-            col_ds.map_batches(uniq, batch_format="pyarrow").groupby("v").count().count()
+        def count_part(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"nd": [int(g["v"].nunique())]})
+
+        n_distinct = int(
+            col_ds.map_batches(uniq, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(count_part, batch_format="pandas")
+            .sum("nd")
         )
         out_rows.append(
             {
                 "col_name": c,
                 "n": n_rows,
                 "n_null": int(nulls[f"sum(null_{c})"]),
-                "n_distinct": int(n_distinct),
+                "n_distinct": n_distinct,
             }
         )
     out = pd.DataFrame(out_rows)
@@ -2689,19 +2705,30 @@ def customers_pareto_80(sf_dir: str):
         g = pd.DataFrame({"c_custkey": df["o_custkey"].astype(np.int64), "rev": cents})
         return g.groupby("c_custkey", as_index=False).sum()
 
+    def add_cust_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.simdedup import hash_part
+
+        df = df.copy()
+        df["part"] = hash_part(df["c_custkey"].to_numpy(np.int64), 64)
+        return df
+
+    def cust_totals(g: pd.DataFrame) -> pd.DataFrame:
+        # 64 coarse partitions on the wire (not one group per customer);
+        # the vectorized in-partition groupby does the per-key work
+        out = g.groupby("c_custkey", as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": out["c_custkey"].astype(np.int64),
+                "rev_cents": out["rev"].astype(np.int64),
+                "p": (out["rev"].astype(np.int64) // BUCKET),
+            }
+        )
+
     rev = (
         orders.map_batches(rev_partial, batch_format="pandas")
-        .groupby("c_custkey")
-        .sum("rev")
-        .map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "c_custkey": df["c_custkey"].astype(np.int64),
-                    "rev_cents": df["sum(rev)"].astype(np.int64),
-                }
-            ).assign(p=lambda d: d["rev_cents"] // BUCKET),
-            batch_format="pandas",
-        )
+        .map_batches(add_cust_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(cust_totals, batch_format="pandas")
         .materialize()  # narrow (custkey, rev, bucket): consumed twice
     )
 
