@@ -4473,6 +4473,150 @@ def caption_token_stats(sf_dir: str):
     )
 
 
+CURATION_MIN_SIDE = 24       # LAION-style min-side gate, scaled to the
+                             # synthetic corpus' 16..48 px side range
+CURATION_MIN_CAP_TOKENS = 3  # drop empty/near-empty captions
+
+
+def image_curation_pipeline(sf_dir: str):
+    """Composed image+caption curation — the LAION-style gate chain a
+    vision-language corpus runs before training: (1) min(w,h) ≥ 64,
+    (2) aspect ratio within [1/2, 2] (exact integer form:
+    2·min(w,h) ≥ max(w,h)), (3) caption ≥ 3 whitespace tokens, then
+    (4) exact-pHash dedup keeping the lexicographically-first image_id
+    per hash (deterministic first-wins, same contract as
+    doc_dedup_first). Metadata-only: columns pruned to
+    (image_id, w, h, caption, phash) — image bytes never leave
+    storage. One vectorized filter pass, then a single exchange keyed
+    by phash whose input is already filtered; n_dups records how many
+    filtered images shared the winner's hash. Rows-only driver entry
+    (corpus table, not an sf view); the predicate/dedup invariants are
+    pinned by pytest."""
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(
+        cdir + "/corpus_images.parquet",
+        columns=["image_id", "w", "h", "caption", "phash"],
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        mn, mx = np.minimum(w, h), np.maximum(w, h)
+        cap_tokens = (
+            df["caption"].fillna("").str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.int64)
+        )
+        keep = (mn >= CURATION_MIN_SIDE) & (2 * mn >= mx) & (
+            cap_tokens >= CURATION_MIN_CAP_TOKENS
+        )
+        return pd.DataFrame(
+            {
+                "image_id": df["image_id"].to_numpy(dtype=object)[keep],
+                "w": w[keep],
+                "h": h[keep],
+                "cap_tokens": cap_tokens[keep],
+                "phash": df["phash"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id", kind="mergesort")
+        out = g.head(1).copy()
+        out["n_dups"] = np.int64(len(g))
+        return out
+
+    kept = (
+        ds.map_batches(gate, batch_format="pandas")
+        .groupby("phash")
+        .map_groups(dedup_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(kept) == 0:  # empty datasets lose their schema through map_groups
+        kept = pd.DataFrame(
+            {c: [] for c in ("image_id", "w", "h", "cap_tokens", "phash", "n_dups")}
+        )
+    return kept.sort_values("image_id").reset_index(drop=True)
+
+
+class RealClipScorer:
+    """Swap-in point for a real image-text alignment model (CLIP/SigLIP
+    via torch or onnxruntime — absent from this container). Contract:
+    actor-pool `map_batches` class; __init__ loads the model ONCE per
+    actor; __call__ takes a pyarrow batch with (image_id, bytes,
+    caption) and returns (image_id, align_score float32). Batch size
+    stays small (image payloads); concurrency × num_cpus sized to the
+    node like stages/decode.DecodePHash. The deterministic stand-in
+    used by image_caption_alignment is hash-projection embeddings over
+    the stored pHash + caption tokens."""
+
+    def __init__(self, *a, **k):  # pragma: no cover - swap-in marker
+        raise NotImplementedError(
+            "CLIP-style scorer needs torch/onnxruntime; absent from this "
+            "container. image_caption_alignment uses the deterministic "
+            "hash-projection stand-in instead."
+        )
+
+
+ALIGN_KEEP_DOT = 2  # keep pairs with dot ≥ 2 of 64 (stand-in threshold)
+
+
+def image_caption_alignment(sf_dir: str):
+    """Image↔caption alignment filtering — the CLIP-score gate of a
+    web-scale image+caption pipeline (LAION keeps pairs with CLIP
+    cosine ≥ 0.28; same plumbing here with a deterministic stand-in
+    because no vision model ships in this container — see
+    RealClipScorer for the swap-in contract). Image embedding = the 64
+    pHash bits as a ±1 vector (metadata-only: bytes never read);
+    caption embedding = sign of the summed ±1 hash projections of its
+    lowercased whitespace tokens (xxhash64 bits, zero-sum dims snap to
+    +1). align_dot = ⟨img, caption⟩ ∈ [−64, 64] — an exact integer, so
+    the gate is reproducible bit-for-bit across partitionings. One
+    vectorized pass, no exchange. Rows-only driver entry; scalar
+    goldens pinned by pytest."""
+    from ..functions.hashing import xxhash64_array
+
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(
+        cdir + "/corpus_images.parquet", columns=["image_id", "caption", "phash"]
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        img_pm = (
+            ((ph[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )
+        toks = df["caption"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+")
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        cap_sum = np.zeros((n, 64), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat.to_numpy(dtype=object), return_inverse=True)
+            th = xxhash64_array(list(uniq))
+            tok_pm = (
+                ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2
+                - 1
+            )
+            row_idx = df.index.get_indexer(flat.index)
+            np.add.at(cap_sum, row_idx, tok_pm[inv])
+        cap_sign = np.where(cap_sum >= 0, 1, -1)
+        dot = (img_pm * cap_sign).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "image_id": df["image_id"].to_numpy(dtype=object),
+                "align_dot": dot.astype(np.int64),
+                "keep": (dot >= ALIGN_KEEP_DOT).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(kernel, batch_format="pandas")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
 PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images
 PHASH_MAX_HAMMING = 3
 
@@ -5260,6 +5404,170 @@ def orders_pivot(sf_dir: str):
     return base.map_batches(pivot, batch_format="pandas", batch_size=None)
 
 
+_RETRIEVAL_QUERIES: tuple[tuple[str, ...], ...] = (
+    ("scan", "merge"),
+    ("window", "sort"),
+    ("hash", "table"),
+)
+_RETRIEVAL_K = 10
+
+
+def doc_bm25_topk(sf_dir: str, k: int = _RETRIEVAL_K):
+    """Multi-query BM25 retrieval — the search-serving shape behind the
+    reference's es_batch_upload sink (searchgov feeds search.gov: index
+    docs, then serve ranked top-k per query). For a fixed query set,
+    score every matching doc with the doc_bm25_scores arithmetic (same
+    dyadic 2^-20 idf snap, same fixed term order, bit-exact vs DuckDB)
+    and keep the k best per query by (bm25 DESC, doc_id ASC).
+
+    Distribution: one stats pass (associative partials over the UNION
+    of all query terms), then per-batch scoring emits only each batch's
+    partial top-k per query — the merge input is ≤ k·n_batches·n_queries
+    rows regardless of corpus size; the final per-query cut is a tiny
+    map_groups. No full-score materialization, no global sort."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    all_terms = sorted({t for q in _RETRIEVAL_QUERIES for t in q})
+
+    def _tok_low(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.lower()
+
+    def _tf(low: pd.Series, term: str) -> pd.Series:
+        import re as _re
+
+        pat = r"(?:^|[ \t\n\r\f\v])" + _re.escape(term) + r"(?=$|[ \t\n\r\f\v])"
+        return low.str.count(pat)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = _tok_low(df["text"])
+        dl = low.str.count(r"[^ \t\n\r\f\v]+")
+        row = {"n_docs": [len(df)], "sum_dl": [int(dl.sum())]}
+        for t in all_terms:
+            row[f"df_{t}"] = [int((_tf(low, t) > 0).sum())]
+        return pd.DataFrame(row)
+
+    agg_cols = ["n_docs", "sum_dl"] + [f"df_{t}" for t in all_terms]
+    stats = ds.map_batches(stats_partial, batch_format="pandas").sum(agg_cols)
+    n_docs = int(stats["sum(n_docs)"])
+    avgdl = float(stats["sum(sum_dl)"]) / n_docs
+    idf = {
+        t: float(
+            np.floor(
+                np.log((n_docs - int(stats[f"sum(df_{t})"]) + 0.5)
+                       / (int(stats[f"sum(df_{t})"]) + 0.5) + 1.0)
+                * 1048576.0
+                + 0.5
+            )
+            / 1048576.0
+        )
+        for t in all_terms
+    }
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = _tok_low(df["text"])
+        dl = low.str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.float64)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        tf_by_term = {t: _tf(low, t).to_numpy(np.float64) for t in all_terms}
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        outs = []
+        for qid, terms in enumerate(_RETRIEVAL_QUERIES):
+            total = np.zeros(len(df))
+            any_hit = np.zeros(len(df), dtype=bool)
+            for t in terms:  # fixed per-query term order, mirrored in SQL
+                tf = tf_by_term[t]
+                total = total + np.where(
+                    tf > 0, idf[t] * (tf * (_BM25_K1 + 1.0)) / (tf + norm), 0.0
+                )
+                any_hit |= tf > 0
+            hit_ids, hit_sc = doc_ids[any_hit], total[any_hit]
+            # batch-local top-k cut: only k rows per query leave the task
+            order = np.lexsort((hit_ids, -hit_sc))[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid, dtype=np.int64),
+                        "doc_id": hit_ids[order],
+                        "bm25": hit_sc[order],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bm25", "doc_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "doc_id", "bm25"]]
+
+    return (
+        ds.map_batches(score_partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+def doc_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift check per source — the
+    distribution-shift monitor a training-data pipeline runs per shard
+    / per crawl wave: for each source s, the KS distance between the
+    doc-length (n_chars) distribution of s and of everything-but-s.
+    Exact integer arithmetic: ks_num = max_x |cumA(x)·nB − cumB(x)·nA|
+    over the global grid of distinct lengths, so the statistic is a
+    ratio of exact int64s and the oracle replays it bit-for-bit.
+
+    Distribution: the only exchange is a pre-aggregated (source, len)
+    histogram — per-batch partial counts then one small groupby-sum;
+    the cumulative scan runs on the histogram (bounded by the length
+    value space × n_sources, not by row count), never on rows."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"source": df["source"], "len": df["n_chars"].to_numpy(np.int64)}
+        )
+        return (
+            out.groupby(["source", "len"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "len"])
+        .sum("c")
+        .to_pandas()
+    )
+    hist = hist.rename(columns={"sum(c)": "c"})
+    hist["c"] = hist["c"].astype(np.int64)
+    grid = np.sort(hist["len"].unique())
+    n_all = int(hist["c"].sum())
+    rows = []
+    for s, g in hist.groupby("source"):
+        g = g.sort_values("len")
+        n_a = int(g["c"].sum())
+        n_b = n_all - n_a
+        cum_a = np.zeros(len(grid), dtype=np.int64)
+        idx = np.searchsorted(grid, g["len"].to_numpy(np.int64))
+        cum_a[idx] = g["c"].to_numpy(np.int64)
+        cum_a = np.cumsum(cum_a)
+        all_g = hist.groupby("len")["c"].sum().reindex(grid, fill_value=0)
+        cum_all = np.cumsum(all_g.to_numpy(np.int64))
+        cum_b = cum_all - cum_a
+        ks_num = int(np.max(np.abs(cum_a * n_b - cum_b * n_a)))
+        rows.append(
+            {
+                "source": s,
+                "n_a": n_a,
+                "n_b": n_b,
+                "ks_num": ks_num,
+                "ks_stat": float(ks_num) / (n_a * n_b),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    for c in ("n_a", "n_b", "ks_num"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5329,6 +5637,8 @@ QUERIES = {
     "events_profile": events_profile,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_bm25_scores": doc_bm25_scores,
+    "doc_bm25_topk": doc_bm25_topk,
+    "doc_ks_drift": doc_ks_drift,
     "events_user_paths": events_user_paths,
     "events_state_intervals": events_state_intervals,
     "events_gap_fill": events_gap_fill,
@@ -5380,6 +5690,8 @@ QUERIES = {
     "image_dedup_keep_best": image_dedup_keep_best,
     "image_resolution_buckets": image_resolution_buckets,
     "caption_token_stats": caption_token_stats,
+    "image_curation_pipeline": image_curation_pipeline,
+    "image_caption_alignment": image_caption_alignment,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,
@@ -6843,6 +7155,107 @@ def _bm25_oracle_sql() -> str:
 
 
 ORACLES["doc_bm25_scores"] = _bm25_oracle_sql()
+
+
+def _bm25_topk_oracle_sql() -> str:
+    """Replay doc_bm25_topk: the doc_bm25_scores float discipline
+    (dyadic-snapped idf, fixed term order, string→DOUBLE constants) per
+    query in the fixed query set, then a (bm25 DESC, doc_id ASC)
+    row_number cut at k per query."""
+    all_terms = sorted({t for q in _RETRIEVAL_QUERIES for t in q})
+    k1 = f"CAST('{_BM25_K1!r}' AS DOUBLE)"
+    k1p1 = f"CAST('{_BM25_K1 + 1.0!r}' AS DOUBLE)"
+    one_minus_b = f"CAST('{1.0 - _BM25_B!r}' AS DOUBLE)"
+    b = f"CAST('{_BM25_B!r}' AS DOUBLE)"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in all_terms
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in all_terms
+    )
+
+    def _term(t: str) -> str:
+        return f"""(CASE WHEN tf_{t} > 0 THEN
+            floor(ln((CAST(nd - df_{t} AS DOUBLE) + 0.5)
+                     / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0)
+                  * 1048576.0 + 0.5) / 1048576.0
+            * (CAST(tf_{t} AS DOUBLE) * {k1p1})
+            / (CAST(tf_{t} AS DOUBLE)
+               + {k1} * ({one_minus_b} + {b} * CAST(dl AS DOUBLE)
+                         / (CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        ELSE 0.0 END)"""
+
+    per_query = "\n            UNION ALL\n".join(
+        f"""SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,
+                   {' + '.join(_term(t) for t in terms)} AS bm25
+            FROM s, g
+            WHERE {' OR '.join(f'tf_{t} > 0' for t in terms)}"""
+        for qid, terms in enumerate(_RETRIEVAL_QUERIES)
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                       '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, CAST(length(toks) AS BIGINT) AS dl, {tf_cols}
+            FROM d
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl,
+                   {df_cols}
+            FROM s
+        ),
+        scored AS (
+            {per_query}
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, bm25,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, doc_id, bm25
+        FROM ranked WHERE rank <= {_RETRIEVAL_K}
+    """
+
+
+ORACLES["doc_bm25_topk"] = _bm25_topk_oracle_sql()
+ORACLES["doc_ks_drift"] = """
+    WITH d AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS len FROM documents
+    ),
+    tot AS (SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS n_a FROM d GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+    hist AS (SELECT source AS s, len, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+    allh AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS c_all FROM d GROUP BY 1),
+    grid AS (
+        SELECT t.s, a.len, COALESCE(h.c, 0) AS c, a.c_all
+        FROM tot t CROSS JOIN allh a
+        LEFT JOIN hist h ON h.s = t.s AND h.len = a.len
+    ),
+    cum AS (
+        SELECT s, len,
+               CAST(SUM(c) OVER (PARTITION BY s ORDER BY len) AS BIGINT) AS cum_a,
+               CAST(SUM(c_all) OVER (PARTITION BY s ORDER BY len) AS BIGINT) AS cum_all
+        FROM grid
+    ),
+    ks AS (
+        SELECT c.s AS source, t.n_a, (n.n_all - t.n_a) AS n_b,
+               MAX(ABS(c.cum_a * (n.n_all - t.n_a)
+                       - (c.cum_all - c.cum_a) * t.n_a)) AS ks_num
+        FROM cum c JOIN tot t ON t.s = c.s CROSS JOIN n
+        GROUP BY c.s, t.n_a, n.n_all
+    )
+    SELECT source, n_a, n_b, CAST(ks_num AS BIGINT) AS ks_num,
+           CAST(ks_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_stat
+    FROM ks
+"""
 ORACLES["events_user_paths"] = """
     WITH o AS (
         SELECT user_id, event_type,

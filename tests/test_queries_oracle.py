@@ -288,6 +288,68 @@ def test_image_resolution_buckets_and_caption_stats(ray_session, sf_dir):
     assert row["cap_tokens"] == len([w for w in cap0.split() if w])
 
 
+def test_image_curation_pipeline_invariants(ray_session, sf_dir):
+    """Every kept row must satisfy each gate; pHash unique after dedup;
+    the winner is the lexicographically-first filtered image_id of its
+    hash group; n_dups accounts for every filtered image — replayed
+    directly over the same corpus parquet."""
+    import ray.data as rd
+
+    import searchgov_spider_ray.pipelines.queries as q
+
+    kept = q.image_curation_pipeline(sf_dir)
+    cdir = q._crawl_corpus_dir()
+    raw = rd.read_parquet(cdir + "/corpus_images.parquet").to_pandas()
+    mn = raw[["w", "h"]].min(axis=1)
+    mx = raw[["w", "h"]].max(axis=1)
+    toks = raw["caption"].fillna("").str.count(r"[^ \t\n\r\f\v]+")
+    want = raw[
+        (mn >= q.CURATION_MIN_SIDE)
+        & (2 * mn >= mx)
+        & (toks >= q.CURATION_MIN_CAP_TOKENS)
+    ]
+    assert len(want) > 0 and len(want) < len(raw)  # the gates actually bite
+    assert kept["phash"].is_unique
+    assert int(kept["n_dups"].sum()) == len(want)
+    winners = want.groupby("phash")["image_id"].min()
+    assert sorted(kept["image_id"]) == sorted(winners)
+    assert (kept[["w", "h"]].min(axis=1) >= q.CURATION_MIN_SIDE).all()
+    assert (2 * kept[["w", "h"]].min(axis=1) >= kept[["w", "h"]].max(axis=1)).all()
+    assert (kept["cap_tokens"] >= q.CURATION_MIN_CAP_TOKENS).all()
+
+
+def test_image_caption_alignment_scalar_golden(ray_session, sf_dir):
+    """align_dot must equal the scalar recompute (pHash ±1 bits dotted
+    with the sign of summed token hash projections) for every image,
+    and the keep gate must bite both ways."""
+    import numpy as np
+
+    import searchgov_spider_ray.pipelines.queries as q
+    from searchgov_spider_ray.functions.hashing import xxhash64
+    import ray.data as rd
+
+    out = q.image_caption_alignment(sf_dir)
+    cdir = q._crawl_corpus_dir()
+    raw = (
+        rd.read_parquet(cdir + "/corpus_images.parquet")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["image_id"]) == list(raw["image_id"])
+    for i in range(len(raw)):
+        ph = np.int64(raw["phash"][i]).view(np.uint64)
+        img = np.array([1 if (int(ph) >> b) & 1 else -1 for b in range(64)])
+        acc = np.zeros(64, dtype=np.int64)
+        for t in raw["caption"][i].lower().split():
+            hv = xxhash64(t)
+            acc += np.array([1 if (hv >> b) & 1 else -1 for b in range(64)])
+        cap = np.where(acc >= 0, 1, -1)
+        assert int(out["align_dot"][i]) == int((img * cap).sum())
+        assert int(out["keep"][i]) == int(int(out["align_dot"][i]) >= q.ALIGN_KEEP_DOT)
+    assert 0 < int(out["keep"].sum()) < len(out)
+
+
 def test_profile_approx_within_hll_error(ray_session, sf_dir):
     """Single-pass HLL profile must land within standard HLL error
     (~1.6% at 2^12 registers; allow 5%) of the exact per-column
