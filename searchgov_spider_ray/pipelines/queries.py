@@ -4617,6 +4617,91 @@ def image_caption_alignment(sf_dir: str):
     )
 
 
+HAMMING_TOPK_K = 5
+HAMMING_QUERY_MOD = 17  # every 17th image (by id hash) is a query
+
+
+def image_hamming_topk(sf_dir: str, k: int = HAMMING_TOPK_K):
+    """Image similarity search: exact Hamming top-k over the stored
+    64-bit pHash column — the image-side analog of ann_topk_brute
+    (reverse-image / find-similar over a crawled corpus). Query set =
+    every image whose xxhash64(image_id) % 17 == 0 (deterministic,
+    corpus-size-proportional). Metadata-only: bytes never read.
+
+    Distribution: query pHashes broadcast once (ray.put via closure
+    capture of the tiny materialized query table); each batch computes
+    the XOR-popcount distance matrix vectorized (uint8 view + unpackbits
+    lookup-free popcount) and emits only its batch-local top-k per
+    query, so the merge input is ≤ k·n_batches·n_queries rows. The
+    banded pigeonhole path (_image_phash_graph) remains the scale route
+    for RADIUS queries; top-k needs the exact scan. Rows-only driver
+    entry; pytest pins the result against a full brute-force replay."""
+    from ..functions.hashing import xxhash64_array
+
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(cdir + "/corpus_images.parquet", columns=["image_id", "phash"])
+
+    def pick_queries(df: pd.DataFrame) -> pd.DataFrame:
+        h = xxhash64_array(df["image_id"].tolist())
+        sel = (h % np.uint64(HAMMING_QUERY_MOD)) == 0
+        return df[sel]
+
+    qdf = (
+        ds.map_batches(pick_queries, batch_format="pandas")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    q_ids = qdf["image_id"].to_numpy(dtype=object)
+    q_ph = qdf["phash"].to_numpy(np.int64).view(np.uint64)
+
+    # 16-bit popcount table: popcount(x) = sum of table over 4 shorts
+    pop16 = np.zeros(1 << 16, dtype=np.uint8)
+    for b in range(16):
+        pop16[(np.arange(1 << 16) >> b) & 1 == 1] += 1
+
+    def _hamming(corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
+        x = corpus[:, None] ^ queries[None, :]
+        d = np.zeros(x.shape, dtype=np.int64)
+        for s in range(0, 64, 16):
+            d += pop16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        return d
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        ids = df["image_id"].to_numpy(dtype=object)
+        d = _hamming(ph, q_ph)
+        outs = []
+        for j in range(len(q_ids)):
+            not_self = ids != q_ids[j]
+            cand_ids, cand_d = ids[not_self], d[not_self, j]
+            order = np.lexsort((cand_ids, cand_d))[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), q_ids[j], dtype=object),
+                        "neighbor_id": cand_ids[order],
+                        "hamming": cand_d[order],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hamming", "neighbor_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "hamming"]]
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images
 PHASH_MAX_HAMMING = 3
 
@@ -5692,6 +5777,7 @@ QUERIES = {
     "caption_token_stats": caption_token_stats,
     "image_curation_pipeline": image_curation_pipeline,
     "image_caption_alignment": image_caption_alignment,
+    "image_hamming_topk": image_hamming_topk,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,

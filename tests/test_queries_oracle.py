@@ -350,6 +350,39 @@ def test_image_caption_alignment_scalar_golden(ray_session, sf_dir):
     assert 0 < int(out["keep"].sum()) < len(out)
 
 
+def test_image_hamming_topk_matches_brute_force(ray_session, sf_dir):
+    """The distributed partial-top-k merge must equal a single-process
+    brute-force Hamming scan for every query (ties by neighbor_id)."""
+    import numpy as np
+    import ray.data as rd
+
+    import searchgov_spider_ray.pipelines.queries as q
+    from searchgov_spider_ray.functions.hashing import xxhash64
+
+    out = q.image_hamming_topk(sf_dir)
+    cdir = q._crawl_corpus_dir()
+    raw = rd.read_parquet(cdir + "/corpus_images.parquet").to_pandas()
+    ids = raw["image_id"].to_numpy(dtype=object)
+    ph = raw["phash"].to_numpy(np.int64).view(np.uint64)
+    queries = sorted(
+        i for i in ids if xxhash64(i) % q.HAMMING_QUERY_MOD == 0
+    )
+    assert len(queries) > 0
+    assert sorted(out["query_id"].unique()) == queries
+    for qid in queries:
+        qph = int(ph[list(ids).index(qid)])
+        dists = [
+            (bin(int(p) ^ qph).count("1"), i)
+            for p, i in zip(ph, ids)
+            if i != qid
+        ]
+        want = sorted(dists)[: q.HAMMING_TOPK_K]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert list(got["neighbor_id"]) == [i for _, i in want]
+        assert list(got["hamming"]) == [d for d, _ in want]
+        assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
 def test_profile_approx_within_hll_error(ray_session, sf_dir):
     """Single-pass HLL profile must land within standard HLL error
     (~1.6% at 2^12 registers; allow 5%) of the exact per-column
