@@ -247,6 +247,11 @@ def run_query_bench() -> dict[str, float]:
         "doc_unigram_perplexity",
         "customers_pareto_80",
         "doc_containment_near_dup",
+        # round-3 retrieval/drift wave (the image-axis queries run over
+        # the small fixed query corpus — benching them would time pure
+        # overhead, so they stay out of the sf-scaled list)
+        "doc_bm25_topk",
+        "doc_ks_drift",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -615,7 +615,9 @@ _EMPTY_JACCARD = pd.DataFrame(
 )
 
 
-def _ngram_jaccard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+def _ngram_jaccard_pairs(
+    group: pd.DataFrame, k: int = 3, threshold: float = 0.5
+) -> pd.DataFrame:
     """One vectorized pass per source group — NO per-pair Python loop
     and NO scalar hash calls. Exploded (gram, doc) table → lockstep
     ``xxhash64_array`` → sort by gram hash → run detection → pair
@@ -637,7 +639,7 @@ def _ngram_jaccard_pairs(group: pd.DataFrame) -> pd.DataFrame:
         # — same discipline as doc_quality_scores. Gram GENERATION is
         # per-doc string work; hashing and pairing are vectorized below.
         ws = [w for w in _re.split(r"[ \t\n\r\f\v]+", t.lower()) if w]
-        grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        grams = {" ".join(ws[j : j + k]) for j in range(max(0, len(ws) - k + 1))}
         all_grams.extend(grams)
         doc_of.extend([i] * len(grams))
     if not all_grams:
@@ -663,13 +665,13 @@ def _ngram_jaccard_pairs(group: pd.DataFrame) -> pd.DataFrame:
     total = int(n_pairs_per_run.sum())
     run_of = np.repeat(np.arange(len(r)), n_pairs_per_run)
     # local pair rank within its run → (iu, ju) upper-triangle coords
-    k = np.arange(total) - np.repeat(np.cumsum(n_pairs_per_run) - n_pairs_per_run, n_pairs_per_run)
+    pk = np.arange(total) - np.repeat(np.cumsum(n_pairs_per_run) - n_pairs_per_run, n_pairs_per_run)
     rr = r[run_of]
-    # row index iu from rank k in the lexicographic triangle enumeration
+    # row index iu from rank pk in the lexicographic triangle enumeration
     iu = (
-        rr - 2 - np.floor(np.sqrt(-8.0 * k + 4.0 * rr * (rr - 1) - 7.0) / 2.0 - 0.5)
+        rr - 2 - np.floor(np.sqrt(-8.0 * pk + 4.0 * rr * (rr - 1) - 7.0) / 2.0 - 0.5)
     ).astype(np.int64)
-    ju = (k + iu + 1 - rr * (rr - 1) // 2 + (rr - iu) * ((rr - iu) - 1) // 2).astype(np.int64)
+    ju = (pk + iu + 1 - rr * (rr - 1) // 2 + (rr - iu) * ((rr - iu) - 1) // 2).astype(np.int64)
     pa_idx = dis[s[run_of] + iu]
     pb_idx = dis[s[run_of] + ju]
     lo = np.minimum(pa_idx, pb_idx)
@@ -678,7 +680,7 @@ def _ngram_jaccard_pairs(group: pd.DataFrame) -> pd.DataFrame:
     ia, ib = pairs_arr[:, 0], pairs_arr[:, 1]
     union = sizes[ia] + sizes[ib] - isect
     jac = isect.astype(np.float64) / union.astype(np.float64)
-    keep = jac >= 0.5
+    keep = jac >= threshold
     a_id, b_id = ids[ia[keep]], ids[ib[keep]]
     swap = a_id > b_id
     a_id[swap], b_id[swap] = b_id[swap], a_id[swap]
@@ -1353,6 +1355,120 @@ def doc_containment_near_dup(sf_dir: str):
             containment=np.floor(df["containment"] * 1e6 + 0.5).astype(np.int64)
         ).rename(columns={"containment": "containment_micros"}),
         batch_format="pandas",
+    )
+
+
+MINHASH_EVAL_K = 5       # shingle width — matches doc_minhash_near_dup
+MINHASH_EVAL_TAU = 0.8   # exact-Jaccard truth threshold — matches too
+
+
+def doc_minhash_eval(sf_dir: str, wide_doc_rows: int | None = None):
+    """MinHash-LSH quality evaluation — the tuning harness every
+    production dedup deployment runs before committing to a (num_perm,
+    bands) configuration: candidate pairs from the EXACT banding used
+    by doc_minhash_near_dup, scored against ground truth from an exact
+    blocked all-pairs Jaccard (same-source blocks, the standard
+    sampled-truth protocol — full-corpus truth is O(n²)). Universe =
+    same-source pairs where both docs have ≥1 shingle (empty-shingle
+    docs trivially collide in every band but have no gram
+    co-occurrence, so they are excluded from both sides by
+    definition). Returns one row: truth/candidate/tp/fp/fn counts plus
+    precision/recall in exact micros.
+
+    Distribution: candidates reuse the near-dup narrow/wide dispatch
+    (single-block kernel below ``wide_doc_rows``, coarse bucket-
+    partitioned kernels above); truth is per-source-block vectorized
+    gram-run expansion (work ∝ shared-gram co-occurrences). The
+    classification merge runs on the two PAIR tables — bounded by dup
+    density, not corpus size."""
+    from .training import (
+        WIDE_DOC_ROWS,
+        _add_bucket_part,
+        _derive_bands,
+        _distinct_pairs_wide,
+        _MinHashBands,
+        _n_parts_default,
+        _pairs_from_bands,
+    )
+
+    num_perm = 128
+    bands = _derive_bands(num_perm, MINHASH_EVAL_TAU)
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    docs = ds.select_columns(["doc_id", "text"])
+    n_docs = docs.count()
+    wide_at = wide_doc_rows if wide_doc_rows is not None else WIDE_DOC_ROWS
+
+    bands_ds = docs.map_batches(
+        _MinHashBands(num_perm, bands, MINHASH_EVAL_K, "text", "doc_id"),
+        batch_format="pyarrow",
+    )
+    if n_docs > wide_at:
+        n_parts = _n_parts_default()
+        cand = _distinct_pairs_wide(
+            bands_ds.map_batches(
+                lambda t: _add_bucket_part(t, n_parts), batch_format="pyarrow"
+            )
+            .groupby("part")
+            .map_groups(_pairs_from_bands, batch_format="pyarrow"),
+            ["doc_a", "doc_b"],
+            n_parts,
+        )
+    else:
+        cand = bands_ds.repartition(1).map_batches(
+            _pairs_from_bands, batch_format="pyarrow", batch_size=None
+        )
+    cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+
+    # narrow per-doc metadata: source + has-any-shingle flag
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
+        n_words = (
+            df["text"].fillna("").str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "source": df["source"],
+                "has_sh": (n_words >= MINHASH_EVAL_K).astype(np.int64),
+            }
+        )
+
+    meta_df = ds.map_batches(meta, batch_format="pandas").to_pandas()
+    lk = meta_df.set_index("doc_id")
+    cand_df = cand_df[
+        (lk["source"].reindex(cand_df["doc_a"]).to_numpy()
+         == lk["source"].reindex(cand_df["doc_b"]).to_numpy())
+        & (lk["has_sh"].reindex(cand_df["doc_a"]).to_numpy() == 1)
+        & (lk["has_sh"].reindex(cand_df["doc_b"]).to_numpy() == 1)
+    ]
+
+    truth_df = (
+        ds.groupby("source")
+        .map_groups(
+            lambda g: _ngram_jaccard_pairs(g, k=MINHASH_EVAL_K, threshold=MINHASH_EVAL_TAU),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    merged = cand_df.merge(truth_df[["doc_a", "doc_b"]], on=["doc_a", "doc_b"], how="inner")
+    n_truth, n_cand, tp = len(truth_df), len(cand_df), len(merged)
+
+    def _micros_ratio(num: int, den: int) -> int:
+        if den == 0:
+            return 1_000_000
+        return int(np.floor(float(num) / float(den) * 1e6 + 0.5))
+
+    return pd.DataFrame(
+        {
+            "n_truth": pd.Series([n_truth], dtype="int64"),
+            "n_candidates": pd.Series([n_cand], dtype="int64"),
+            "tp": pd.Series([tp], dtype="int64"),
+            "fp": pd.Series([n_cand - tp], dtype="int64"),
+            "fn": pd.Series([n_truth - tp], dtype="int64"),
+            "precision_micros": pd.Series([_micros_ratio(tp, n_cand)], dtype="int64"),
+            "recall_micros": pd.Series([_micros_ratio(tp, n_truth)], dtype="int64"),
+        }
     )
 
 
@@ -5701,6 +5817,7 @@ QUERIES = {
     "events_asof_attribution": events_asof_attribution,
     "top_parts_per_brand": top_parts_per_brand,
     "doc_minhash_near_dup": doc_minhash_near_dup,
+    "doc_minhash_eval": doc_minhash_eval,
     "doc_containment_near_dup": doc_containment_near_dup,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
@@ -6698,6 +6815,44 @@ def _minhash_oracle_sql(
     triangle ≤200/bucket, min-id star above — _pairs_from_bands'
     cap) → exact-Jaccard verify ≥ threshold with IEEE-double division
     identical to numpy's, emitted as jaccard_micros."""
+    return f"""
+        WITH {_minhash_cand_ctes(num_perm, threshold, k, doc_where)},
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS ni
+            FROM cand c
+            JOIN sets sa ON sa.doc_id = c.doc_a
+            JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(jac * 1000000 + 0.5) AS BIGINT) AS {metric}_micros
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   {"CASE WHEN coalesce(na.ns, 0) = 0 OR coalesce(nb.ns, 0) = 0 THEN 1.0"
+                    " ELSE GREATEST("
+                    "CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(na.ns AS DOUBLE), "
+                    "CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(nb.ns AS DOUBLE)) END"
+                    if metric == "containment" else
+                    "CASE WHEN coalesce(na.ns, 0) + coalesce(nb.ns, 0) = 0 THEN 1.0"
+                    " ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)"
+                    " / CAST(coalesce(na.ns, 0) + coalesce(nb.ns, 0)"
+                    " - coalesce(i.ni, 0) AS DOUBLE) END"} AS jac
+            FROM cand c
+            LEFT JOIN scnt na ON na.doc_id = c.doc_a
+            LEFT JOIN scnt nb ON nb.doc_id = c.doc_b
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        )
+        WHERE jac >= {threshold}
+    """
+
+
+def _minhash_cand_ctes(
+    num_perm: int, threshold: float, k: int, doc_where: str = ""
+) -> str:
+    """Shared CTE chain for the MinHash oracle family: shingle sets →
+    128-perm signatures → band keys → star-capped candidate pairs
+    (everything through ``cand``). Used by _minhash_oracle_sql (verify
+    tail) and _minhash_eval_oracle_sql (precision/recall tail)."""
     from ..functions.simdedup import _COMB_MULT, _MERSENNE, MinHasher
     from .training import _derive_bands
 
@@ -6709,8 +6864,7 @@ def _minhash_oracle_sql(
         f"({i}, CAST({int(a)} AS HUGEINT), CAST({int(b)} AS HUGEINT))"
         for i, (a, b) in enumerate(zip(mh.a, mh.b))
     )
-    return f"""
-        WITH {_sql_shingle_ctes(k, doc_where)},
+    return f"""{_sql_shingle_ctes(k, doc_where)},
         sets AS (SELECT DISTINCT doc_id, sh FROM shingles),
         scnt AS (SELECT doc_id, count(*) AS ns FROM sets GROUP BY doc_id),
         perms(pid, a, b) AS (
@@ -6757,33 +6911,58 @@ def _minhash_oracle_sql(
                 UNION ALL
                 SELECT mn, doc_id FROM bstat WHERE cnt > 200 AND doc_id <> mn
             )
+        )"""
+
+
+def _minhash_eval_oracle_sql(
+    num_perm: int = 128, threshold: float = 0.8, k: int = 5
+) -> str:
+    """Replay doc_minhash_eval: the shared candidate CTE chain, truth
+    from an exact same-source all-pairs Jaccard over the shingle sets,
+    and the tp/fp/fn + exact-micros precision/recall tail. The
+    non-degenerate universe (both docs have ≥1 shingle) is enforced by
+    scnt membership — identical to the kernel's word-count gate."""
+    return f"""
+        WITH {_minhash_cand_ctes(num_perm, threshold, k)},
+        src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents),
+        cand_ss AS (
+            SELECT c.doc_a, c.doc_b FROM cand c
+            JOIN src sa ON sa.doc_id = c.doc_a
+            JOIN src sb ON sb.doc_id = c.doc_b AND sb.source = sa.source
+            JOIN scnt ka ON ka.doc_id = c.doc_a AND ka.ns > 0
+            JOIN scnt kb ON kb.doc_id = c.doc_b AND kb.ns > 0
         ),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, count(*) AS ni
-            FROM cand c
-            JOIN sets sa ON sa.doc_id = c.doc_a
-            JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-            GROUP BY c.doc_a, c.doc_b
+        truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sets a
+            JOIN sets b ON b.sh = a.sh AND a.doc_id < b.doc_id
+            JOIN src sa ON sa.doc_id = a.doc_id
+            JOIN src sb ON sb.doc_id = b.doc_id AND sb.source = sa.source
+            JOIN scnt na ON na.doc_id = a.doc_id
+            JOIN scnt nb ON nb.doc_id = b.doc_id
+            GROUP BY a.doc_id, b.doc_id, na.ns, nb.ns
+            HAVING CAST(count(*) AS DOUBLE)
+                   / CAST(na.ns + nb.ns - count(*) AS DOUBLE) >= {threshold}
+        ),
+        agg AS (
+            SELECT
+                (SELECT count(*) FROM truth) AS n_truth,
+                (SELECT count(*) FROM cand_ss) AS n_candidates,
+                (SELECT count(*) FROM cand_ss c
+                 JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS tp
         )
-        SELECT doc_a, doc_b,
-               CAST(FLOOR(jac * 1000000 + 0.5) AS BIGINT) AS {metric}_micros
-        FROM (
-            SELECT c.doc_a, c.doc_b,
-                   {"CASE WHEN coalesce(na.ns, 0) = 0 OR coalesce(nb.ns, 0) = 0 THEN 1.0"
-                    " ELSE GREATEST("
-                    "CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(na.ns AS DOUBLE), "
-                    "CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(nb.ns AS DOUBLE)) END"
-                    if metric == "containment" else
-                    "CASE WHEN coalesce(na.ns, 0) + coalesce(nb.ns, 0) = 0 THEN 1.0"
-                    " ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)"
-                    " / CAST(coalesce(na.ns, 0) + coalesce(nb.ns, 0)"
-                    " - coalesce(i.ni, 0) AS DOUBLE) END"} AS jac
-            FROM cand c
-            LEFT JOIN scnt na ON na.doc_id = c.doc_a
-            LEFT JOIN scnt nb ON nb.doc_id = c.doc_b
-            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        )
-        WHERE jac >= {threshold}
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(n_candidates - tp AS BIGINT) AS fp,
+               CAST(n_truth - tp AS BIGINT) AS fn,
+               CAST(CASE WHEN n_candidates = 0 THEN 1000000
+                    ELSE FLOOR(CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+                               * 1000000 + 0.5) END AS BIGINT) AS precision_micros,
+               CAST(CASE WHEN n_truth = 0 THEN 1000000
+                    ELSE FLOOR(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                               * 1000000 + 0.5) END AS BIGINT) AS recall_micros
+        FROM agg
     """
 
 
@@ -7841,6 +8020,7 @@ ORACLES["events_user_hll"] = _hll_oracle_sql()
 ORACLES["events_type_hll"] = _hll_grouped_oracle_sql()
 ORACLES["events_user_cms"] = _cms_oracle_sql()
 ORACLES["doc_minhash_near_dup"] = _minhash_oracle_sql()
+ORACLES["doc_minhash_eval"] = _minhash_eval_oracle_sql()
 ORACLES["doc_containment_near_dup"] = _minhash_oracle_sql(
     threshold=0.9, metric="containment"
 )
