@@ -269,6 +269,134 @@ def q3_shipping_priority(sf_dir: str):
     return joined.repartition(1).map_batches(topk, batch_format="pandas", batch_size=None)
 
 
+def q4_priority_returns(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): count orders per
+    priority placed in 1997-H1 that have AT LEAST ONE returned
+    lineitem — the EXISTS → semi-join → group-count pattern (this
+    lineitem table carries no commit/receipt dates, so the standard
+    l_commitdate < l_receiptdate predicate becomes l_returnflag='R';
+    the relational shape is identical). Lineitem keys are distinct-ed
+    per batch BEFORE the exchange (combiner pushdown), the semi join is
+    the Arrow-native key-membership path of relational.hash_join, and
+    the count is a per-batch partial ahead of a 5-row groupby."""
+    from .relational import hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-07-01")
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    def rkeys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        keys = pc.unique(t["l_orderkey"])
+        return pa.table({"o_orderkey": keys})
+
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        rkeys, batch_format="pyarrow"
+    )
+    hit = hash_join(orders, returned, on="o_orderkey", how="semi")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_orderpriority", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    res = (
+        hit.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .sum("n")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "o_orderpriority": res["o_orderpriority"],
+            "order_count": res["sum(n)"].astype(np.int64),
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q10_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns for orders placed in 1997-Q1, with name /
+    nation / account balance. Fact side: lineitem revenue (exact cents)
+    pre-aggregated per (block, orderkey) → hash-partitioned join to the
+    date-filtered orders (combiner post kernel re-aggregates per
+    custkey inside each partition) → small groupby(custkey) sum →
+    global top-20. Dimension side: ONLY the 20 winners join customer /
+    nation (driver-side is_in filter — the dimension join happens
+    after the top-k cut, never against the fact table)."""
+    from .relational import hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        part = pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"), "rev": rev})
+        return part.groupby("o_orderkey", as_index=False).agg(revenue_cents=("rev", "sum"))
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(li_partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+
+    joined = hash_join(li, orders, on="o_orderkey", post=combine)
+    rev = (
+        joined.groupby("o_custkey")
+        .sum("revenue_cents")
+        .to_pandas()
+        .rename(columns={"sum(revenue_cents)": "revenue_cents"})
+    )
+    top = rev.sort_values(
+        ["revenue_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["c_custkey"], value_set=pa.array(top["o_custkey"].astype("int64")))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (
+        top.rename(columns={"o_custkey": "c_custkey"})
+        .merge(cust, on="c_custkey")
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["c_acctbal_cents"] = _cents(out["c_acctbal"])
+    out = out.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "c_acctbal_cents", "revenue_cents"]]
+
+
 def customers_without_orders(sf_dir: str, broadcast_below: int = 2_000_000):
     """Anti-join (SURVEY.md §2.4 A5): broadcast key set below
     ``broadcast_below`` distinct-side rows, hash-partitioned
@@ -5699,10 +5827,14 @@ def doc_bm25_topk(sf_dir: str, k: int = _RETRIEVAL_K):
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "doc_id", "bm25"]]
 
+    # the per-batch top-k cut leaves ≤ k·n_batches·n_queries rows, so
+    # the final per-query merge is a driver-side pandas groupby — a Ray
+    # groupby exchange would cost more than the table it merges
+    partials = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
     return (
-        ds.map_batches(score_partial, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
+        partials.groupby("query_id", group_keys=False)[partials.columns]
+        .apply(merge_topk)
+        .reset_index(drop=True)
     )
 
 
@@ -5731,13 +5863,16 @@ def doc_ks_drift(sf_dir: str):
             .rename(columns={"size": "c"})
         )
 
+    # final combine runs driver-side: the partial table is bounded by
+    # sources × distinct lengths × blocks (a histogram, not rows), so a
+    # Ray groupby exchange here would pay seconds of shuffle overhead
+    # to merge a few thousand rows
     hist = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(["source", "len"])
-        .sum("c")
         .to_pandas()
+        .groupby(["source", "len"], as_index=False)["c"]
+        .sum()
     )
-    hist = hist.rename(columns={"sum(c)": "c"})
     hist["c"] = hist["c"].astype(np.int64)
     grid = np.sort(hist["len"].unique())
     n_all = int(hist["c"].sum())
@@ -5781,6 +5916,8 @@ QUERIES = {
     "customer_order_counts": customer_order_counts,
     "orders_with_building_customer": orders_with_building_customer,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_priority_returns": q4_priority_returns,
+    "q10_returned_customers": q10_returned_customers,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "part_stats_small": part_stats_small,
     "events_hourly": events_hourly,
@@ -6229,6 +6366,34 @@ ORACLES = {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 10
+    """,
+    "q4_priority_returns": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q10_returned_customers": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name, c_acctbal
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20
     """,
     "supplier_balance_by_nation": """
         SELECT n_name,
