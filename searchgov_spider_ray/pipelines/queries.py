@@ -2248,42 +2248,80 @@ def events_profile(sf_dir: str):
     )
     n_rows = int(nulls["sum(n)"])
 
-    from ..functions.simdedup import hash_part
-
-    out_rows = []
-    for c in cols:
-        col_ds = _read(sf_dir, "events", [c])
-
-        def uniq(t: pa.Table, _c=c) -> pd.DataFrame:
-            arr = t[_c]
+    # ONE distinct exchange for all six columns (was one pipeline per
+    # column — six executor launches whose fixed overhead dominated at
+    # bench scale). Per batch: per-column unique values, injectively
+    # encoded as strings (ints/timestamps → decimal, doubles → bit
+    # pattern with ±0.0 normalized so 0.0 == -0.0 like SQL equality,
+    # strings as-is), tagged with col_id, coarse 64-way hash partition;
+    # distinct-within-partition per (part, col) sums to each column's
+    # exact global count. The wire carries per-batch UNIQUE encoded
+    # values only — still bounded by column cardinality, never rows.
+    def uniq_all(t: pa.Table) -> pd.DataFrame:
+        frames = []
+        for ci, c in enumerate(cols):
+            arr = t[c]
             if pa.types.is_timestamp(arr.type):
                 arr = pc.cast(arr, pa.int64())
-            v = arr.drop_null().unique().to_pandas()
-            # coarse partition (64 groups on the wire, not one group per
-            # value): distinct-within-partition sums to the global count
-            if len(v) and v.dtype == object:
-                part = pd.util.hash_array(v.to_numpy()) % np.uint64(64)
-            elif len(v) and v.dtype == np.float64:
-                part = hash_part(v.to_numpy(np.float64).view(np.uint64), 64)
+            v = arr.drop_null().unique()
+            if len(v) == 0:
+                continue
+            if pa.types.is_floating(v.type):
+                x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+                x = np.where(x == 0.0, 0.0, x)
+                key = pd.Series(x.view(np.uint64)).astype(str)
+            elif pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
+                key = v.to_pandas().astype(str)
             else:
-                part = hash_part(v.to_numpy(np.int64), 64) if len(v) else np.array([], dtype=np.int64)
-            return pd.DataFrame({"v": v, "part": part.astype(np.int64)})
+                key = pd.Series(
+                    v.to_numpy(zero_copy_only=False).astype(np.int64)
+                ).astype(str)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "col_id": np.full(len(key), ci, dtype=np.int64),
+                        "key": key.to_numpy(dtype=object),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "col_id": pd.Series([], dtype="int64"),
+                    "key": pd.Series([], dtype=object),
+                    "part": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = (
+            pd.util.hash_array(out["key"].to_numpy(dtype=object)) % np.uint64(64)
+        ).astype(np.int64)
+        return out
 
-        def count_part(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"nd": [int(g["v"].nunique())]})
-
-        n_distinct = int(
-            col_ds.map_batches(uniq, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(count_part, batch_format="pandas")
-            .sum("nd")
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("col_id")["key"].nunique()
+        return pd.DataFrame(
+            {
+                "col_id": d.index.to_numpy(np.int64),
+                "nd": d.to_numpy(np.int64),
+            }
         )
+
+    counts = (
+        ds.map_batches(uniq_all, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pandas")
+        .to_pandas()
+    )
+    nd_by_col = counts.groupby("col_id")["nd"].sum()
+    out_rows = []
+    for ci, c in enumerate(cols):
         out_rows.append(
             {
                 "col_name": c,
                 "n": n_rows,
                 "n_null": int(nulls[f"sum(null_{c})"]),
-                "n_distinct": n_distinct,
+                "n_distinct": int(nd_by_col.get(ci, 0)),
             }
         )
     out = pd.DataFrame(out_rows)
