@@ -252,6 +252,8 @@ def run_query_bench() -> dict[str, float]:
         # overhead, so they stay out of the sf-scaled list)
         "doc_bm25_topk",
         "doc_ks_drift",
+        "q7_nation_trade",
+        "q18_large_volume_customers",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -397,6 +397,217 @@ def q10_returned_customers(sf_dir: str):
     return out[["c_custkey", "c_name", "n_name", "c_acctbal_cents", "revenue_cents"]]
 
 
+def q7_nation_trade(sf_dir: str, wide_customer_rows: int = 20_000_000):
+    """TPC-H Q7 shape (volume shipping): 1997 revenue between every
+    (supplier nation, customer nation) pair, cross-nation only. Two
+    dimension attachments + one large-large join: supplier →
+    nation-code is ALWAYS a broadcast sorted-key array (bounded
+    dimension); customer → nation-code broadcasts below
+    ``wide_customer_rows`` and routes through relational.hash_join
+    above it (same dispatch as priority_by_region, forced-wide parity
+    pinned). lineitem revenue is pre-aggregated per (block, orderkey,
+    supp_code) before the o_orderkey exchange; the final combine runs
+    over ≤ 625 nation-pair partials per block."""
+    from .relational import hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_names_ = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    nat_names_[nation["n_nationkey"].to_numpy(np.int64)] = nation["n_name"].to_numpy(object)
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sorder = np.argsort(sup["s_suppkey"].to_numpy(np.int64), kind="stable")
+    skeys_sorted = sup["s_suppkey"].to_numpy(np.int64)[sorder]
+    snat_sorted = sup["s_nationkey"].to_numpy(np.int64)[sorder].astype(np.int32)
+    sup_ref = ray.put((skeys_sorted, snat_sorted))
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        return t.filter(m)
+
+    orders_raw = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # footer-metadata count: .count() on the mapped dataset would
+    # execute the read+strip lineage just to pick a dispatch path
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    if n_cust >= wide_customer_rows:
+        cust_map = cust_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "cust_code": pc.cast(t["c_nationkey"], pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        orders_f = hash_join(
+            orders_raw.map_batches(
+                lambda t: t.select(["o_orderkey", "o_custkey"]), batch_format="pyarrow"
+            ),
+            cust_map,
+            on="o_custkey",
+            post=lambda df: df[["o_orderkey", "cust_code"]],
+        )
+    else:
+        cust = cust_ds.to_pandas()
+        corder = np.argsort(cust["c_custkey"].to_numpy(np.int64), kind="stable")
+        ckeys_sorted = cust["c_custkey"].to_numpy(np.int64)[corder]
+        cnat_sorted = cust["c_nationkey"].to_numpy(np.int64)[corder].astype(np.int32)
+        cust_ref = ray.put((ckeys_sorted, cnat_sorted))
+
+        class _AttachCust:
+            def __init__(self):
+                self._m = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._m is None:
+                    self._m = ray.get(cust_ref)
+                keys, nats = self._m
+                probe = df["o_custkey"].to_numpy(np.int64)
+                idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+                hit = keys[idx] == probe
+                return pd.DataFrame(
+                    {
+                        "o_orderkey": df["o_orderkey"].to_numpy(np.int64)[hit],
+                        "cust_code": nats[idx[hit]],
+                    }
+                )
+
+        orders_f = orders_raw.map_batches(_AttachCust(), batch_format="pandas")
+
+    class _LiPartial:
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._m is None:
+                self._m = ray.get(sup_ref)
+            keys, nats = self._m
+            probe = df["l_suppkey"].to_numpy(np.int64)
+            idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+            hit = keys[idx] == probe
+            df = df[hit]
+            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+            part = pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"].astype("int64"),
+                    "supp_code": nats[idx[hit]],
+                    "rev": rev,
+                }
+            )
+            return part.groupby(["o_orderkey", "supp_code"], as_index=False).agg(
+                revenue_cents=("rev", "sum")
+            )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_LiPartial(), batch_format="pandas")
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["supp_code", "cust_code"], as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+
+    partials = hash_join(li, orders_f, on="o_orderkey", post=post)
+    res = (
+        _combine_partials(partials, ["supp_code", "cust_code"], ["revenue_cents"])
+        .to_pandas()
+    )
+    res = res[res["supp_code"] != res["cust_code"]]
+    out = pd.DataFrame(
+        {
+            "supp_nation": nat_names_[res["supp_code"].to_numpy(np.int64)],
+            "cust_nation": nat_names_[res["cust_code"].to_numpy(np.int64)],
+            "revenue_cents": res["revenue_cents"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["supp_nation", "cust_nation"]).reset_index(drop=True)
+
+
+Q18_MIN_QTY = 300  # large-volume threshold (quantities sum to ≤ ~460/order)
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds Q18_MIN_QTY, with customer name and order
+    facts, top-100 by (o_totalprice DESC, o_orderdate ASC). Pattern =
+    groupby-HAVING + join-back: per-batch (orderkey, qty) partials →
+    one hash-shuffle groupby (per-order keys can exceed a block — this
+    is the scale path, not _combine_partials) → HAVING filter shrinks
+    to the few large orders → the join back to orders/customer runs
+    against THAT small key set (broadcast is_in), never the fact
+    table. Quantities are whole-number doubles; both sides round to
+    int64 before summing so the HAVING compare is exact."""
+    from ..functions.simdedup import hash_part
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["l_quantity"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        part = pd.DataFrame({"l_orderkey": df["l_orderkey"].astype("int64"), "q": q})
+        out = part.groupby("l_orderkey", as_index=False).agg(sum_qty=("q", "sum"))
+        # coarse 64-way partition: the exchange moves 64 groups, not one
+        # sort group per orderkey (the per-key Aggregate exchange costs
+        # ~10s on 58k partial rows; this shape costs <2s)
+        out["part"] = hash_part(out["l_orderkey"].to_numpy(np.int64), 64).astype(np.int64)
+        return out
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        # every orderkey lands wholly in one partition, so the global
+        # sum AND the HAVING filter both complete inside the partition
+        tot = g.groupby("l_orderkey", as_index=False).agg(sum_qty=("sum_qty", "sum"))
+        return tot[tot["sum_qty"] > Q18_MIN_QTY]
+
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(big) == 0:
+        big = pd.DataFrame(
+            {"l_orderkey": pd.Series([], dtype="int64"), "sum_qty": pd.Series([], dtype="int64")}
+        )
+    okeys = pa.array(big["l_orderkey"].astype("int64"))
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=okeys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    ckeys = pa.array(orders["o_custkey"].astype("int64").unique())
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=ckeys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = (
+        orders.merge(big.rename(columns={"l_orderkey": "o_orderkey"}), on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    )
+    out["o_totalprice_cents"] = _cents(out["o_totalprice"])
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out = out.sort_values(
+        ["o_totalprice_cents", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(100).reset_index(drop=True)
+    return out[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice_cents", "sum_qty"]
+    ]
+
+
 def customers_without_orders(sf_dir: str, broadcast_below: int = 2_000_000):
     """Anti-join (SURVEY.md §2.4 A5): broadcast key set below
     ``broadcast_below`` distinct-side rows, hash-partitioned
@@ -1523,7 +1734,8 @@ def doc_minhash_eval(sf_dir: str, wide_doc_rows: int | None = None):
     bands = _derive_bands(num_perm, MINHASH_EVAL_TAU)
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     docs = ds.select_columns(["doc_id", "text"])
-    n_docs = docs.count()
+    # footer-metadata count — not .count() on the mapped lineage
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
     wide_at = wide_doc_rows if wide_doc_rows is not None else WIDE_DOC_ROWS
 
     bands_ds = docs.map_batches(
@@ -5955,7 +6167,9 @@ QUERIES = {
     "orders_with_building_customer": orders_with_building_customer,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_priority_returns": q4_priority_returns,
+    "q7_nation_trade": q7_nation_trade,
     "q10_returned_customers": q10_returned_customers,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "part_stats_small": part_stats_small,
     "events_hourly": events_hourly,
@@ -6416,6 +6630,39 @@ ORACLES = {
           )
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "q7_nation_trade": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem, orders, supplier, customer, nation sn, nation cn
+        WHERE l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND o_custkey = c_custkey
+          AND s_nationkey = sn.n_nationkey
+          AND c_nationkey = cn.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND sn.n_nationkey <> cn.n_nationkey
+        GROUP BY sn.n_name, cn.n_name
+        ORDER BY supp_nation, cust_nation
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) > 300
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
+               sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice_cents DESC, o_orderdate, o_orderkey
+        LIMIT 100
     """,
     "q10_returned_customers": """
         SELECT c_custkey, c_name, n_name,
