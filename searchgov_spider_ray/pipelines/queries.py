@@ -5111,6 +5111,126 @@ def image_caption_alignment(sf_dir: str):
     )
 
 
+MANIFEST_SHARDS = 8
+
+
+def image_training_manifest(sf_dir: str):
+    """Composed image-corpus flagship — the end-to-end prep a
+    vision-language trainer runs, as ONE streaming pipeline over the
+    corpus metadata (bytes never leave storage): LAION-style gates
+    (min-side / aspect / caption length, image_curation_pipeline's
+    predicates) → CLIP-style alignment gate (image_caption_alignment's
+    hash-projection stand-in, keep align_dot ≥ ALIGN_KEEP_DOT) →
+    exact-pHash dedup (lexicographic first-wins) → training manifest
+    rows: resolution bucket (the batching key), caption token count,
+    alignment score, and a deterministic hash shard assignment (the
+    resumable-output partition key). All stages are single-pass
+    vectorized kernels; the only exchange is the dedup's phash groupby,
+    running on already-gated rows. Rows-only driver entry; every gate
+    and the shard/bucket math replayed directly by pytest."""
+    from ..functions.hashing import xxhash64_array
+
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(
+        cdir + "/corpus_images.parquet",
+        columns=["image_id", "w", "h", "caption", "phash"],
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def gates(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        mn, mx = np.minimum(w, h), np.maximum(w, h)
+        cap = df["caption"].fillna("")
+        cap_tokens = cap.str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.int64)
+        keep = (mn >= CURATION_MIN_SIDE) & (2 * mn >= mx) & (
+            cap_tokens >= CURATION_MIN_CAP_TOKENS
+        )
+        df = df[keep]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "image_id": pd.Series([], dtype=object),
+                    "w": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="int64"),
+                    "cap_tokens": pd.Series([], dtype="int64"),
+                    "phash": pd.Series([], dtype="int64"),
+                    "align_dot": pd.Series([], dtype="int64"),
+                }
+            )
+        # alignment gate (same arithmetic as image_caption_alignment)
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        img_pm = (
+            ((ph[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )
+        toks = df["caption"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+")
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        cap_sum = np.zeros((len(df), 64), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat.to_numpy(dtype=object), return_inverse=True)
+            th = xxhash64_array(list(uniq))
+            tok_pm = (
+                ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2
+                - 1
+            )
+            row_idx = df.index.get_indexer(flat.index)
+            np.add.at(cap_sum, row_idx, tok_pm[inv])
+        dot = (img_pm * np.where(cap_sum >= 0, 1, -1)).sum(axis=1)
+        aligned = dot >= ALIGN_KEEP_DOT
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        cap_tokens = (
+            df["caption"].fillna("").str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "image_id": df["image_id"].to_numpy(dtype=object)[aligned],
+                "w": w[aligned],
+                "h": h[aligned],
+                "cap_tokens": cap_tokens[aligned],
+                "phash": df["phash"].to_numpy(np.int64)[aligned],
+                "align_dot": dot.astype(np.int64)[aligned],
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id", kind="mergesort")
+        out = g.head(1).copy()
+        out["n_dups"] = np.int64(len(g))
+        return out
+
+    def manifest(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        h = df["h"].to_numpy(np.int64)
+        df = df.assign(
+            bucket_w=np.maximum((w // 16) * 16, 16),
+            bucket_h=np.maximum((h // 16) * 16, 16),
+            shard=(
+                xxhash64_array(df["image_id"].tolist())
+                % np.uint64(MANIFEST_SHARDS)
+            ).astype(np.int64)
+            if len(df)
+            else pd.Series([], dtype="int64"),
+        )
+        return df
+
+    kept = (
+        ds.map_batches(gates, batch_format="pandas")
+        .groupby("phash")
+        .map_groups(dedup_group, batch_format="pandas")
+        .map_batches(manifest, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = [
+        "image_id", "bucket_w", "bucket_h", "cap_tokens",
+        "align_dot", "n_dups", "shard",
+    ]
+    if len(kept) == 0:
+        return pd.DataFrame({c: [] for c in cols})
+    return kept.sort_values("image_id").reset_index(drop=True)[cols]
+
+
 HAMMING_TOPK_K = 5
 HAMMING_QUERY_MOD = 17  # every 17th image (by id hash) is a query
 
@@ -6284,6 +6404,7 @@ QUERIES = {
     "image_curation_pipeline": image_curation_pipeline,
     "image_caption_alignment": image_caption_alignment,
     "image_hamming_topk": image_hamming_topk,
+    "image_training_manifest": image_training_manifest,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,

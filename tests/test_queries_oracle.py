@@ -401,6 +401,57 @@ def test_image_hamming_topk_matches_brute_force(ray_session, sf_dir):
         assert list(got["rank"]) == list(range(1, len(want) + 1))
 
 
+def test_image_training_manifest_full_replay(ray_session, sf_dir):
+    """The composed manifest must equal a direct single-process replay
+    of its stages (gates → alignment → first-wins dedup → bucket/shard)
+    over the same corpus parquet."""
+    import numpy as np
+    import ray.data as rd
+
+    import searchgov_spider_ray.pipelines.queries as q
+    from searchgov_spider_ray.functions.hashing import xxhash64
+
+    got = q.image_training_manifest(sf_dir)
+    cdir = q._crawl_corpus_dir()
+    raw = rd.read_parquet(cdir + "/corpus_images.parquet").to_pandas()
+
+    def align_dot(phash, caption):
+        img = np.array([1 if (int(np.int64(phash).view(np.uint64)) >> b) & 1 else -1 for b in range(64)])
+        acc = np.zeros(64, dtype=np.int64)
+        for t in caption.lower().split():
+            hv = xxhash64(t)
+            acc += np.array([1 if (hv >> b) & 1 else -1 for b in range(64)])
+        return int((img * np.where(acc >= 0, 1, -1)).sum())
+
+    rows = []
+    for _, r in raw.iterrows():
+        mn, mx = min(r["w"], r["h"]), max(r["w"], r["h"])
+        toks = len([t for t in (r["caption"] or "").split() if t])
+        if mn < q.CURATION_MIN_SIDE or 2 * mn < mx or toks < q.CURATION_MIN_CAP_TOKENS:
+            continue
+        d = align_dot(r["phash"], r["caption"])
+        if d < q.ALIGN_KEEP_DOT:
+            continue
+        rows.append((r["image_id"], r["w"], r["h"], toks, r["phash"], d))
+    import pandas as pd
+
+    surv = pd.DataFrame(
+        rows, columns=["image_id", "w", "h", "cap_tokens", "phash", "align_dot"]
+    )
+    assert 0 < len(surv) < len(raw)
+    winners = surv.sort_values("image_id").groupby("phash", as_index=False).first()
+    ndups = surv.groupby("phash").size()
+    want = winners.assign(
+        n_dups=ndups.reindex(winners["phash"]).to_numpy(),
+        bucket_w=(winners["w"] // 16 * 16).clip(lower=16),
+        bucket_h=(winners["h"] // 16 * 16).clip(lower=16),
+        shard=[xxhash64(i) % q.MANIFEST_SHARDS for i in winners["image_id"]],
+    ).sort_values("image_id").reset_index(drop=True)
+    assert list(got["image_id"]) == list(want["image_id"])
+    for c in ("bucket_w", "bucket_h", "cap_tokens", "align_dot", "n_dups", "shard"):
+        assert list(got[c]) == list(want[c]), c
+
+
 def test_profile_approx_within_hll_error(ray_session, sf_dir):
     """Single-pass HLL profile must land within standard HLL error
     (~1.6% at 2^12 registers; allow 5%) of the exact per-column
