@@ -397,6 +397,113 @@ def q10_returned_customers(sf_dir: str):
     return out[["c_custkey", "c_name", "n_name", "c_acctbal_cents", "revenue_cents"]]
 
 
+def customers_rfm(sf_dir: str, wide_customer_rows: int = 20_000_000):
+    """RFM segmentation — the classic customer-scoring warehouse op:
+    per customer, Recency (latest order timestamp), Frequency (order
+    count), Monetary (exact order cents), each bucketed into NTILE(4)
+    quartiles WITHIN the customer's nation (segment relative to the
+    local market — and the partition key that keeps the window
+    distributed: nation groups are bounded, so each NTILE completes
+    inside one coarse partition, the events_value_ntile discipline;
+    a global NTILE would need a full sort + prefix-sum rank pass).
+    Orders pre-aggregate per (block, custkey) before the exchange; the
+    customer→nation attachment broadcasts below ``wide_customer_rows``
+    and routes through hash_join above (priority_by_region dispatch).
+    segment = 100·r + 10·f + m, quartile 1 = best. DuckDB tile sizing
+    (first n%4 tiles get the extra row) replayed exactly."""
+    from .relational import hash_join
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        last_us = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+        cents = _cents(df["o_totalprice"])
+        part = pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype("int64"),
+                "last_us": last_us,
+                "n_orders": np.int64(1),
+                "cents": cents,
+            }
+        )
+        return part.groupby("c_custkey", as_index=False).agg(
+            last_us=("last_us", "max"), n_orders=("n_orders", "sum"), cents=("cents", "sum")
+        )
+
+    partials = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(o_partial, batch_format="pandas")
+
+    if n_cust >= wide_customer_rows:
+        cust_map = cust_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                    "c_nationkey": pc.cast(t["c_nationkey"], pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = hash_join(partials, cust_map, on="c_custkey")
+    else:
+        cust = cust_ds.to_pandas()
+        corder = np.argsort(cust["c_custkey"].to_numpy(np.int64), kind="stable")
+        ckeys_sorted = cust["c_custkey"].to_numpy(np.int64)[corder]
+        cnat_sorted = cust["c_nationkey"].to_numpy(np.int64)[corder].astype(np.int32)
+        cust_ref = ray.put((ckeys_sorted, cnat_sorted))
+
+        class _AttachNat:
+            def __init__(self):
+                self._m = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._m is None:
+                    self._m = ray.get(cust_ref)
+                keys, nats = self._m
+                probe = df["c_custkey"].to_numpy(np.int64)
+                idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+                hit = keys[idx] == probe
+                df = df[hit]
+                return df.assign(c_nationkey=nats[idx[hit]])
+
+        tagged = partials.map_batches(_AttachNat(), batch_format="pandas")
+
+    def _ntile4(order_metric: np.ndarray, custkey: np.ndarray) -> np.ndarray:
+        """DuckDB NTILE(4) by (metric DESC, custkey ASC): tile per row
+        in the ORIGINAL row order."""
+        n = len(custkey)
+        pos = np.lexsort((custkey, -order_metric))  # row index by rank
+        i = np.arange(n, dtype=np.int64)
+        big, r = n // 4 + 1, n % 4
+        small = max(n // 4, 1)
+        in_big = i < r * big
+        tile_by_rank = np.where(in_big, i // big, r + (i - r * big) // small) + 1
+        out = np.empty(n, dtype=np.int64)
+        out[pos] = tile_by_rank
+        return out
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c_custkey", as_index=False).agg(
+            last_us=("last_us", "max"), n_orders=("n_orders", "sum"), cents=("cents", "sum")
+        )
+        ck = agg["c_custkey"].to_numpy(np.int64)
+        r_q = _ntile4(agg["last_us"].to_numpy(np.int64), ck)
+        f_q = _ntile4(agg["n_orders"].to_numpy(np.int64), ck)
+        m_q = _ntile4(agg["cents"].to_numpy(np.int64), ck)
+        return pd.DataFrame(
+            {
+                "c_custkey": ck,
+                "r_q": r_q,
+                "f_q": f_q,
+                "m_q": m_q,
+                "segment": 100 * r_q + 10 * f_q + m_q,
+            }
+        )
+
+    return tagged.groupby("c_nationkey").map_groups(kernel, batch_format="pandas")
+
+
 def q7_nation_trade(sf_dir: str, wide_customer_rows: int = 20_000_000):
     """TPC-H Q7 shape (volume shipping): 1997 revenue between every
     (supplier nation, customer nation) pair, cross-nation only. Two
@@ -6286,6 +6393,7 @@ QUERIES = {
     "customer_order_counts": customer_order_counts,
     "orders_with_building_customer": orders_with_building_customer,
     "q3_shipping_priority": q3_shipping_priority,
+    "customers_rfm": customers_rfm,
     "q4_priority_returns": q4_priority_returns,
     "q7_nation_trade": q7_nation_trade,
     "q10_returned_customers": q10_returned_customers,
@@ -6739,6 +6847,31 @@ ORACLES = {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 10
+    """,
+    "customers_rfm": """
+        WITH a AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), j AS (
+            SELECT a.c_custkey, a.last_us, a.n_orders, a.cents, c.c_nationkey
+            FROM a JOIN customer c ON c.c_custkey = a.c_custkey
+        ), t AS (
+            SELECT c_custkey,
+                   CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY last_us DESC, c_custkey) AS BIGINT) AS r_q,
+                   CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY n_orders DESC, c_custkey) AS BIGINT) AS f_q,
+                   CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY cents DESC, c_custkey) AS BIGINT) AS m_q
+            FROM j
+        )
+        SELECT c_custkey, r_q, f_q, m_q,
+               100 * r_q + 10 * f_q + m_q AS segment
+        FROM t
     """,
     "q4_priority_returns": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
