@@ -637,6 +637,84 @@ def q7_nation_trade(sf_dir: str, wide_customer_rows: int = 20_000_000):
     return out.sort_values(["supp_nation", "cust_nation"]).reset_index(drop=True)
 
 
+def q13_customer_distribution(sf_dir: str, wide_customer_rows: int = 20_000_000):
+    """TPC-H Q13 shape (customer distribution): histogram of
+    orders-per-customer INCLUDING zero-order customers — the LEFT JOIN
+    count-of-counts pattern. Orders pre-aggregate per (block, custkey),
+    a coarse 64-way partition completes each custkey's count inside one
+    partition (membership-validated against the customer key set —
+    broadcast below ``wide_customer_rows``, semi hash_join above), and
+    each partition emits only its LOCAL (c_count → n_customers)
+    histogram; the driver combines ≤ 64×distinct-counts rows and
+    derives the zero bucket as n_customers − customers-with-orders
+    (one footer-metadata count, no second scan)."""
+    from ..functions.simdedup import hash_part
+    from .relational import hash_join
+
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    cust_ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({"c_custkey": df["o_custkey"].astype("int64")})
+        out = part.groupby("c_custkey", as_index=False).size().rename(columns={"size": "n"})
+        out["part"] = hash_part(out["c_custkey"].to_numpy(np.int64), 64).astype(np.int64)
+        return out
+
+    partials = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        o_partial, batch_format="pandas"
+    )
+    if n_cust >= wide_customer_rows:
+        partials = hash_join(
+            partials,
+            cust_ds.map_batches(
+                lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            on="c_custkey",
+            how="semi",
+        )
+        ckeys_ref = None
+    else:
+        ckeys = np.sort(cust_ds.to_pandas()["c_custkey"].to_numpy(np.int64))
+        ckeys_ref = ray.put(ckeys)
+
+    def hist_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("c_custkey", as_index=False).agg(c_count=("n", "sum"))
+        if ckeys_ref is not None:
+            keys = ray.get(ckeys_ref)
+            tot = tot[_in_sorted(keys, tot["c_custkey"].to_numpy(np.int64))]
+        return tot.groupby("c_count", as_index=False).size().rename(
+            columns={"size": "custdist"}
+        )
+
+    hp = (
+        partials.groupby("part")
+        .map_groups(hist_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(hp) == 0:
+        hist = pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                             "custdist": pd.Series([], dtype="int64")})
+        n_with = 0
+    else:
+        # every customer-with-orders is counted exactly once in its
+        # partition's local histogram, so the custdist total IS the
+        # customers-with-orders count
+        n_with = int(hp["custdist"].sum())
+        hist = hp.groupby("c_count", as_index=False)["custdist"].sum()
+    zero = int(n_cust) - int(n_with)
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 Q18_MIN_QTY = 300  # large-volume threshold (quantities sum to ≤ ~460/order)
 
 
@@ -6394,6 +6472,7 @@ QUERIES = {
     "orders_with_building_customer": orders_with_building_customer,
     "q3_shipping_priority": q3_shipping_priority,
     "customers_rfm": customers_rfm,
+    "q13_customer_distribution": q13_customer_distribution,
     "q4_priority_returns": q4_priority_returns,
     "q7_nation_trade": q7_nation_trade,
     "q10_returned_customers": q10_returned_customers,
@@ -6847,6 +6926,16 @@ ORACLES = {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 10
+    """,
+    "q13_customer_distribution": """
+        WITH c AS (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM c GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     "customers_rfm": """
         WITH a AS (

@@ -105,6 +105,17 @@ class TestForcedWideDispatch:
         assert len(wide) == len(theirs) and len(wide) > 0
         assert _value_hash(wide) == _value_hash(theirs)
 
+    def test_q13_customer_distribution_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.q13_customer_distribution(sf_dir, wide_customer_rows=0))
+        theirs = oracle_con.execute(
+            e.oracle_sql()["q13_customer_distribution"]
+        ).fetchdf()
+        assert len(wide) == len(theirs) and len(wide) > 0
+        assert _value_hash(wide) == _value_hash(theirs)
+
     def test_customers_rfm_wide(self, ray_session, sf_dir, oracle_con):
         from searchgov_spider_ray.pipelines import queries as q
         import __ray_entry__ as e
