@@ -254,6 +254,12 @@ def run_query_bench() -> dict[str, float]:
         "doc_ks_drift",
         "q7_nation_trade",
         "q18_large_volume_customers",
+        # round-3 TPC-H completion wave (Q8 double hash-join, Q21
+        # semi/anti self-join, Q16 distinct-count, Q22 anti-join)
+        "q8_market_share",
+        "q21_blame_supplier",
+        "q16_supplier_variety",
+        "q22_sales_opportunity",
     ]
     for name in bench_queries:
         t0 = time.time()

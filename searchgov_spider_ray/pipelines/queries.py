@@ -3685,6 +3685,973 @@ def q14_promo_revenue_share(sf_dir: str):
     )
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: for AMERICA-region
+    customers' 1996–1997 orders of ECONOMY parts, NATION_3 suppliers'
+    share of discounted revenue per order year. Plan: all three
+    dimension chains collapse to broadcast int arrays (ECONOMY
+    partkeys, AMERICA custkeys, NATION_3 suppkeys — catalog-bounded);
+    the one real exchange is the lineitem⨝orders hash join with
+    per-order revenue partials pushed into the lineitem side, so the
+    join moves order-count rows, not lineitem-count rows. Share is
+    exact integer micros (floor(nation*1e6/total))."""
+    from .relational import hash_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(part.loc[part["p_type"] == "ECONOMY", "p_partkey"].to_numpy(np.int64))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nk = np.sort(supp.loc[supp["s_nationkey"] == 3, "s_suppkey"].to_numpy(np.int64))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    amr = region.loc[region["r_name"] == "AMERICA", "r_regionkey"]
+    am_nat = set(nation.loc[nation["n_regionkey"].isin(amr), "n_nationkey"].astype(int))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust.loc[cust["c_nationkey"].isin(am_nat), "c_custkey"].to_numpy(np.int64))
+    pk_ref, nk_ref, ck_ref = ray.put(pk), ray.put(nk), ray.put(ck)
+
+    LO = pd.Timestamp("1996-01-01")
+    HI = pd.Timestamp("1998-01-01")
+
+    class _LiSide:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = (ray.get(pk_ref), ray.get(nk_ref))
+            pk_, nk_ = self._b
+            keep = _in_sorted(pk_, df["l_partkey"].to_numpy(np.int64))
+            df = df[keep]
+            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+            is_nat = _in_sorted(nk_, df["l_suppkey"].to_numpy(np.int64))
+            part = pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "rev": rev,
+                    "nat_rev": np.where(is_nat, rev, 0),
+                }
+            )
+            return part.groupby("o_orderkey", as_index=False).sum()
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_LiSide(), batch_format="pandas")
+
+    class _OrderSide:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._k is None:
+                self._k = ray.get(ck_ref)
+            df = df[(df["o_orderdate"] >= LO) & (df["o_orderdate"] < HI)]
+            df = df[_in_sorted(self._k, df["o_custkey"].to_numpy(np.int64))]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                    "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+                }
+            )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_OrderSide(), batch_format="pandas")
+
+    def per_year(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_year", as_index=False).agg(
+            nation_cents=("nat_rev", "sum"), total_cents=("rev", "sum")
+        )
+
+    parts = hash_join(li, orders, on="o_orderkey", post=per_year).to_pandas()
+    agg = parts.groupby("o_year", as_index=False).agg(
+        nation_cents=("nation_cents", "sum"), total_cents=("total_cents", "sum")
+    )
+    share = (
+        agg["nation_cents"].to_numpy(np.int64) * 1_000_000
+        // agg["total_cents"].to_numpy(np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "o_year": agg["o_year"].to_numpy(np.int64),
+            "nation_cents": agg["nation_cents"].to_numpy(np.int64),
+            "total_cents": agg["total_cents"].to_numpy(np.int64),
+            "mkt_share_micros": share.astype(np.int64),
+        }
+    )
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape — product-type profit per (supplier nation, ship
+    year) for parts named '%red%'. The reference schema's ps_supplycost
+    is absent, so unit cost := 10% of p_retailprice, exact integers
+    (retail_cents // 10). Both dimension sides are catalog-bounded
+    broadcasts; the fact scan pre-aggregates per (nation, year) inside
+    each batch, so the combine moves ≤ nations×years rows."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains("red", regex=False)]
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    cost = (
+        _cents(part.set_index("p_partkey").loc[pk, "p_retailprice"]) // 10
+    ).astype(np.int64)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey").loc[sk, "s_nationkey"].to_numpy(np.int64)
+    bc = ray.put((pk, cost, sk, sn))
+
+    class _Partial:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(bc)
+            pk_, cost_, sk_, sn_ = self._b
+            keys = df["l_partkey"].to_numpy(np.int64)
+            keep = _in_sorted(pk_, keys)
+            df = df[keep]
+            unit_cost = cost_[np.searchsorted(pk_, keys[keep])]
+            qty = np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+            nat = sn_[np.searchsorted(sk_, df["l_suppkey"].to_numpy(np.int64))]
+            part = pd.DataFrame(
+                {
+                    "n_nationkey": nat,
+                    "o_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+                    "profit_cents": rev - qty * unit_cost,
+                }
+            )
+            return part.groupby(["n_nationkey", "o_year"], as_index=False).sum()
+
+    partials = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_Partial(), batch_format="pandas")
+    agg = _combine_partials(partials, ["n_nationkey", "o_year"], ["profit_cents"]).to_pandas()
+    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas().set_index("n_nationkey")["n_name"]
+    return pd.DataFrame(
+        {
+            "n_name": [str(names[int(k)]) for k in agg["n_nationkey"]],
+            "o_year": agg["o_year"].to_numpy(np.int64),
+            "profit_cents": agg["profit_cents"].to_numpy(np.int64),
+        }
+    )
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape — line counts by return flag split into
+    high/low order priority, 1997 ship year (the schema carries no
+    l_shipmode/commitdate/receiptdate; l_returnflag plays the group
+    role). The lineitem side pre-counts per (orderkey, flag) so the
+    hash join moves bounded rows; the priority CASE runs inside each
+    join partition."""
+    from .relational import hash_join
+
+    LO = pd.Timestamp("1997-01-01")
+    HI = pd.Timestamp("1998-01-01")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        g = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_returnflag": df["l_returnflag"],
+            }
+        )
+        return g.groupby(["o_orderkey", "l_returnflag"], as_index=False).agg(
+            n=("o_orderkey", "size")
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+        li_partial, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        n = df["n"].to_numpy(np.int64)
+        part = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "high_line_count": np.where(hi, n, 0),
+                "low_line_count": np.where(hi, 0, n),
+            }
+        )
+        return part.groupby("l_returnflag", as_index=False).sum()
+
+    parts = hash_join(li, orders, on="o_orderkey", post=split).to_pandas()
+    return (
+        parts.groupby("l_returnflag", as_index=False)
+        .agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"),
+        )
+        .astype({"high_line_count": np.int64, "low_line_count": np.int64})
+    )
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the supplier(s) with maximum Q1-1996 revenue
+    (ties kept, as the spec requires). Per-batch revenue partials by
+    suppkey bound the combine at supplier-count rows; the max+filter
+    runs on that catalog-bounded table."""
+    LO = pd.Timestamp("1996-01-01")
+    HI = pd.Timestamp("1996-04-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        g = pd.DataFrame(
+            {
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "total_revenue_cents": _cents(
+                    df["l_extendedprice"] * (1.0 - df["l_discount"])
+                ),
+            }
+        )
+        return g.groupby("s_suppkey", as_index=False).sum()
+
+    partials = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pandas")
+    rev = _combine_partials(partials, ["s_suppkey"], ["total_revenue_cents"]).to_pandas()
+    best = int(rev["total_revenue_cents"].max())
+    top = rev[rev["total_revenue_cents"] == best]
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .to_pandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    return pd.DataFrame(
+        {
+            "s_suppkey": top["s_suppkey"].to_numpy(np.int64),
+            "s_name": [str(names[int(k)]) for k in top["s_suppkey"]],
+            "total_revenue_cents": top["total_revenue_cents"].to_numpy(np.int64),
+        }
+    )
+
+
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape — distinct-supplier counts per (brand, type,
+    size) for selected part sizes, excluding brand/type and a
+    deterministic 'complaints' supplier set (suppkey % 7 == 0; the
+    schema has no comment text). The schema has no partsupp, so
+    lineitem is the part↔supplier bridge. Distinct (part, supplier)
+    pairs dedup in two stages: per-batch unique on a fused int64 key,
+    then a hash-shuffle groupby — bounded by catalog co-occurrence,
+    never fact rows."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[
+        (part["p_brand"] != "Brand#5")
+        & (part["p_type"] != "PROMO")
+        & (part["p_size"].isin([1, 10, 20, 30, 40, 49]))
+    ]
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    attrs = part.set_index("p_partkey").loc[pk]
+    groups = (
+        attrs[["p_brand", "p_type", "p_size"]]
+        .drop_duplicates()
+        .sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True)
+    )
+    gid_of = {
+        (b, t, int(s)): i
+        for i, (b, t, s) in enumerate(
+            zip(groups["p_brand"], groups["p_type"], groups["p_size"])
+        )
+    }
+    part_gid = np.array(
+        [
+            gid_of[(b, t, int(s))]
+            for b, t, s in zip(attrs["p_brand"], attrs["p_type"], attrs["p_size"])
+        ],
+        dtype=np.int64,
+    )
+    bc = ray.put((pk, part_gid))
+
+    class _Pairs:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(bc)
+            pk_, gid_ = self._b
+            partk = df["l_partkey"].to_numpy(np.int64)
+            suppk = df["l_suppkey"].to_numpy(np.int64)
+            keep = _in_sorted(pk_, partk) & (suppk % 7 != 0)
+            gid = gid_[np.searchsorted(pk_, partk[keep])]
+            fused = (gid << np.int64(32)) | suppk[keep]
+            return pd.DataFrame({"gs": np.unique(fused)})
+
+    # distinct (group, supplier) via hash-shuffle groupby — bounded by
+    # groups × suppliers, never fact rows
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(_Pairs(), batch_format="pandas")
+        .groupby("gs")
+        .count()
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        gid = df["gs"].to_numpy(np.int64) >> np.int64(32)
+        g = pd.DataFrame({"gid": gid})
+        return g.groupby("gid", as_index=False).agg(supplier_cnt=("gid", "size"))
+
+    agg = (
+        pairs.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("gid", as_index=False)
+        .agg(supplier_cnt=("supplier_cnt", "sum"))
+    )
+    gid = agg["gid"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "p_brand": groups["p_brand"].to_numpy()[gid],
+            "p_type": groups["p_type"].to_numpy()[gid],
+            "p_size": groups["p_size"].to_numpy(np.int64)[gid],
+            "supplier_cnt": agg["supplier_cnt"].to_numpy(np.int64),
+        }
+    )
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue lost to small-quantity orders of one
+    brand's small parts (p_size<10 stands in for the absent
+    p_container). Two pruned passes over lineitem: pass 1 builds the
+    per-part (sum_qty, n) table (catalog-bounded combine), pass 2
+    filters with the EXACT integer inequality 5·n·qty < sum_qty
+    (quantities are integral, so no float avg enters the comparison).
+    Output: total cents and floor(total/7) yearly average."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk = np.sort(
+        part.loc[
+            (part["p_brand"] == "Brand#3") & (part["p_size"] < 10), "p_partkey"
+        ].to_numpy(np.int64)
+    )
+    pk_ref = ray.put(pk)
+
+    class _QtyPartial:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._k is None:
+                self._k = ray.get(pk_ref)
+            keep = _in_sorted(self._k, df["l_partkey"].to_numpy(np.int64))
+            df = df[keep]
+            g = pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                    "sq": np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+                }
+            )
+            out = g.groupby("l_partkey", as_index=False).agg(
+                sq=("sq", "sum"), n=("sq", "size")
+            )
+            return out
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = _combine_partials(
+        _read(sf_dir, "lineitem", li_cols).map_batches(_QtyPartial(), batch_format="pandas"),
+        ["l_partkey"],
+        ["sq", "n"],
+    ).to_pandas()
+    spk = np.sort(stats["l_partkey"].to_numpy(np.int64))
+    srt = stats.set_index("l_partkey").loc[spk]
+    thr_ref = ray.put((spk, srt["sq"].to_numpy(np.int64), srt["n"].to_numpy(np.int64)))
+
+    class _SmallQty:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(thr_ref)
+            spk_, sq_, n_ = self._b
+            keys = df["l_partkey"].to_numpy(np.int64)
+            keep = _in_sorted(spk_, keys)
+            df = df[keep]
+            idx = np.searchsorted(spk_, keys[keep])
+            qty = np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+            small = 5 * n_[idx] * qty < sq_[idx]
+            cents = _cents(df["l_extendedprice"])[small]
+            return pd.DataFrame({"total_cents": [int(cents.sum())]})
+
+    parts = _read(sf_dir, "lineitem", li_cols).map_batches(_SmallQty(), batch_format="pandas")
+    total = int(parts.sum("total_cents") or 0)
+    return pd.DataFrame(
+        {
+            "total_cents": pd.Series([total], dtype="int64"),
+            "avg_yearly_cents": pd.Series([total // 7], dtype="int64"),
+        }
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — discounted revenue under a disjunction of
+    three (brand, size-range, quantity-range) arms; the schema carries
+    no container/shipmode, so the arms are brand+size+quantity. The
+    part side collapses to three broadcast sorted-key arrays; each
+    lineitem batch evaluates the OR-of-ANDs as vectorized masks — a
+    single reduced row leaves each batch."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    arms = [
+        ("Brand#12", 1, 15, 1, 11),
+        ("Brand#23", 1, 20, 10, 20),
+        ("Brand#4", 1, 25, 20, 30),
+    ]
+    keysets = []
+    for brand, slo, shi, qlo, qhi in arms:
+        k = np.sort(
+            part.loc[
+                (part["p_brand"] == brand)
+                & (part["p_size"] >= slo)
+                & (part["p_size"] <= shi),
+                "p_partkey",
+            ].to_numpy(np.int64)
+        )
+        keysets.append((k, qlo, qhi))
+    bc = ray.put(keysets)
+
+    class _Arms:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(bc)
+            keys = df["l_partkey"].to_numpy(np.int64)
+            qty = np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+            mask = np.zeros(len(df), dtype=bool)
+            for k, qlo, qhi in self._b:
+                mask |= _in_sorted(k, keys) & (qty >= qlo) & (qty <= qhi)
+            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))[mask]
+            return pd.DataFrame(
+                {
+                    "revenue_cents": [int(rev.sum())],
+                    "n_lines": [int(mask.sum())],
+                }
+            )
+
+    parts = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(_Arms(), batch_format="pandas")
+    agg = parts.sum(["revenue_cents", "n_lines"])
+    return pd.DataFrame(
+        {
+            "revenue_cents": pd.Series([int(agg["sum(revenue_cents)"] or 0)], dtype="int64"),
+            "n_lines": pd.Series([int(agg["sum(n_lines)"] or 0)], dtype="int64"),
+        }
+    )
+
+
+def q21_blame_supplier(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who alone returned goods on
+    multi-supplier finalized orders (l_returnflag='R' stands in for
+    the absent receipt/commit dates: the EXISTS other-supplier /
+    NOT-EXISTS other-returning-supplier self-join shape is intact).
+    Per-batch (orderkey, suppkey, any-R) partials shrink the fact
+    side; the hash join against F-order keys co-locates each order's
+    rows in one partition where the blame rule evaluates; only
+    (suppkey, count) partials leave the exchange."""
+    from .relational import hash_join
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "has_r": (df["l_returnflag"] == "R").to_numpy(np.int64),
+            }
+        )
+        return g.groupby(["o_orderkey", "s_suppkey"], as_index=False).agg(
+            has_r=("has_r", "max")
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
+        li_partial, batch_format="pandas"
+    )
+
+    orders_f = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+
+    def blame(df: pd.DataFrame) -> pd.DataFrame:
+        # batches of the SAME orderkey may still be split across input
+        # partials — finish the (orderkey, suppkey) dedup first
+        per = df.groupby(["o_orderkey", "s_suppkey"], as_index=False).agg(
+            has_r=("has_r", "max")
+        )
+        ostat = per.groupby("o_orderkey").agg(
+            n_supp=("s_suppkey", "size"), n_r=("has_r", "sum")
+        )
+        ok = ostat[(ostat["n_supp"] >= 2) & (ostat["n_r"] == 1)].index
+        hit = per[(per["has_r"] == 1) & per["o_orderkey"].isin(ok)]
+        return hit.groupby("s_suppkey", as_index=False).agg(numwait=("s_suppkey", "size"))
+
+    parts = hash_join(li, orders_f, on="o_orderkey", post=blame).to_pandas()
+    agg = parts.groupby("s_suppkey", as_index=False).agg(numwait=("numwait", "sum"))
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .to_pandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    return pd.DataFrame(
+        {
+            "s_suppkey": agg["s_suppkey"].to_numpy(np.int64),
+            "s_name": [str(names[int(k)]) for k in agg["s_suppkey"]],
+            "numwait": agg["numwait"].to_numpy(np.int64),
+        }
+    )
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — per-nation count and balance of rich
+    customers (above the positive-balance average of nations 0–6, the
+    country-code stand-in) with no orders since 2000 (this synthetic
+    corpus gives every customer at least one lifetime order, so the
+    never-ordered predicate is date-scoped to stay non-degenerate).
+    The average enters as the EXACT cross-multiplied integer
+    inequality cents·n > sum; the lapsed predicate runs through the
+    engine's threshold-dispatched anti-join (broadcast key set below
+    2M distinct, hash-partitioned how='anti' above)."""
+    from .relational import anti_join_keys
+
+    NATIONS = list(range(7))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(NATIONS)]
+        cents = _cents(df["c_acctbal"])
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    scalars = cust.map_batches(pos_partial, batch_format="pandas").sum(["s", "n"])
+    sum_pos, n_pos = int(scalars["sum(s)"]), int(scalars["sum(n)"])
+
+    def rich(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(NATIONS)]
+        cents = _cents(df["c_acctbal"])
+        keep = cents * n_pos > sum_pos
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+                "c_nationkey": df["c_nationkey"].to_numpy(np.int64)[keep],
+                "bal_cents": cents[keep],
+            }
+        )
+
+    cand = cust.map_batches(rich, batch_format="pandas")
+    CUTOFF = pd.Timestamp("2000-01-01")
+    order_keys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(CUTOFF)))
+        .select(["o_custkey"])
+        .rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    kept = anti_join_keys(cand, order_keys, on="c_custkey")
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "size"), total_cents=("bal_cents", "sum")
+        )
+
+    parts = kept.map_batches(per_nation, batch_format="pandas").to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"c_nationkey": [], "numcust": [], "total_cents": []})
+    agg = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), total_cents=("total_cents", "sum")
+    )
+    return agg.astype(
+        {"c_nationkey": np.int64, "numcust": np.int64, "total_cents": np.int64}
+    )
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — the minimum-cost supplier per part, the
+    min-per-group + join-back (correlated subquery) pattern. No
+    partsupp in this schema, so cost := min observed l_extendedprice
+    (cents) per (part, supplier) over EUROPE-region suppliers' LARGE
+    parts. Per-batch min partials bound the combine at catalog
+    co-occurrence; ties keep every supplier at the per-part minimum,
+    as the spec's subquery does."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]).to_pandas()
+    pk = np.sort(
+        part.loc[
+            (part["p_type"] == "LARGE") & (part["p_size"] <= 25), "p_partkey"
+        ].to_numpy(np.int64)
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    eur = region.loc[region["r_name"] == "EUROPE", "r_regionkey"]
+    eur_nat = nation[nation["n_regionkey"].isin(eur)]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(set(eur_nat["n_nationkey"].astype(int)))]
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    bc = ray.put((pk, sk))
+
+    class _MinPartial:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(bc)
+            pk_, sk_ = self._b
+            keep = _in_sorted(pk_, df["l_partkey"].to_numpy(np.int64)) & _in_sorted(
+                sk_, df["l_suppkey"].to_numpy(np.int64)
+            )
+            df = df[keep]
+            g = pd.DataFrame(
+                {
+                    "p_partkey": df["l_partkey"].to_numpy(np.int64),
+                    "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                    "cost": _cents(df["l_extendedprice"]),
+                }
+            )
+            return g.groupby(["p_partkey", "s_suppkey"], as_index=False).agg(
+                cost=("cost", "min")
+            )
+
+    partials = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(_MinPartial(), batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        per = df.groupby(["p_partkey", "s_suppkey"], as_index=False).agg(
+            cost=("cost", "min")
+        )
+        part_min = per.groupby("p_partkey")["cost"].transform("min")
+        return per[per["cost"] == part_min]
+
+    best = (
+        partials.repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    s_names = supp.set_index("s_suppkey")["s_name"]
+    s_nat = supp.set_index("s_suppkey")["s_nationkey"]
+    n_names = nation.set_index("n_nationkey")["n_name"]
+    return pd.DataFrame(
+        {
+            "p_partkey": best["p_partkey"].to_numpy(np.int64),
+            "s_suppkey": best["s_suppkey"].to_numpy(np.int64),
+            "s_name": [str(s_names[int(k)]) for k in best["s_suppkey"]],
+            "n_name": [str(n_names[int(s_nat[int(k)])]) for k in best["s_suppkey"]],
+            "min_cost_cents": best["cost"].to_numpy(np.int64),
+        }
+    )
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — parts whose total discounted revenue exceeds
+    a fixed fraction of the corpus total (HAVING against a global
+    scalar). Value is revenue over lineitem (no partsupp in schema);
+    the threshold comparison is exact integers (value·1500 > total).
+    Per-part partials feed the hash-shuffle groupby; the global total
+    is the sum of the same partials — one fact scan feeds both."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "p_partkey": df["l_partkey"].to_numpy(np.int64),
+                "value_cents": _cents(df["l_extendedprice"] * (1.0 - df["l_discount"])),
+            }
+        )
+        return g.groupby("p_partkey", as_index=False).sum()
+
+    # materialize AFTER the exchange: the per-part table is
+    # catalog-bounded, and both the global total and the filter read it
+    per_part = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("p_partkey")
+        .sum("value_cents")
+        .materialize()
+    )
+    total = int(per_part.sum("sum(value_cents)"))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["sum(value_cents)"].to_numpy(np.int64)
+        m = v * 1500 > total
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].to_numpy(np.int64)[m],
+                "value_cents": v[m],
+            }
+        )
+
+    return per_part.map_batches(keep, batch_format="pandas")
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_MOD = 2147483647  # 2^31-1, the fingerprint polynomial modulus
+_DSIR_MAXLEN = 32  # hash the first 32 chars of each token (both sides)
+_DSIR_POWS = None  # lazily built 131^k mod M table
+
+
+def _dsir_pows() -> np.ndarray:
+    global _DSIR_POWS
+    if _DSIR_POWS is None:
+        p = np.empty(_DSIR_MAXLEN, dtype=np.int64)
+        v = 1
+        for k in range(_DSIR_MAXLEN):
+            p[k] = v
+            v = (v * 131) % _DSIR_MOD
+        _DSIR_POWS = p
+    return _DSIR_POWS
+
+
+def _dsir_buckets(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized hashed-feature bucket per token: polynomial hash of
+    the first 32 codepoints' low bytes (Σ (cp_k & 255)·131^k mod
+    2^31−1) mod 4096 — one int64 matmul over the batch's padded UTF-32
+    view, no per-token Python. Padding codepoint 0 contributes 0·131^k,
+    matching the SQL join bound exactly."""
+    if len(tokens) == 0:
+        return np.zeros(0, dtype=np.int64)
+    u = np.asarray(tokens, dtype=np.str_)
+    width = u.dtype.itemsize // 4
+    cps = u.view(np.uint32).reshape(len(u), width)[:, :_DSIR_MAXLEN]
+    low = (cps & 255).astype(np.int64)
+    h = low @ _dsir_pows()[: low.shape[1]]
+    return (h % _DSIR_MOD) % _DSIR_BUCKETS
+
+
+def _dsir_snap_log2(x: np.ndarray | int) -> np.ndarray | int:
+    """floor(log2(x)·2^20 + 0.5) as int64 — the repo's dyadic snap for
+    transcendentals (doc_char_entropy:3156), integer args only so the
+    IEEE log2 matches DuckDB bit-for-bit."""
+    if np.isscalar(x):
+        return int(np.floor(np.log2(float(x)) * 1048576.0 + 0.5))
+    return np.floor(np.log2(x.astype(np.float64)) * 1048576.0 + 0.5).astype(np.int64)
+
+
+def doc_dsir_weights(sf_dir: str, target_lang: str = "en"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc exact
+    integer log-importance weight of a hashed unigram feature model —
+    log p_target(doc) − log p_source(doc) under add-one-smoothed
+    bucket distributions, target = lang='en' docs, source = all docs.
+
+    Two streaming passes: (1) per-batch 4096-bucket histograms (target
+    + source) combine to one tiny driver array; (2) per-batch
+    λ-lookup + per-doc reduceat. Every log2 is the dyadic 2^-20 snap
+    OF AN INTEGER ARGUMENT, so λ[b] and the per-doc sums are exact
+    int64 and the DuckDB replay matches bit-for-bit. The resample
+    step itself composes downstream (doc_weighted_sample /
+    doc_sample_by_plan take these units); the paper's Gumbel noise is
+    deliberately omitted to keep the operator deterministic."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tok_arrays(df: pd.DataFrame):
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        counts = toks.map(lambda ws: sum(1 for w in ws if w))
+        flat = np.array(
+            [w for ws in toks for w in ws if w], dtype=object
+        )
+        return counts.to_numpy(np.int64), flat
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok, flat = tok_arrays(df)
+        b = _dsir_buckets(flat)
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n_tok)
+        is_t = (df["lang"] == target_lang).to_numpy()[doc_idx]
+        cs = np.bincount(b, minlength=_DSIR_BUCKETS).astype(np.int64)
+        ct = np.bincount(b[is_t], minlength=_DSIR_BUCKETS).astype(np.int64)
+        nz = np.flatnonzero(cs)
+        return pd.DataFrame(
+            {"b": nz, "ct": ct[nz], "cs": cs[nz]}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+    )
+    ct = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    cs = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    ct[hist["b"].to_numpy(np.int64)] = hist["ct"].to_numpy(np.int64)
+    cs[hist["b"].to_numpy(np.int64)] = hist["cs"].to_numpy(np.int64)
+    T, S = int(ct.sum()), int(cs.sum())
+    lam = (
+        _dsir_snap_log2(ct + 1)
+        - _dsir_snap_log2(T + _DSIR_BUCKETS)
+        - _dsir_snap_log2(cs + 1)
+        + _dsir_snap_log2(S + _DSIR_BUCKETS)
+    )
+    lam_ref = ray.put(lam)
+
+    class _Weigh:
+        def __init__(self):
+            self._lam = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._lam is None:
+                self._lam = ray.get(lam_ref)
+            n_tok, flat = tok_arrays(df)
+            b = _dsir_buckets(flat)
+            doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n_tok)
+            w = np.bincount(doc_idx, weights=self._lam[b], minlength=len(df))
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "dsir_units": w.astype(np.int64),
+                }
+            )
+
+    return ds.map_batches(_Weigh(), batch_format="pandas")
+
+
+BPE_NUM_MERGES = 24
+
+
+def _bpe_learn(words: np.ndarray, freqs: np.ndarray, n_merges: int) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning over a (word, freq) vocabulary — the
+    driver-side stage of tokenizer training (the vocabulary table is
+    cardinality-bounded, which is why HF-style trainers run exactly
+    this loop on word counts, not on the corpus). Deterministic:
+    highest pair count wins, ties by lexicographically smallest pair."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in zip(words, freqs):
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + int(f)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best_n = max(counts.values())
+        best = min(p for p, c in counts.items() if c == best_n)
+        merges.append(best)
+        a, b = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges in training order to one word (the
+    canonical BPE inference rule). Pure function — shared by the
+    encoder actor and the pytest scalar replay."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class _BpeEncoder:
+    """Encode stage: merges broadcast once via ray.put and fetched
+    lazily per worker (task-based instance, NOT an actor pool — a pool
+    sized near num_cpus starves the upstream read tasks on small
+    sessions, the livelock documented at image_phash_near_dup's decode
+    pool), plus a per-worker word→tokens memo so the per-batch work is
+    over unique words only."""
+
+    def __init__(self, merges_ref):
+        self._ref = merges_ref
+        self.merges: list[tuple[str, str]] | None = None
+        self.memo: dict[str, list[str]] = {}
+
+    def _enc(self, w: str) -> list[str]:
+        hit = self.memo.get(w)
+        if hit is None:
+            hit = self.memo[w] = bpe_encode_word(w, self.merges)
+        return hit
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.merges is None:
+            self.merges = ray.get(self._ref)
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        n_tokens = np.zeros(len(df), dtype=np.int64)
+        n_distinct = np.zeros(len(df), dtype=np.int64)
+        for row, words in enumerate(toks.to_numpy()):
+            total = 0
+            seen: set[str] = set()
+            for w in words:
+                if not w:
+                    continue
+                enc = self._enc(w)
+                total += len(enc)
+                seen.update(enc)
+            n_tokens[row] = total
+            n_distinct[row] = len(seen)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_bpe_tokens": n_tokens,
+                "n_distinct_tokens": n_distinct,
+            }
+        )
+
+
+def doc_bpe_tokenize(sf_dir: str, n_merges: int = BPE_NUM_MERGES):
+    """Full BPE tokenizer train + encode — the step after
+    doc_bpe_pair_counts: (1) corpus word-frequency table via the
+    vocabulary-bounded exchange, (2) greedy merge learning driver-side
+    over that table (deterministic tie-breaks; the vocabulary, not the
+    corpus, is the training input — the standard trainer shape), (3)
+    every doc encoded by _BpeEncoder tasks (merges broadcast once via
+    ray.put, per-worker word memo — unique-word work, not per-token
+    work). Per-doc output: BPE token count and distinct
+    token count. Rows-only driver entry (the merge loop has no SQL
+    form); the full learn+encode is replayed scalar-by-scalar in
+    pytest."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            df["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+        )
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        g = ex.value_counts()
+        return pd.DataFrame({"word": g.index.to_numpy(), "f": g.to_numpy().astype(np.int64)})
+
+    wf = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(wf_partial, batch_format="pandas")
+        .groupby("word")
+        .sum("f")
+        .to_pandas()
+    )
+    merges = _bpe_learn(
+        wf["word"].to_numpy(dtype=object), wf["sum(f)"].to_numpy(np.int64), n_merges
+    )
+    merges_ref = ray.put(merges)
+    return ds.map_batches(_BpeEncoder(merges_ref), batch_format="pandas")
+
+
 def doc_bpe_pair_counts(sf_dir: str, min_count: int = 20):
     """The first BPE-training step: corpus-wide adjacent character-pair
     frequencies, weighted by word frequency — what a tokenizer trainer
@@ -6552,7 +7519,20 @@ QUERIES = {
     "events_dau_stickiness": events_dau_stickiness,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q12_priority_lines": q12_priority_lines,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_blame_supplier": q21_blame_supplier,
+    "q22_sales_opportunity": q22_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "doc_dsir_weights": doc_dsir_weights,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
+    "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
     "doc_lang_confusion": doc_lang_confusion,
     "orders_fulfillment_days": orders_fulfillment_days,
@@ -8878,4 +9858,250 @@ ORACLES["doc_top_terms"] = """
                                   ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rank
         FROM tf JOIN dft USING (term)
     ) WHERE rank <= 3
+"""
+
+ORACLES["q8_market_share"] = """
+    WITH li AS (
+        SELECT l.l_orderkey,
+               CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT) AS rev,
+               CASE WHEN s.s_nationkey = 3 THEN 1 ELSE 0 END AS is_nat
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_type = 'ECONOMY'
+    )
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN is_nat = 1 THEN rev ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN is_nat = 1 THEN rev ELSE 0 END) * 1000000 // SUM(rev) AS BIGINT)
+               AS mkt_share_micros
+    FROM li
+    JOIN orders o ON o.o_orderkey = li.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+ORACLES["q9_product_profit"] = """
+    SELECT n.n_name,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)
+                    - CAST(FLOOR(l.l_quantity) AS BIGINT)
+                      * (CAST(FLOOR(p.p_retailprice*100 + 0.5) AS BIGINT) // 10)) AS BIGINT)
+               AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+ORACLES["q12_priority_lines"] = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+               AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+ORACLES["q15_top_supplier"] = """
+    WITH revenue AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT r.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+    WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+"""
+
+ORACLES["q16_supplier_variety"] = """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 10, 20, 30, 40, 49)
+      AND l.l_suppkey % 7 <> 0
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES["q17_small_qty_revenue"] = """
+    WITH pq AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
+        GROUP BY 1
+    ),
+    hits AS (
+        SELECT CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l JOIN pq ON pq.l_partkey = l.l_partkey
+        WHERE 5 * pq.n * CAST(FLOOR(l.l_quantity) AS BIGINT) < pq.sq
+    )
+    SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+           CAST(COALESCE(SUM(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM hits
+"""
+
+ORACLES["q19_disjunctive_revenue"] = """
+    WITH hits AS (
+        SELECT CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND CAST(FLOOR(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+               AND CAST(FLOOR(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 25
+               AND CAST(FLOOR(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+    )
+    SELECT CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM hits
+"""
+
+ORACLES["q21_blame_supplier"] = """
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ord AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r
+        FROM per GROUP BY 1
+    )
+    SELECT per.l_suppkey AS s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN ord USING (l_orderkey)
+    JOIN orders o ON o.o_orderkey = per.l_orderkey
+    JOIN supplier s ON s.s_suppkey = per.l_suppkey
+    WHERE per.has_r = 1 AND ord.n_supp >= 2 AND ord.n_r = 1
+      AND o.o_orderstatus = 'F'
+    GROUP BY 1, 2
+"""
+
+ORACLES["q22_sales_opportunity"] = """
+    WITH pos AS (
+        SELECT CAST(SUM(CASE WHEN CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > 0
+                             THEN CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n
+        FROM customer WHERE c_nationkey IN (0,1,2,3,4,5,6)
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (0,1,2,3,4,5,6)
+      AND CAST(FLOOR(c.c_acctbal*100 + 0.5) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+    WITH costs AS (
+        SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+               CAST(MIN(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cost
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'LARGE' AND p.p_size <= 25 AND r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    )
+    SELECT c.p_partkey, c.s_suppkey, s.s_name, n.n_name,
+           c.cost AS min_cost_cents
+    FROM costs c
+    JOIN supplier s ON s.s_suppkey = c.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE c.cost = (SELECT MIN(c2.cost) FROM costs c2 WHERE c2.p_partkey = c.p_partkey)
+"""
+
+ORACLES["q11_important_parts"] = """
+    WITH per_part AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p_partkey, value_cents
+    FROM per_part
+    WHERE value_cents * 1500 > (SELECT SUM(value_cents) FROM per_part)
+"""
+
+# DSIR replay: the polynomial token hash (first 32 low bytes, 131^k mod
+# 2^31-1, mod 4096 buckets), add-one smoothed bucket histograms for
+# target (lang='en') and source (all docs), dyadic 2^-20 snapped log2 of
+# INTEGER arguments only, per-doc integer sum of bucket log-ratios.
+ORACLES["doc_dsir_weights"] = """
+    WITH RECURSIVE pw(k, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT k + 1, (v * 131) % 2147483647 FROM pw WHERE k < 31
+    ),
+    doc AS (
+        SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents
+    ),
+    toklist AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(t, '[ \\t\\n\\r\\f\\v]+'),
+                           x -> x <> '') AS L
+        FROM doc
+    ),
+    tok AS (
+        -- parallel unnests zip by position: (token, its ordinal)
+        SELECT doc_id, lang,
+               unnest(L) AS w,
+               unnest(generate_series(1, len(L))) AS i
+        FROM toklist
+    ),
+    tb AS (
+        SELECT t.doc_id, t.lang, t.i,
+               CAST(sum((ord(substr(t.w, CAST(pw.k + 1 AS INT), 1)) & 255) * pw.v)
+                    % 2147483647 % 4096 AS BIGINT) AS b
+        FROM tok t JOIN pw ON pw.k < least(length(t.w), 32)
+        GROUP BY t.doc_id, t.lang, t.i
+    ),
+    hist AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cs
+        FROM tb GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS T,
+               CAST(COALESCE(SUM(cs), 0) AS BIGINT) AS S
+        FROM hist
+    ),
+    lam AS (
+        SELECT g.range AS b,
+               CAST(FLOOR(log2(COALESCE(h.ct, 0) + 1) * 1048576 + 0.5) AS BIGINT)
+             - CAST(FLOOR(log2(tot.T + 4096) * 1048576 + 0.5) AS BIGINT)
+             - CAST(FLOOR(log2(COALESCE(h.cs, 0) + 1) * 1048576 + 0.5) AS BIGINT)
+             + CAST(FLOOR(log2(tot.S + 4096) * 1048576 + 0.5) AS BIGINT) AS lam
+        FROM range(0, 4096) g LEFT JOIN hist h ON h.b = g.range, tot
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(l.lam), 0) AS BIGINT) AS dsir_units
+    FROM doc d
+    LEFT JOIN tb ON tb.doc_id = d.doc_id
+    LEFT JOIN lam l ON l.b = tb.b
+    GROUP BY d.doc_id
 """

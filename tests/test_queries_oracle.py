@@ -472,6 +472,51 @@ def test_image_training_manifest_full_replay(ray_session, sf_dir):
         assert list(got[c]) == list(want[c]), c
 
 
+def test_doc_bpe_tokenize_scalar_replay(ray_session, sf_dir):
+    """Learn + encode must equal an independent single-process replay:
+    merges re-derived from a pandas word-frequency table, every doc
+    re-encoded with bpe_encode_word, counts compared row-by-row."""
+    import numpy as np
+    import pandas as pd
+
+    import searchgov_spider_ray.pipelines.queries as q
+
+    got = (
+        _to_df(q.doc_bpe_tokenize(sf_dir))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    words = (
+        docs["text"].fillna("").str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
+    )
+    ex = words.explode()
+    ex = ex[ex.notna() & (ex != "")]
+    wf = ex.value_counts()
+    merges = q._bpe_learn(
+        wf.index.to_numpy(dtype=object), wf.to_numpy(np.int64), q.BPE_NUM_MERGES
+    )
+    assert len(merges) == q.BPE_NUM_MERGES
+    # merged symbols must be multi-char (the loop actually merged)
+    assert all(len(a + b) >= 2 for a, b in merges)
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(docs["doc_id"])
+    memo = {}
+    for i in range(len(docs)):
+        total, seen = 0, set()
+        for w in (docs["text"][i] or "").lower().split():
+            if w not in memo:
+                memo[w] = q.bpe_encode_word(w, merges)
+            total += len(memo[w])
+            seen.update(memo[w])
+        assert int(got["n_bpe_tokens"][i]) == total, i
+        assert int(got["n_distinct_tokens"][i]) == len(seen), i
+    # merging strictly compresses: BPE count <= character count
+    n_chars = docs["text"].fillna("").str.replace(r"[ \t\n\r\f\v]+", "", regex=True).str.len()
+    assert (got["n_bpe_tokens"].to_numpy() <= n_chars.to_numpy()).all()
+    assert (got["n_bpe_tokens"].to_numpy() < n_chars.to_numpy()).any()
+
+
 def test_profile_approx_within_hll_error(ray_session, sf_dir):
     """Single-pass HLL profile must land within standard HLL error
     (~1.6% at 2^12 registers; allow 5%) of the exact per-column
