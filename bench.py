@@ -260,6 +260,8 @@ def run_query_bench() -> dict[str, float]:
         "q21_blame_supplier",
         "q16_supplier_variety",
         "q22_sales_opportunity",
+        # DSIR importance weighting (hashed-unigram two-pass flagship)
+        "doc_dsir_weights",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -4386,6 +4386,94 @@ def q11_important_parts(sf_dir: str):
     return per_part.map_batches(keep, batch_format="pandas")
 
 
+def q20_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — the nested-aggregation semi-join: suppliers
+    who dominate the 1997 supply of any '%gear%' part (shipped more
+    than half that part's total, the availqty>0.5·shipped test
+    re-expressed without partsupp). Per-batch (part, supplier)
+    quantity partials bound the combine at catalog co-occurrence; the
+    per-part total and the EXACT integer dominance test 2·q > tq run
+    inside the combine kernel."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    pk = np.sort(
+        part.loc[part["p_name"].str.contains("gear", regex=False), "p_partkey"].to_numpy(
+            np.int64
+        )
+    )
+    pk_ref = ray.put(pk)
+    LO = pd.Timestamp("1997-01-01")
+    HI = pd.Timestamp("1998-01-01")
+
+    class _QtyPartial:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._k is None:
+                self._k = ray.get(pk_ref)
+            df = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+            df = df[_in_sorted(self._k, df["l_partkey"].to_numpy(np.int64))]
+            g = pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                    "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                    "q": np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+                }
+            )
+            return g.groupby(["l_partkey", "s_suppkey"], as_index=False).sum()
+
+    partials = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(_QtyPartial(), batch_format="pandas")
+
+    def dominate(df: pd.DataFrame) -> pd.DataFrame:
+        sq = df.groupby(["l_partkey", "s_suppkey"], as_index=False).agg(q=("q", "sum"))
+        tq = sq.groupby("l_partkey")["q"].transform("sum")
+        hit = sq[2 * sq["q"] > tq]
+        return hit.groupby("s_suppkey", as_index=False).agg(
+            n_dominant_parts=("l_partkey", "size")
+        )
+
+    agg = (
+        partials.repartition(1)
+        .map_batches(dominate, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .to_pandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    return pd.DataFrame(
+        {
+            "s_suppkey": agg["s_suppkey"].to_numpy(np.int64),
+            "s_name": [str(names[int(k)]) for k in agg["s_suppkey"]],
+            "n_dominant_parts": agg["n_dominant_parts"].to_numpy(np.int64),
+        }
+    )
+
+
+DSIR_SAMPLE_K = 100
+
+
+def doc_dsir_sample(sf_dir: str, k: int = DSIR_SAMPLE_K):
+    """DSIR selection step: the k most target-like docs by
+    doc_dsir_weights, deterministic ties on doc_id. Distributed
+    top-k: each weight block emits its own top-k partial (bounded
+    k rows per block), the driver merges ≤ blocks·k rows — no sort
+    exchange, no full materialization."""
+    w = doc_dsir_weights(sf_dir)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["dsir_units", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    parts = w.map_batches(topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["dsir_units", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"doc_id": np.int64, "dsir_units": np.int64})
+
+
 _DSIR_BUCKETS = 4096
 _DSIR_MOD = 2147483647  # 2^31-1, the fingerprint polynomial modulus
 _DSIR_MAXLEN = 32  # hash the first 32 chars of each token (both sides)
@@ -7531,6 +7619,8 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "doc_dsir_weights": doc_dsir_weights,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "doc_dsir_sample": doc_dsir_sample,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
@@ -10105,3 +10195,30 @@ ORACLES["doc_dsir_weights"] = """
     LEFT JOIN lam l ON l.b = tb.b
     GROUP BY d.doc_id
 """
+
+ORACLES["q20_dominant_suppliers"] = """
+    WITH sq AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%gear%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    pq AS (SELECT l_partkey, SUM(q) AS tq FROM sq GROUP BY 1)
+    SELECT sq.l_suppkey AS s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM sq
+    JOIN pq USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    WHERE 2 * sq.q > pq.tq
+    GROUP BY 1, 2
+"""
+
+# The selection replay is the weights replay plus a deterministic
+# ORDER BY / LIMIT (ties broken on the unique doc_id).
+ORACLES["doc_dsir_sample"] = (
+    ORACLES["doc_dsir_weights"]
+    + " ORDER BY dsir_units DESC, d.doc_id ASC LIMIT 100"
+)
