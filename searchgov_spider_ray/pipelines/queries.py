@@ -3968,6 +3968,8 @@ def q16_supplier_variety(sf_dir: str):
     )
     bc = ray.put((pk, part_gid))
 
+    from ..functions.simdedup import hash_part
+
     class _Pairs:
         def __init__(self):
             self._b = None
@@ -3980,25 +3982,27 @@ def q16_supplier_variety(sf_dir: str):
             suppk = df["l_suppkey"].to_numpy(np.int64)
             keep = _in_sorted(pk_, partk) & (suppk % 7 != 0)
             gid = gid_[np.searchsorted(pk_, partk[keep])]
-            fused = (gid << np.int64(32)) | suppk[keep]
-            return pd.DataFrame({"gs": np.unique(fused)})
+            fused = np.unique((gid << np.int64(32)) | suppk[keep])
+            return pd.DataFrame(
+                {"gs": fused, "part": hash_part(fused, 64).astype(np.int64)}
+            )
 
-    # distinct (group, supplier) via hash-shuffle groupby — bounded by
-    # groups × suppliers, never fact rows
-    pairs = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(_Pairs(), batch_format="pandas")
-        .groupby("gs")
-        .count()
-    )
-
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        gid = df["gs"].to_numpy(np.int64) >> np.int64(32)
-        g = pd.DataFrame({"gid": gid})
-        return g.groupby("gid", as_index=False).agg(supplier_cnt=("gid", "size"))
+    # distinct (group, supplier) via the coarse 64-way partition: every
+    # gs value lands wholly in one partition, so the dedup AND the
+    # per-group count complete inside it (the per-key Aggregate
+    # exchange costs ~10s of launch constant on this pair table) —
+    # still bounded by groups × suppliers, never fact rows
+    def count_unique(g: pd.DataFrame) -> pd.DataFrame:
+        gs = np.unique(g["gs"].to_numpy(np.int64))
+        gid = gs >> np.int64(32)
+        out = pd.DataFrame({"gid": gid})
+        return out.groupby("gid", as_index=False).agg(supplier_cnt=("gid", "size"))
 
     agg = (
-        pairs.map_batches(count_partial, batch_format="pandas")
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(_Pairs(), batch_format="pandas")
+        .groupby("part")
+        .map_groups(count_unique, batch_format="pandas")
         .to_pandas()
         .groupby("gid", as_index=False)
         .agg(supplier_cnt=("supplier_cnt", "sum"))
@@ -4350,8 +4354,13 @@ def q11_important_parts(sf_dir: str):
     a fixed fraction of the corpus total (HAVING against a global
     scalar). Value is revenue over lineitem (no partsupp in schema);
     the threshold comparison is exact integers (value·1500 > total).
-    Per-part partials feed the hash-shuffle groupby; the global total
-    is the sum of the same partials — one fact scan feeds both."""
+    Per-part keys can exceed one block, so the combine is the coarse
+    64-way hash partition whose per-key sums complete inside each
+    partition (q18's pattern — the per-key Aggregate exchange costs
+    ~10 s of launch constant; this moves 64 groups); the global total
+    then reads the catalog-bounded per-part table, not the facts."""
+    from ..functions.simdedup import hash_part
+
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -4361,20 +4370,25 @@ def q11_important_parts(sf_dir: str):
                 "value_cents": _cents(df["l_extendedprice"] * (1.0 - df["l_discount"])),
             }
         )
-        return g.groupby("p_partkey", as_index=False).sum()
+        out = g.groupby("p_partkey", as_index=False).sum()
+        out["part"] = hash_part(out["p_partkey"].to_numpy(np.int64), 64).astype(np.int64)
+        return out
 
-    # materialize AFTER the exchange: the per-part table is
-    # catalog-bounded, and both the global total and the filter read it
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_partkey", as_index=False).agg(
+            value_cents=("value_cents", "sum")
+        )
+
     per_part = (
         li.map_batches(partial, batch_format="pandas")
-        .groupby("p_partkey")
-        .sum("value_cents")
+        .groupby("part")
+        .map_groups(finish, batch_format="pandas")
         .materialize()
     )
-    total = int(per_part.sum("sum(value_cents)"))
+    total = int(per_part.sum("value_cents"))
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["sum(value_cents)"].to_numpy(np.int64)
+        v = df["value_cents"].to_numpy(np.int64)
         m = v * 1500 > total
         return pd.DataFrame(
             {
