@@ -65,3 +65,41 @@ class TestTextKernelProperties:
         got = textstats.fingerprint_batch(texts)
         exp = [textstats.fingerprint(t) for t in texts]
         assert [int(v) for v in got] == exp
+
+
+class TestDsirHashProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(min_size=1, max_size=60), min_size=1, max_size=40))
+    def test_bucket_matches_scalar_polynomial(self, tokens):
+        """The padded-UTF32-view matmul bucket kernel must equal the
+        per-token scalar polynomial (Σ (cp_k & 255)·131^k mod 2^31−1,
+        first 32 codepoints, mod 4096) — the contract the DuckDB
+        replay's pw-table join implements."""
+        from searchgov_spider_ray.pipelines.queries import (
+            _DSIR_BUCKETS,
+            _DSIR_MAXLEN,
+            _DSIR_MOD,
+            _dsir_buckets,
+        )
+
+        got = _dsir_buckets(np.array(tokens, dtype=object))
+        for tok, b in zip(tokens, got):
+            h = 0
+            v = 1
+            for ch in tok[:_DSIR_MAXLEN]:
+                h = (h + (ord(ch) & 255) * v) % _DSIR_MOD
+                v = (v * 131) % _DSIR_MOD
+            assert int(b) == h % _DSIR_BUCKETS, tok
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(min_size=1, max_size=60), min_size=1, max_size=12))
+    def test_bucket_independent_of_batch_padding(self, tokens):
+        """A token's bucket must not depend on the OTHER tokens in its
+        batch (the padded view width varies with the batch's longest
+        token — padding must contribute nothing)."""
+        from searchgov_spider_ray.pipelines.queries import _dsir_buckets
+
+        batch = _dsir_buckets(np.array(tokens, dtype=object))
+        for tok, b in zip(tokens, batch):
+            solo = _dsir_buckets(np.array([tok], dtype=object))
+            assert int(solo[0]) == int(b), tok
