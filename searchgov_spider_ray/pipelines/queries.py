@@ -4467,6 +4467,68 @@ def q20_dominant_suppliers(sf_dir: str):
     )
 
 
+CURRICULUM_STAGES = 4
+CURRICULUM_MIN_TOKENS = 5
+
+
+def doc_curriculum_manifest(
+    sf_dir: str,
+    n_stages: int = CURRICULUM_STAGES,
+    min_tokens: int = CURRICULUM_MIN_TOKENS,
+    part_width: int = 16,
+):
+    """Training-curriculum manifest: quality-gated docs ordered
+    easy→hard by whitespace token count, cut into ``n_stages`` NTILE
+    stages (exact DuckDB tile sizing: the first N%k tiles get one
+    extra row) with each doc's global curriculum position. The global
+    rank needs NO all-corpus sort exchange: partitions follow the
+    SORT-KEY range (q = n_tokens // part_width — contiguous key
+    ranges, the _pack_spans discipline), pass 1 streams per-partition
+    counts to an O(P) driver cumsum, pass 2 is one groupby(q)
+    exchange + a vectorized rank/tile kernel per partition. Ties
+    break on doc_id, so the manifest is partition/resume-invariant."""
+    from ..functions.textstats import _WS_TOKEN as ws
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.count(ws).astype("int64")
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "n_tokens": t})
+        out = out[out["n_tokens"] >= min_tokens]
+        out["q"] = out["n_tokens"] // part_width
+        return out
+
+    toks = ds.map_batches(tok_kernel, batch_format="pandas").materialize()
+    partials = toks.map_batches(
+        lambda df: df.groupby("q", as_index=False).agg(c=("q", "size")),
+        batch_format="pandas",
+    ).to_pandas()
+    counts = partials.groupby("q", sort=True)["c"].sum()
+    N = int(counts.sum())
+    offsets = counts.cumsum() - counts
+    off_ref = ray.put((offsets.index.to_numpy(np.int64), offsets.to_numpy(np.int64)))
+    big, r = N // n_stages + 1, N % n_stages
+    small = max(N // n_stages, 1)
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = ray.get(off_ref)
+        g = g.sort_values(["n_tokens", "doc_id"], kind="mergesort")
+        base = vals[np.searchsorted(keys, int(g["q"].iloc[0]))]
+        i = base + np.arange(len(g), dtype=np.int64)
+        in_big = i < r * big
+        stage = np.where(in_big, i // big, r + (i - r * big) // small) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                "pos": (i + 1).astype(np.int64),
+                "stage": stage.astype(np.int64),
+            }
+        )
+
+    return toks.groupby("q").map_groups(rank_kernel, batch_format="pandas")
+
+
 DSIR_SAMPLE_K = 100
 
 
@@ -7635,6 +7697,7 @@ QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "doc_dsir_sample": doc_dsir_sample,
+    "doc_curriculum_manifest": doc_curriculum_manifest,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
@@ -10236,3 +10299,17 @@ ORACLES["doc_dsir_sample"] = (
     ORACLES["doc_dsir_weights"]
     + " ORDER BY dsir_units DESC, d.doc_id ASC LIMIT 100"
 )
+
+ORACLES["doc_curriculum_manifest"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(COALESCE(text, ''),
+                    '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    kept AS (SELECT * FROM toks WHERE n_tokens >= 5)
+    SELECT doc_id, n_tokens,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS pos,
+           CAST(NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS stage
+    FROM kept
+"""

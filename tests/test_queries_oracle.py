@@ -611,3 +611,30 @@ def test_inverted_index_postings_sorted_and_df_consistent(ray_session, sf_dir):
         ids = [int(x) for x in row["postings"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == len(set(ids)) == row["df"] >= 20
+
+
+def test_curriculum_partition_invariance(ray_session, sf_dir):
+    """The curriculum manifest must not depend on the range-partition
+    width: a single-partition run (part_width=10^9) and a many-
+    partition run (part_width=2) must produce identical (pos, stage)
+    for every doc — the two-pass prefix-sum offsets are exact."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    wide = (
+        _to_df(q.doc_curriculum_manifest(sf_dir, part_width=2))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    one = (
+        _to_df(q.doc_curriculum_manifest(sf_dir, part_width=10**9))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(wide) == len(one) > 0
+    for c in ["doc_id", "n_tokens", "pos", "stage"]:
+        assert list(wide[c]) == list(one[c]), c
+    # positions are a permutation of 1..N and stages are DuckDB tiles
+    n = len(wide)
+    assert sorted(wide["pos"]) == list(range(1, n + 1))
+    sizes = wide.groupby("stage")["pos"].count()
+    assert sizes.max() - sizes.min() <= 1
