@@ -6632,6 +6632,174 @@ def image_hamming_topk(sf_dir: str, k: int = HAMMING_TOPK_K):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _phash_bands(ph: np.ndarray) -> np.ndarray:
+    """(n, 4) int64 of the four 16-bit bands of each 64-bit pHash —
+    the pigeonhole decomposition: two hashes within Hamming ≤ 3 agree
+    on at least one band (4 bands, ≤3 differing bits)."""
+    u = ph.view(np.uint64) if ph.dtype != np.uint64 else ph
+    out = np.empty((len(u), 4), dtype=np.int64)
+    for b in range(4):
+        out[:, b] = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+    return out
+
+
+def image_hamming_topk_banded(sf_dir: str, k: int = HAMMING_TOPK_K):
+    """The bucketed SCALE path for image similarity top-k, completing
+    the brute/bucketed pair the embedding side has (ann_topk_brute /
+    ann_topk_ivf). Phase 1: candidates = corpus images sharing a
+    16-bit pHash band with a query (pigeonhole-complete for Hamming
+    ≤ 3, so a 10^10-image corpus scans only band-bucket collisions,
+    not every row); per batch, only candidate rows pay the exact
+    XOR-popcount. Phase 2: a query is RESOLVED by candidates alone iff
+    it has ≥ k candidates at distance ≤ 3 (beyond 3 the bands prove
+    nothing); unresolved queries fall back to one exact scan with the
+    REDUCED query set — same result as image_hamming_topk for every
+    query, pinned by pytest parity. Rows-only driver entry (crawl
+    corpus input; pHash has no SQL form)."""
+    from ..functions.hashing import xxhash64_array
+
+    cdir = _crawl_corpus_dir()
+    ds = rd.read_parquet(cdir + "/corpus_images.parquet", columns=["image_id", "phash"])
+
+    def pick_queries(df: pd.DataFrame) -> pd.DataFrame:
+        h = xxhash64_array(df["image_id"].tolist())
+        sel = (h % np.uint64(HAMMING_QUERY_MOD)) == 0
+        return df[sel]
+
+    qdf = (
+        ds.map_batches(pick_queries, batch_format="pandas")
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    q_ids = qdf["image_id"].to_numpy(dtype=object)
+    q_ph = qdf["phash"].to_numpy(np.int64).view(np.uint64)
+    q_bands = _phash_bands(q_ph)  # (nq, 4)
+    # band-value → sorted lookup per band position
+    band_sets = [np.unique(q_bands[:, b]) for b in range(4)]
+    bc = ray.put((q_ids, q_ph, band_sets))
+
+    pop16 = np.zeros(1 << 16, dtype=np.uint8)
+    for b in range(16):
+        pop16[(np.arange(1 << 16) >> b) & 1 == 1] += 1
+
+    def _hamming(corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
+        x = corpus[:, None] ^ queries[None, :]
+        d = np.zeros(x.shape, dtype=np.int64)
+        for s in range(0, 64, 16):
+            d += pop16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        return d
+
+    class _BandCandidates:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(bc)
+            q_ids_, q_ph_, band_sets_ = self._b
+            ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+            ids = df["image_id"].to_numpy(dtype=object)
+            bands = _phash_bands(ph)
+            cand = np.zeros(len(df), dtype=bool)
+            for b in range(4):
+                cand |= _in_sorted(band_sets_[b], bands[:, b])
+            if not cand.any():
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=object),
+                        "neighbor_id": pd.Series([], dtype=object),
+                        "hamming": pd.Series([], dtype="int64"),
+                    }
+                )
+            ids_c, ph_c = ids[cand], ph[cand]
+            d = _hamming(ph_c, q_ph_)
+            within = d <= 3
+            rows, cols = np.nonzero(within)
+            not_self = ids_c[rows] != q_ids_[cols]
+            rows, cols = rows[not_self], cols[not_self]
+            return pd.DataFrame(
+                {
+                    "query_id": q_ids_[cols],
+                    "neighbor_id": ids_c[rows],
+                    "hamming": d[rows, cols].astype(np.int64),
+                }
+            )
+
+    cand = (
+        ds.map_batches(_BandCandidates(), batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["query_id", "neighbor_id"])
+    )
+
+    resolved_parts: list[pd.DataFrame] = []
+    unresolved: list[object] = []
+    by_q = {qid: g for qid, g in cand.groupby("query_id")} if len(cand) else {}
+    for qid in q_ids:
+        g = by_q.get(qid)
+        if g is not None and len(g) >= k:
+            g = g.sort_values(["hamming", "neighbor_id"], kind="mergesort").head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            resolved_parts.append(g[["query_id", "rank", "neighbor_id", "hamming"]])
+        else:
+            unresolved.append(qid)
+
+    if unresolved:
+        un = set(unresolved)
+        sub = qdf[qdf["image_id"].isin(un)].reset_index(drop=True)
+        s_ids = sub["image_id"].to_numpy(dtype=object)
+        s_ph = sub["phash"].to_numpy(np.int64).view(np.uint64)
+        s_ref = ray.put((s_ids, s_ph))
+
+        class _ExactFallback:
+            def __init__(self):
+                self._b = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._b is None:
+                    self._b = ray.get(s_ref)
+                s_ids_, s_ph_ = self._b
+                ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+                ids = df["image_id"].to_numpy(dtype=object)
+                d = _hamming(ph, s_ph_)
+                outs = []
+                for j in range(len(s_ids_)):
+                    not_self = ids != s_ids_[j]
+                    cand_ids, cand_d = ids[not_self], d[not_self, j]
+                    order = np.lexsort((cand_ids, cand_d))[:k]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(order), s_ids_[j], dtype=object),
+                                "neighbor_id": cand_ids[order],
+                                "hamming": cand_d[order].astype(np.int64),
+                            }
+                        )
+                    )
+                return pd.concat(outs, ignore_index=True)
+
+        def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["hamming", "neighbor_id"], kind="mergesort").head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g[["query_id", "rank", "neighbor_id", "hamming"]]
+
+        fb = (
+            ds.map_batches(_ExactFallback(), batch_format="pandas")
+            .groupby("query_id")
+            .map_groups(merge_topk, batch_format="pandas")
+            .to_pandas()
+        )
+        resolved_parts.append(fb)
+
+    cols = ["query_id", "rank", "neighbor_id", "hamming"]
+    if not resolved_parts:
+        return pd.DataFrame({c: [] for c in cols})
+    out = pd.concat(resolved_parts, ignore_index=True)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[cols]
+
+
 PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images
 PHASH_MAX_HAMMING = 3
 
@@ -7738,6 +7906,7 @@ QUERIES = {
     "image_curation_pipeline": image_curation_pipeline,
     "image_caption_alignment": image_caption_alignment,
     "image_hamming_topk": image_hamming_topk,
+    "image_hamming_topk_banded": image_hamming_topk_banded,
     "image_training_manifest": image_training_manifest,
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,

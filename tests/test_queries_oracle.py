@@ -638,3 +638,33 @@ def test_curriculum_partition_invariance(ray_session, sf_dir):
     assert sorted(wide["pos"]) == list(range(1, n + 1))
     sizes = wide.groupby("stage")["pos"].count()
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_hamming_banded_matches_exact(ray_session, sf_dir):
+    """The banded scale path must return EXACTLY the brute-force top-k
+    for every query (candidate-resolved and fallback queries alike)."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    exact = _to_df(q.image_hamming_topk(sf_dir)).reset_index(drop=True)
+    banded = _to_df(q.image_hamming_topk_banded(sf_dir)).reset_index(drop=True)
+    assert len(exact) == len(banded) > 0
+    for c in ["query_id", "rank", "neighbor_id", "hamming"]:
+        assert list(exact[c]) == list(banded[c]), c
+
+
+def test_phash_band_pigeonhole():
+    """Pigeonhole completeness: any two 64-bit hashes within Hamming
+    <= 3 share at least one 16-bit band (randomized over 500 cases)."""
+    import numpy as np
+
+    from searchgov_spider_ray.pipelines.queries import _phash_bands
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=500, dtype=np.int64).view(np.uint64)
+    n_flips = rng.integers(0, 4, size=500)
+    flipped = base.copy()
+    for i in range(500):
+        for b in rng.choice(64, size=n_flips[i], replace=False):
+            flipped[i] ^= np.uint64(1) << np.uint64(b)
+    b1, b2 = _phash_bands(base), _phash_bands(flipped)
+    assert ((b1 == b2).any(axis=1)).all()
