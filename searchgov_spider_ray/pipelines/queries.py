@@ -4467,6 +4467,37 @@ def q20_dominant_suppliers(sf_dir: str):
     )
 
 
+BPE_PACK_CAPACITY = 256
+
+
+def doc_bpe_pack_windows(sf_dir: str, capacity: int = BPE_PACK_CAPACITY):
+    """The end-to-end pre-training packing shape: context windows cut
+    by TOKENIZER counts, not whitespace counts — doc_bpe_tokenize's
+    per-doc BPE token counts fed through the same two-pass prefix-sum
+    span packer as doc_pack_windows (training._pack_spans; contiguous
+    doc_id range partitions, O(P) driver offsets, one vectorized
+    kernel per partition). Output rows: (doc_id, window_id, tok_start,
+    n_toks) in BPE-token units. Rows-only driver entry (the merge loop
+    has no SQL form); pytest replays learn+encode+pack scalar-by-
+    scalar."""
+    from .training import _pack_spans
+
+    counts = doc_bpe_tokenize(sf_dir)
+
+    def narrow(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "t": df["n_bpe_tokens"].astype("int64"),
+                "p": ids // 4096,
+            }
+        )
+
+    toks = counts.map_batches(narrow, batch_format="pandas").materialize()
+    return _pack_spans(toks, "doc_id", "doc_id", capacity)
+
+
 CURRICULUM_STAGES = 4
 CURRICULUM_MIN_TOKENS = 5
 
@@ -7866,6 +7897,7 @@ QUERIES = {
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "doc_dsir_sample": doc_dsir_sample,
     "doc_curriculum_manifest": doc_curriculum_manifest,
+    "doc_bpe_pack_windows": doc_bpe_pack_windows,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,

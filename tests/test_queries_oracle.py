@@ -668,3 +668,42 @@ def test_phash_band_pigeonhole():
             flipped[i] ^= np.uint64(1) << np.uint64(b)
     b1, b2 = _phash_bands(base), _phash_bands(flipped)
     assert ((b1 == b2).any(axis=1)).all()
+
+
+def test_doc_bpe_pack_windows_replay(ray_session, sf_dir):
+    """BPE-count packing must equal a single-process replay: per-doc
+    BPE counts from the pinned tokenize query, then the concat-and-cut
+    window arithmetic in plain Python."""
+    import numpy as np
+    import pandas as pd
+
+    import searchgov_spider_ray.pipelines.queries as q
+
+    got = (
+        _to_df(q.doc_bpe_pack_windows(sf_dir))
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    counts = (
+        _to_df(q.doc_bpe_tokenize(sf_dir)).sort_values("doc_id").reset_index(drop=True)
+    )
+    cap = q.BPE_PACK_CAPACITY
+    rows = []
+    s = 0
+    for did, t in zip(counts["doc_id"], counts["n_bpe_tokens"]):
+        t = int(t)
+        if t == 0:
+            continue
+        for win in range(s // cap, (s + t - 1) // cap + 1):
+            tok_start = max(win * cap - s, 0)
+            n_toks = min((win + 1) * cap, s + t) - max(win * cap, s)
+            rows.append((int(did), win, tok_start, n_toks))
+        s += t
+    want = pd.DataFrame(rows, columns=["doc_id", "window_id", "tok_start", "n_toks"])
+    want = want.sort_values(["doc_id", "window_id"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        assert list(got[c].astype(np.int64)) == list(want[c].astype(np.int64)), c
+    # windows tile the corpus: every window except the last is full
+    per_win = got.groupby("window_id")["n_toks"].sum()
+    assert (per_win.iloc[:-1] == cap).all()
