@@ -42,6 +42,24 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     )
 
 
+_DIM_DIRECT_ROWS = 5_000_000
+
+
+def _read_dim(sf_dir: str, name: str, columns: list[str]) -> pd.DataFrame:
+    """Catalog-dimension read for driver-side broadcast prep: below
+    ``_DIM_DIRECT_ROWS`` (decided from the parquet FOOTER, no scan)
+    read the file directly into pandas — a chain of four or five
+    dimension ``.to_pandas()`` executions pays more in sequential
+    executor spin-ups than the reads themselves; at or above the
+    threshold, the distributed Ray read path."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/{name}.parquet")
+    if pf.metadata.num_rows < _DIM_DIRECT_ROWS:
+        return pf.read(columns=columns).to_pandas()
+    return _read(sf_dir, name, columns).to_pandas()
+
+
 def _cents(x: np.ndarray | pd.Series) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
 
@@ -3685,58 +3703,36 @@ def q14_promo_revenue_share(sf_dir: str):
     )
 
 
-def q8_market_share(sf_dir: str):
+def q8_market_share(sf_dir: str, wide_order_rows: int = 5_000_000):
     """TPC-H Q8 shape — national market share: for AMERICA-region
     customers' 1996–1997 orders of ECONOMY parts, NATION_3 suppliers'
     share of discounted revenue per order year. Plan: all three
     dimension chains collapse to broadcast int arrays (ECONOMY
-    partkeys, AMERICA custkeys, NATION_3 suppkeys — catalog-bounded);
-    the one real exchange is the lineitem⨝orders hash join with
-    per-order revenue partials pushed into the lineitem side, so the
-    join moves order-count rows, not lineitem-count rows. Share is
+    partkeys, AMERICA custkeys, NATION_3 suppkeys — catalog-bounded).
+    The qualifying-orders side (two years × one region ≈ 6% of
+    orders) dispatches on its OWN materialized row count: below
+    ``wide_order_rows`` it broadcasts as sorted (orderkey → year)
+    arrays so each lineitem batch reduces straight to ≤2 per-year
+    rows — NO join exchange at all; above it, the hash-partitioned
+    lineitem⨝orders join with per-order revenue partials pushed into
+    the lineitem side (forced-wide parity pinned in pytest). Share is
     exact integer micros (floor(nation*1e6/total))."""
     from .relational import hash_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_type"])
     pk = np.sort(part.loc[part["p_type"] == "ECONOMY", "p_partkey"].to_numpy(np.int64))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nk = np.sort(supp.loc[supp["s_nationkey"] == 3, "s_suppkey"].to_numpy(np.int64))
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read_dim(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read_dim(sf_dir, "region", ["r_regionkey", "r_name"])
     amr = region.loc[region["r_name"] == "AMERICA", "r_regionkey"]
     am_nat = set(nation.loc[nation["n_regionkey"].isin(amr), "n_nationkey"].astype(int))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = _read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     ck = np.sort(cust.loc[cust["c_nationkey"].isin(am_nat), "c_custkey"].to_numpy(np.int64))
     pk_ref, nk_ref, ck_ref = ray.put(pk), ray.put(nk), ray.put(ck)
 
     LO = pd.Timestamp("1996-01-01")
     HI = pd.Timestamp("1998-01-01")
-
-    class _LiSide:
-        def __init__(self):
-            self._b = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._b is None:
-                self._b = (ray.get(pk_ref), ray.get(nk_ref))
-            pk_, nk_ = self._b
-            keep = _in_sorted(pk_, df["l_partkey"].to_numpy(np.int64))
-            df = df[keep]
-            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
-            is_nat = _in_sorted(nk_, df["l_suppkey"].to_numpy(np.int64))
-            part = pd.DataFrame(
-                {
-                    "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
-                    "rev": rev,
-                    "nat_rev": np.where(is_nat, rev, 0),
-                }
-            )
-            return part.groupby("o_orderkey", as_index=False).sum()
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(_LiSide(), batch_format="pandas")
 
     class _OrderSide:
         def __init__(self):
@@ -3754,16 +3750,88 @@ def q8_market_share(sf_dir: str):
                 }
             )
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(_OrderSide(), batch_format="pandas")
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(_OrderSide(), batch_format="pandas")
+        .materialize()
+    )
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
 
-    def per_year(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_year", as_index=False).agg(
-            nation_cents=("nat_rev", "sum"), total_cents=("rev", "sum")
+    if orders.count() < wide_order_rows:
+        odf = orders.to_pandas()
+        order = np.argsort(odf["o_orderkey"].to_numpy(np.int64), kind="stable")
+        ok_sorted = odf["o_orderkey"].to_numpy(np.int64)[order]
+        oy_sorted = odf["o_year"].to_numpy(np.int64)[order]
+        ord_ref = ray.put((ok_sorted, oy_sorted))
+
+        class _LiNarrow:
+            def __init__(self):
+                self._b = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._b is None:
+                    self._b = (
+                        ray.get(pk_ref), ray.get(nk_ref), ray.get(ord_ref)
+                    )
+                pk_, nk_, (ok_, oy_) = self._b
+                keep = _in_sorted(pk_, df["l_partkey"].to_numpy(np.int64))
+                df = df[keep]
+                okeys = df["l_orderkey"].to_numpy(np.int64)
+                hit = _in_sorted(ok_, okeys)
+                df = df[hit]
+                year = oy_[np.searchsorted(ok_, okeys[hit])]
+                rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+                is_nat = _in_sorted(nk_, df["l_suppkey"].to_numpy(np.int64))
+                part = pd.DataFrame(
+                    {
+                        "o_year": year,
+                        "nat_rev": np.where(is_nat, rev, 0),
+                        "rev": rev,
+                    }
+                )
+                return part.groupby("o_year", as_index=False).agg(
+                    nation_cents=("nat_rev", "sum"), total_cents=("rev", "sum")
+                )
+
+        parts = (
+            _read(sf_dir, "lineitem", li_cols)
+            .map_batches(_LiNarrow(), batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+
+        class _LiSide:
+            def __init__(self):
+                self._b = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._b is None:
+                    self._b = (ray.get(pk_ref), ray.get(nk_ref))
+                pk_, nk_ = self._b
+                keep = _in_sorted(pk_, df["l_partkey"].to_numpy(np.int64))
+                df = df[keep]
+                rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+                is_nat = _in_sorted(nk_, df["l_suppkey"].to_numpy(np.int64))
+                part = pd.DataFrame(
+                    {
+                        "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                        "rev": rev,
+                        "nat_rev": np.where(is_nat, rev, 0),
+                    }
+                )
+                return part.groupby("o_orderkey", as_index=False).sum()
+
+        li = _read(sf_dir, "lineitem", li_cols).map_batches(
+            _LiSide(), batch_format="pandas"
         )
 
-    parts = hash_join(li, orders, on="o_orderkey", post=per_year).to_pandas()
+        def per_year(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("o_year", as_index=False).agg(
+                nation_cents=("nat_rev", "sum"), total_cents=("rev", "sum")
+            )
+
+        parts = hash_join(li, orders, on="o_orderkey", post=per_year).to_pandas()
+
     agg = parts.groupby("o_year", as_index=False).agg(
         nation_cents=("nation_cents", "sum"), total_cents=("total_cents", "sum")
     )
@@ -3788,13 +3856,13 @@ def q9_product_profit(sf_dir: str):
     (retail_cents // 10). Both dimension sides are catalog-bounded
     broadcasts; the fact scan pre-aggregates per (nation, year) inside
     each batch, so the combine moves ≤ nations×years rows."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
     part = part[part["p_name"].str.contains("red", regex=False)]
     pk = np.sort(part["p_partkey"].to_numpy(np.int64))
     cost = (
         _cents(part.set_index("p_partkey").loc[pk, "p_retailprice"]) // 10
     ).astype(np.int64)
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
     sn = supp.set_index("s_suppkey").loc[sk, "s_nationkey"].to_numpy(np.int64)
     bc = ray.put((pk, cost, sk, sn))
@@ -3828,7 +3896,7 @@ def q9_product_profit(sf_dir: str):
         ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(_Partial(), batch_format="pandas")
     agg = _combine_partials(partials, ["n_nationkey", "o_year"], ["profit_cents"]).to_pandas()
-    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas().set_index("n_nationkey")["n_name"]
+    names = _read_dim(sf_dir, "nation", ["n_nationkey", "n_name"]).set_index("n_nationkey")["n_name"]
     return pd.DataFrame(
         {
             "n_name": [str(names[int(k)]) for k in agg["n_nationkey"]],
@@ -3916,11 +3984,9 @@ def q15_top_supplier(sf_dir: str):
     rev = _combine_partials(partials, ["s_suppkey"], ["total_revenue_cents"]).to_pandas()
     best = int(rev["total_revenue_cents"].max())
     top = rev[rev["total_revenue_cents"] == best]
-    names = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-        .to_pandas()
-        .set_index("s_suppkey")["s_name"]
-    )
+    names = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_name"]).set_index(
+        "s_suppkey"
+    )["s_name"]
     return pd.DataFrame(
         {
             "s_suppkey": top["s_suppkey"].to_numpy(np.int64),
@@ -3939,7 +4005,7 @@ def q16_supplier_variety(sf_dir: str):
     pairs dedup in two stages: per-batch unique on a fused int64 key,
     then a hash-shuffle groupby — bounded by catalog co-occurrence,
     never fact rows."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
     part = part[
         (part["p_brand"] != "Brand#5")
         & (part["p_type"] != "PROMO")
@@ -4026,7 +4092,7 @@ def q17_small_qty_revenue(sf_dir: str):
     filters with the EXACT integer inequality 5·n·qty < sum_qty
     (quantities are integral, so no float avg enters the comparison).
     Output: total cents and floor(total/7) yearly average."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
     pk = np.sort(
         part.loc[
             (part["p_brand"] == "Brand#3") & (part["p_size"] < 10), "p_partkey"
@@ -4098,7 +4164,7 @@ def q19_disjunctive_revenue(sf_dir: str):
     part side collapses to three broadcast sorted-key arrays; each
     lineitem batch evaluates the OR-of-ANDs as vectorized masks — a
     single reduced row leaves each batch."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
     arms = [
         ("Brand#12", 1, 15, 1, 11),
         ("Brand#23", 1, 20, 10, 20),
@@ -4196,11 +4262,9 @@ def q21_blame_supplier(sf_dir: str):
 
     parts = hash_join(li, orders_f, on="o_orderkey", post=blame).to_pandas()
     agg = parts.groupby("s_suppkey", as_index=False).agg(numwait=("numwait", "sum"))
-    names = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-        .to_pandas()
-        .set_index("s_suppkey")["s_name"]
-    )
+    names = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_name"]).set_index(
+        "s_suppkey"
+    )["s_name"]
     return pd.DataFrame(
         {
             "s_suppkey": agg["s_suppkey"].to_numpy(np.int64),
@@ -4281,17 +4345,17 @@ def q2_min_cost_supplier(sf_dir: str):
     parts. Per-batch min partials bound the combine at catalog
     co-occurrence; ties keep every supplier at the per-part minimum,
     as the spec's subquery does."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
     pk = np.sort(
         part.loc[
             (part["p_type"] == "LARGE") & (part["p_size"] <= 25), "p_partkey"
         ].to_numpy(np.int64)
     )
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read_dim(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_dim(sf_dir, "region", ["r_regionkey", "r_name"])
     eur = region.loc[region["r_name"] == "EUROPE", "r_regionkey"]
     eur_nat = nation[nation["n_regionkey"].isin(eur)]
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    supp = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
     supp = supp[supp["s_nationkey"].isin(set(eur_nat["n_nationkey"].astype(int)))]
     sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
     bc = ray.put((pk, sk))
@@ -4408,7 +4472,7 @@ def q20_dominant_suppliers(sf_dir: str):
     quantity partials bound the combine at catalog co-occurrence; the
     per-part total and the EXACT integer dominance test 2·q > tq run
     inside the combine kernel."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    part = _read_dim(sf_dir, "part", ["p_partkey", "p_name"])
     pk = np.sort(
         part.loc[part["p_name"].str.contains("gear", regex=False), "p_partkey"].to_numpy(
             np.int64
@@ -4453,11 +4517,9 @@ def q20_dominant_suppliers(sf_dir: str):
         .map_batches(dominate, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
-    names = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-        .to_pandas()
-        .set_index("s_suppkey")["s_name"]
-    )
+    names = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_name"]).set_index(
+        "s_suppkey"
+    )["s_name"]
     return pd.DataFrame(
         {
             "s_suppkey": agg["s_suppkey"].to_numpy(np.int64),

@@ -707,3 +707,21 @@ def test_doc_bpe_pack_windows_replay(ray_session, sf_dir):
     # windows tile the corpus: every window except the last is full
     per_win = got.groupby("window_id")["n_toks"].sum()
     assert (per_win.iloc[:-1] == cap).all()
+
+
+def test_q8_forced_wide_parity(ray_session, sf_dir):
+    """q8's broadcast (narrow) and hash-join (wide) order-side paths
+    must agree exactly — force the wide path with a zero threshold."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    narrow = (
+        _to_df(q.q8_market_share(sf_dir)).sort_values("o_year").reset_index(drop=True)
+    )
+    wide = (
+        _to_df(q.q8_market_share(sf_dir, wide_order_rows=0))
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    assert len(narrow) == len(wide) > 0
+    for c in ["o_year", "nation_cents", "total_cents", "mkt_share_micros"]:
+        assert list(narrow[c]) == list(wide[c]), c
