@@ -4215,36 +4215,67 @@ def q19_disjunctive_revenue(sf_dir: str):
     )
 
 
-def q21_blame_supplier(sf_dir: str):
+def q21_blame_supplier(sf_dir: str, wide_forder_rows: int = 20_000_000):
     """TPC-H Q21 shape — suppliers who alone returned goods on
     multi-supplier finalized orders (l_returnflag='R' stands in for
     the absent receipt/commit dates: the EXISTS other-supplier /
     NOT-EXISTS other-returning-supplier self-join shape is intact).
     Per-batch (orderkey, suppkey, any-R) partials shrink the fact
-    side; the hash join against F-order keys co-locates each order's
-    rows in one partition where the blame rule evaluates; only
-    (suppkey, count) partials leave the exchange."""
+    side. The F-order predicate dispatches on the materialized
+    F-orderkey count: below ``wide_forder_rows`` the key set
+    broadcasts into the partial kernel (filter BEFORE the exchange)
+    and the blame rule evaluates inside a coarse 64-way orderkey
+    partition — the q18 pattern; above it, the hash join against the
+    F-key dataset co-locates each order instead (forced-wide parity
+    pinned in pytest). Only (suppkey, count) partials leave either
+    exchange."""
+    from ..functions.simdedup import hash_part
     from .relational import hash_join
 
-    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame(
-            {
-                "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
-                "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
-                "has_r": (df["l_returnflag"] == "R").to_numpy(np.int64),
-            }
+    orders_f = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+            batch_format="pyarrow",
         )
-        return g.groupby(["o_orderkey", "s_suppkey"], as_index=False).agg(
-            has_r=("has_r", "max")
-        )
+        .materialize()
+    )
+    narrow = orders_f.count() < wide_forder_rows
+    fk_ref = None
+    if narrow:
+        fk = np.sort(orders_f.to_pandas()["o_orderkey"].to_numpy(np.int64))
+        fk_ref = ray.put(fk)
+
+    class _LiPartial:
+        def __init__(self):
+            self._k = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            okeys = df["l_orderkey"].to_numpy(np.int64)
+            if fk_ref is not None:
+                if self._k is None:
+                    self._k = ray.get(fk_ref)
+                hit = _in_sorted(self._k, okeys)
+                df = df[hit]
+                okeys = okeys[hit]
+            g = pd.DataFrame(
+                {
+                    "o_orderkey": okeys,
+                    "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                    "has_r": (df["l_returnflag"] == "R").to_numpy(np.int64),
+                }
+            )
+            out = g.groupby(["o_orderkey", "s_suppkey"], as_index=False).agg(
+                has_r=("has_r", "max")
+            )
+            if fk_ref is not None:
+                out["part"] = hash_part(
+                    out["o_orderkey"].to_numpy(np.int64), 64
+                ).astype(np.int64)
+            return out
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
-        li_partial, batch_format="pandas"
-    )
-
-    orders_f = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
-        batch_format="pyarrow",
+        _LiPartial(), batch_format="pandas"
     )
 
     def blame(df: pd.DataFrame) -> pd.DataFrame:
@@ -4260,7 +4291,12 @@ def q21_blame_supplier(sf_dir: str):
         hit = per[(per["has_r"] == 1) & per["o_orderkey"].isin(ok)]
         return hit.groupby("s_suppkey", as_index=False).agg(numwait=("s_suppkey", "size"))
 
-    parts = hash_join(li, orders_f, on="o_orderkey", post=blame).to_pandas()
+    if narrow:
+        parts = (
+            li.groupby("part").map_groups(blame, batch_format="pandas").to_pandas()
+        )
+    else:
+        parts = hash_join(li, orders_f, on="o_orderkey", post=blame).to_pandas()
     agg = parts.groupby("s_suppkey", as_index=False).agg(numwait=("numwait", "sum"))
     names = _read_dim(sf_dir, "supplier", ["s_suppkey", "s_name"]).set_index(
         "s_suppkey"

@@ -725,3 +725,21 @@ def test_q8_forced_wide_parity(ray_session, sf_dir):
     assert len(narrow) == len(wide) > 0
     for c in ["o_year", "nation_cents", "total_cents", "mkt_share_micros"]:
         assert list(narrow[c]) == list(wide[c]), c
+
+
+def test_q21_forced_wide_parity(ray_session, sf_dir):
+    """q21's broadcast-filter (narrow) and hash-join (wide) F-order
+    paths must agree exactly."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    narrow = (
+        _to_df(q.q21_blame_supplier(sf_dir)).sort_values("s_suppkey").reset_index(drop=True)
+    )
+    wide = (
+        _to_df(q.q21_blame_supplier(sf_dir, wide_forder_rows=0))
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    assert len(narrow) == len(wide) > 0
+    for c in ["s_suppkey", "s_name", "numwait"]:
+        assert list(narrow[c]) == list(wide[c]), c
