@@ -522,7 +522,11 @@ def customers_rfm(sf_dir: str, wide_customer_rows: int = 20_000_000):
     return tagged.groupby("c_nationkey").map_groups(kernel, batch_format="pandas")
 
 
-def q7_nation_trade(sf_dir: str, wide_customer_rows: int = 20_000_000):
+def q7_nation_trade(
+    sf_dir: str,
+    wide_customer_rows: int = 20_000_000,
+    wide_order_rows: int = 5_000_000,
+):
     """TPC-H Q7 shape (volume shipping): 1997 revenue between every
     (supplier nation, customer nation) pair, cross-nation only. Two
     dimension attachments + one large-large join: supplier →
@@ -530,9 +534,12 @@ def q7_nation_trade(sf_dir: str, wide_customer_rows: int = 20_000_000):
     dimension); customer → nation-code broadcasts below
     ``wide_customer_rows`` and routes through relational.hash_join
     above it (same dispatch as priority_by_region, forced-wide parity
-    pinned). lineitem revenue is pre-aggregated per (block, orderkey,
-    supp_code) before the o_orderkey exchange; the final combine runs
-    over ≤ 625 nation-pair partials per block."""
+    pinned). The (orderkey → cust_code) side then dispatches on its
+    OWN materialized count — below ``wide_order_rows`` (one filtered
+    year ≈ 1/7 of orders) it broadcasts as sorted arrays so every
+    lineitem batch reduces straight to ≤625 nation-pair partials with
+    NO orderkey exchange; above it, the hash join with revenue
+    pre-aggregated per (block, orderkey, supp_code)."""
     from .relational import hash_join
 
     lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
@@ -606,40 +613,85 @@ def q7_nation_trade(sf_dir: str, wide_customer_rows: int = 20_000_000):
 
         orders_f = orders_raw.map_batches(_AttachCust(), batch_format="pandas")
 
-    class _LiPartial:
-        def __init__(self):
-            self._m = None
+    orders_f = orders_f.materialize()
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._m is None:
-                self._m = ray.get(sup_ref)
-            keys, nats = self._m
-            probe = df["l_suppkey"].to_numpy(np.int64)
-            idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-            hit = keys[idx] == probe
-            df = df[hit]
-            rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
-            part = pd.DataFrame(
-                {
-                    "o_orderkey": df["l_orderkey"].astype("int64"),
-                    "supp_code": nats[idx[hit]],
-                    "rev": rev,
-                }
-            )
-            return part.groupby(["o_orderkey", "supp_code"], as_index=False).agg(
-                revenue_cents=("rev", "sum")
-            )
+    if orders_f.count() < wide_order_rows:
+        odf = orders_f.to_pandas()
+        oorder = np.argsort(odf["o_orderkey"].to_numpy(np.int64), kind="stable")
+        okeys_sorted = odf["o_orderkey"].to_numpy(np.int64)[oorder]
+        ocode_sorted = odf["cust_code"].to_numpy(np.int32)[oorder]
+        ord_ref = ray.put((okeys_sorted, ocode_sorted))
 
-    li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-    ).map_batches(_LiPartial(), batch_format="pandas")
+        class _LiNarrow:
+            def __init__(self):
+                self._m = None
 
-    def post(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["supp_code", "cust_code"], as_index=False).agg(
-            revenue_cents=("revenue_cents", "sum")
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._m is None:
+                    self._m = (ray.get(sup_ref), ray.get(ord_ref))
+                (skeys, snats), (okeys, ocodes) = self._m
+                probe = df["l_suppkey"].to_numpy(np.int64)
+                idx = np.minimum(np.searchsorted(skeys, probe), len(skeys) - 1)
+                hit = skeys[idx] == probe
+                df = df[hit]
+                supp_code = snats[idx[hit]]
+                op = df["l_orderkey"].to_numpy(np.int64)
+                ohit = _in_sorted(okeys, op)
+                df = df[ohit]
+                cust_code = ocodes[np.searchsorted(okeys, op[ohit])]
+                rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+                part = pd.DataFrame(
+                    {
+                        "supp_code": supp_code[ohit],
+                        "cust_code": cust_code,
+                        "revenue_cents": rev,
+                    }
+                )
+                return part.groupby(["supp_code", "cust_code"], as_index=False).agg(
+                    revenue_cents=("revenue_cents", "sum")
+                )
+
+        partials = _read(sf_dir, "lineitem", li_cols).map_batches(
+            _LiNarrow(), batch_format="pandas"
+        )
+    else:
+
+        class _LiPartial:
+            def __init__(self):
+                self._m = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._m is None:
+                    self._m = ray.get(sup_ref)
+                keys, nats = self._m
+                probe = df["l_suppkey"].to_numpy(np.int64)
+                idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+                hit = keys[idx] == probe
+                df = df[hit]
+                rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+                part = pd.DataFrame(
+                    {
+                        "o_orderkey": df["l_orderkey"].astype("int64"),
+                        "supp_code": nats[idx[hit]],
+                        "rev": rev,
+                    }
+                )
+                return part.groupby(["o_orderkey", "supp_code"], as_index=False).agg(
+                    revenue_cents=("rev", "sum")
+                )
+
+        li = _read(sf_dir, "lineitem", li_cols).map_batches(
+            _LiPartial(), batch_format="pandas"
         )
 
-    partials = hash_join(li, orders_f, on="o_orderkey", post=post)
+        def post(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["supp_code", "cust_code"], as_index=False).agg(
+                revenue_cents=("revenue_cents", "sum")
+            )
+
+        partials = hash_join(li, orders_f, on="o_orderkey", post=post)
+
     res = (
         _combine_partials(partials, ["supp_code", "cust_code"], ["revenue_cents"])
         .to_pandas()

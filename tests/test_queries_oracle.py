@@ -743,3 +743,15 @@ def test_q21_forced_wide_parity(ray_session, sf_dir):
     assert len(narrow) == len(wide) > 0
     for c in ["s_suppkey", "s_name", "numwait"]:
         assert list(narrow[c]) == list(wide[c]), c
+
+
+def test_q7_forced_wide_orders_parity(ray_session, sf_dir):
+    """q7's broadcast (orderkey→cust_code) narrow path and the
+    hash-join wide path must agree exactly."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    narrow = q.q7_nation_trade(sf_dir).reset_index(drop=True)
+    wide = q.q7_nation_trade(sf_dir, wide_order_rows=0).reset_index(drop=True)
+    assert len(narrow) == len(wide) > 0
+    for c in ["supp_nation", "cust_nation", "revenue_cents"]:
+        assert list(narrow[c]) == list(wide[c]), c
