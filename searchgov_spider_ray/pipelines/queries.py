@@ -4617,6 +4617,36 @@ def q20_dominant_suppliers(sf_dir: str):
     )
 
 
+def events_json_stats(sf_dir: str):
+    """Semi-structured extraction — schema-on-read over the JSON
+    ``props`` column: pull the integer ``k`` field out of every event
+    (vectorized regex extraction, the Arrow-native equivalent of a
+    JSON path probe; rows without the key drop, as SQL's NULL
+    json_extract does) and aggregate per event_type. Per-batch
+    partials bound the combine at event-type cardinality; all stats
+    exact int64."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        ok = k.notna()
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"][ok],
+                "k": k[ok].astype(np.int64),
+            }
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum"), min_k=("min_k", "min"), max_k=("max_k", "max")
+    )
+    return out.astype({"n": np.int64, "sum_k": np.int64, "min_k": np.int64, "max_k": np.int64})
+
+
 BPE_PACK_CAPACITY = 256
 
 
@@ -8048,6 +8078,7 @@ QUERIES = {
     "doc_dsir_sample": doc_dsir_sample,
     "doc_curriculum_manifest": doc_curriculum_manifest,
     "doc_bpe_pack_windows": doc_bpe_pack_windows,
+    "events_json_stats": events_json_stats,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
@@ -10663,4 +10694,19 @@ ORACLES["doc_curriculum_manifest"] = """
            CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS pos,
            CAST(NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS stage
     FROM kept
+"""
+
+ORACLES["events_json_stats"] = """
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM x WHERE k IS NOT NULL
+    GROUP BY 1
 """
