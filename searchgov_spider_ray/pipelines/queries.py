@@ -4617,6 +4617,54 @@ def q20_dominant_suppliers(sf_dir: str):
     )
 
 
+def embedding_knn_classify(sf_dir: str, k: int = 5):
+    """k-NN label classification over the embeddings table — the
+    label-propagation / auto-labeling primitive: every vector's
+    predicted label is the mode of its 5 exact cosine neighbors'
+    labels (ties by smallest label), compared against its true label.
+    Composes the verified knn_self_join (broadcast-GEMM, complete
+    per-row top-k) with a broadcast (vec_id → label) array; the vote
+    runs inside a coarse 64-way query_id partition (every query's k
+    rows co-locate), so nothing per-key touches the exchange."""
+    from ..functions.simdedup import hash_part
+    from .training import knn_self_join
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    nn = knn_self_join(ds, k=k)
+    labels = _read_dim(sf_dir, "embeddings", ["vec_id", "label"])
+    lk = np.sort(labels["vec_id"].to_numpy(np.int64))
+    lv = labels.set_index("vec_id").loc[lk, "label"].to_numpy(np.int64)
+    lab_ref = ray.put((lk, lv))
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = hash_part(df["query_id"].to_numpy(np.int64), 64).astype(np.int64)
+        return df
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = ray.get(lab_ref)
+        nlab = vals[np.searchsorted(keys, g["neighbor_id"].to_numpy(np.int64))]
+        v = pd.DataFrame({"query_id": g["query_id"].to_numpy(np.int64), "nlabel": nlab})
+        c = v.groupby(["query_id", "nlabel"], as_index=False).agg(c=("nlabel", "size"))
+        c = c.sort_values(["query_id", "c", "nlabel"], ascending=[True, False, True])
+        pred = c.drop_duplicates("query_id")
+        true = vals[np.searchsorted(keys, pred["query_id"].to_numpy(np.int64))]
+        return pd.DataFrame(
+            {
+                "vec_id": pred["query_id"].to_numpy(np.int64),
+                "label": true,
+                "pred_label": pred["nlabel"].to_numpy(np.int64),
+                "correct": (pred["nlabel"].to_numpy(np.int64) == true).astype(np.int64),
+            }
+        )
+
+    return (
+        nn.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(vote, batch_format="pandas")
+    )
+
+
 def events_json_stats(sf_dir: str):
     """Semi-structured extraction — schema-on-read over the JSON
     ``props`` column: pull the integer ``k`` field out of every event
@@ -8079,6 +8127,7 @@ QUERIES = {
     "doc_curriculum_manifest": doc_curriculum_manifest,
     "doc_bpe_pack_windows": doc_bpe_pack_windows,
     "events_json_stats": events_json_stats,
+    "embedding_knn_classify": embedding_knn_classify,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
@@ -10709,4 +10758,31 @@ ORACLES["events_json_stats"] = """
            CAST(MAX(k) AS BIGINT) AS max_k
     FROM x WHERE k IS NOT NULL
     GROUP BY 1
+"""
+
+ORACLES["embedding_knn_classify"] = """
+    WITH nn AS (
+        SELECT a.vec_id AS query_id, b.label AS nlabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                            b.vec_id
+               ) AS nn_rank
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id
+        QUALIFY nn_rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, nlabel, COUNT(*) AS c FROM nn GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, nlabel AS pred_label FROM votes
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY c DESC, nlabel
+        ) = 1
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(p.pred_label AS BIGINT) AS pred_label,
+           CAST(CASE WHEN e.label = p.pred_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM embeddings e JOIN pred p ON p.query_id = e.vec_id
 """
