@@ -262,6 +262,11 @@ def run_query_bench() -> dict[str, float]:
         "q22_sales_opportunity",
         # DSIR importance weighting (hashed-unigram two-pass flagship)
         "doc_dsir_weights",
+        # session-3 late wave: curriculum NTILE, JSON extraction,
+        # kNN auto-labeling
+        "doc_curriculum_manifest",
+        "events_json_stats",
+        "embedding_knn_classify",
     ]
     for name in bench_queries:
         t0 = time.time()

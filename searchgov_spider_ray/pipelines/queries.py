@@ -4665,6 +4665,61 @@ def embedding_knn_classify(sf_dir: str, k: int = 5):
     )
 
 
+def embedding_cluster_purity(sf_dir: str):
+    """Clustering-quality evaluation: label purity per semantic
+    bucket — for each of embedding_cluster_assign's 8 clusters, the
+    majority true label, its count, cluster size, and exact integer
+    purity (majority·1e6 // n). Per-batch (cluster, label) count
+    partials bound the combine at 8×|labels| rows."""
+    from .training import centroid_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = centroid_assign(ds, centroid_ids=list(range(8)))
+    labels = _read_dim(sf_dir, "embeddings", ["vec_id", "label"])
+    lk = np.sort(labels["vec_id"].to_numpy(np.int64))
+    lv = labels.set_index("vec_id").loc[lk, "label"].to_numpy(np.int64)
+    lab_ref = ray.put((lk, lv))
+
+    class _Counts:
+        def __init__(self):
+            self._b = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._b is None:
+                self._b = ray.get(lab_ref)
+            keys, vals = self._b
+            lab = vals[np.searchsorted(keys, df["vec_id"].to_numpy(np.int64))]
+            g = pd.DataFrame(
+                {"cluster_id": df["cluster_id"].to_numpy(np.int64), "label": lab}
+            )
+            return g.groupby(["cluster_id", "label"], as_index=False).agg(
+                c=("label", "size")
+            )
+
+    counts = (
+        assigned.map_batches(_Counts(), batch_format="pandas")
+        .to_pandas()
+        .groupby(["cluster_id", "label"], as_index=False)
+        .agg(c=("c", "sum"))
+    )
+    n = counts.groupby("cluster_id", as_index=False).agg(n=("c", "sum"))
+    top = counts.sort_values(
+        ["cluster_id", "c", "label"], ascending=[True, False, True]
+    ).drop_duplicates("cluster_id")
+    out = top.merge(n, on="cluster_id")
+    return pd.DataFrame(
+        {
+            "cluster_id": out["cluster_id"].to_numpy(np.int64),
+            "majority_label": out["label"].to_numpy(np.int64),
+            "majority_n": out["c"].to_numpy(np.int64),
+            "n": out["n"].to_numpy(np.int64),
+            "purity_ppm": (
+                out["c"].to_numpy(np.int64) * 1_000_000 // out["n"].to_numpy(np.int64)
+            ).astype(np.int64),
+        }
+    )
+
+
 def events_json_stats(sf_dir: str):
     """Semi-structured extraction — schema-on-read over the JSON
     ``props`` column: pull the integer ``k`` field out of every event
@@ -8128,6 +8183,7 @@ QUERIES = {
     "doc_bpe_pack_windows": doc_bpe_pack_windows,
     "events_json_stats": events_json_stats,
     "embedding_knn_classify": embedding_knn_classify,
+    "embedding_cluster_purity": embedding_cluster_purity,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
@@ -10785,4 +10841,35 @@ ORACLES["embedding_knn_classify"] = """
            CAST(p.pred_label AS BIGINT) AS pred_label,
            CAST(CASE WHEN e.label = p.pred_label THEN 1 ELSE 0 END AS BIGINT) AS correct
     FROM embeddings e JOIN pred p ON p.query_id = e.vec_id
+"""
+
+ORACLES["embedding_cluster_purity"] = """
+    WITH c AS (
+        SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cluster_id FROM (
+            SELECT CAST(e.vec_id AS BIGINT) AS vec_id, c.cid,
+                   list_cosine_similarity(e.embedding, c.cv) AS sim
+            FROM embeddings e, c
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+    ),
+    counts AS (
+        SELECT a.cluster_id, CAST(e.label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    top AS (
+        SELECT cluster_id, label AS majority_label, c AS majority_n FROM counts
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY c DESC, label
+        ) = 1
+    )
+    SELECT t.cluster_id, t.majority_label, t.majority_n, tot.n,
+           CAST(t.majority_n * 1000000 // tot.n AS BIGINT) AS purity_ppm
+    FROM top t JOIN tot ON tot.cluster_id = t.cluster_id
 """
