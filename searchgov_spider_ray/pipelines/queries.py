@@ -4617,6 +4617,94 @@ def q20_dominant_suppliers(sf_dir: str):
     )
 
 
+BASKET_TOPK = 50
+
+
+def orders_basket_affinity(sf_dir: str, k: int = BASKET_TOPK):
+    """Market-basket pair mining: the top-k part pairs by co-occurrence
+    support across orders (the affinity / frequent-itemset-2 shape).
+    Per-order pair expansion is bounded by lines-per-order² (≤7 lines
+    in this schema), runs inside a coarse 64-way orderkey partition
+    (lines of one order co-locate), and each partition emits PARTIAL
+    pair counts; a second coarse partition keyed on the fused pair
+    completes each pair's global count and emits only its local top-k,
+    so the driver merges ≤ 64·k rows. Ties break (support desc, p1,
+    p2) — fully deterministic."""
+    from ..functions.simdedup import hash_part
+
+    def lp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "o": df["l_orderkey"].to_numpy(np.int64),
+                "p": df["l_partkey"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        g["part"] = hash_part(g["o"].to_numpy(np.int64), 64).astype(np.int64)
+        return g
+
+    def pairs_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["o", "p"]].drop_duplicates().sort_values(["o", "p"], kind="mergesort")
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        new = np.empty(len(o), dtype=bool)
+        if len(o) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")})
+        new[0] = True
+        new[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(o)))
+        # vectorized upper-triangle expansion per order
+        n_pairs = sizes * (sizes - 1) // 2
+        # i index within group for each row
+        i_in = np.arange(len(o)) - np.repeat(starts, sizes)
+        # first element of each pair: row r repeats (size - 1 - i_in[r]) times
+        left_rep = (np.repeat(sizes, sizes) - 1 - i_in).clip(min=0)
+        li = np.repeat(np.arange(len(o)), left_rep)
+        # second element: consecutive offsets after each left row
+        off = np.arange(int(left_rep.sum())) - np.repeat(
+            np.cumsum(left_rep) - left_rep, left_rep
+        )
+        ri = li + 1 + off
+        pair = (p[li] << np.int64(32)) | p[ri]
+        cnt = pd.DataFrame({"pair": pair})
+        out = cnt.groupby("pair", as_index=False).agg(n=("pair", "size"))
+        assert int(out["n"].sum()) == int(n_pairs.sum())
+        return out
+
+    def topk_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("pair", as_index=False).agg(n=("n", "sum"))
+        tot = tot.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+        return tot.head(k)
+
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = hash_part(df["pair"].to_numpy(np.int64), 64).astype(np.int64)
+        return df
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(lp_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: pairs_kernel(g), batch_format="pandas"
+        )
+        .map_batches(add_pair_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(topk_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = parts.groupby("pair", as_index=False).agg(n=("n", "sum"))
+    tot = tot.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort").head(k)
+    pair = tot["pair"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "p1": (pair >> np.int64(32)).astype(np.int64),
+            "p2": (pair & np.int64((1 << 32) - 1)).astype(np.int64),
+            "support": tot["n"].to_numpy(np.int64),
+        }
+    )
+
+
 def embedding_knn_classify(sf_dir: str, k: int = 5):
     """k-NN label classification over the embeddings table — the
     label-propagation / auto-labeling primitive: every vector's
@@ -8184,6 +8272,7 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "embedding_knn_classify": embedding_knn_classify,
     "embedding_cluster_purity": embedding_cluster_purity,
+    "orders_basket_affinity": orders_basket_affinity,
     "doc_bpe_pair_counts": doc_bpe_pair_counts,
     "doc_bpe_tokenize": doc_bpe_tokenize,
     "embedding_pq_codes": embedding_pq_codes,
@@ -10872,4 +10961,15 @@ ORACLES["embedding_cluster_purity"] = """
     SELECT t.cluster_id, t.majority_label, t.majority_n, tot.n,
            CAST(t.majority_n * 1000000 // tot.n AS BIGINT) AS purity_ppm
     FROM top t JOIN tot ON tot.cluster_id = t.cluster_id
+"""
+
+ORACLES["orders_basket_affinity"] = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, p1, p2
+    LIMIT 50
 """
