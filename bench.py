@@ -340,15 +340,40 @@ def main() -> None:
     ray.shutdown()
 
 
-def scaling(cpu_lo: int = 8, cpu_hi: int = 32) -> None:
+def _drop_page_cache() -> bool:
+    """Best-effort OS page-cache drop so a --scaling leg starts with
+    COLD corpus I/O. Within one invocation the low-CPU leg runs first
+    and warms the cache for the high leg (inflating efficiency);
+    across back-to-back invocations both legs run warm (the constant
+    single-box I/O term then depresses it — see BASELINE.md's
+    artifact notes). Dropping before EACH leg gives the symmetric
+    cold/cold measurement. Needs a writable /proc/sys/vm/drop_caches
+    (privileged sandbox); returns whether the drop happened."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+        return True
+    except OSError:
+        return False
+
+
+def scaling(cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False) -> None:
     """Default pair 8→32 (the driver's invocation). A supplementary
     pair can be requested as `--scaling --cpus 4 16`: same 4× ratio,
     but the high leg leaves headroom on the shared 32-vCPU box so the
     measurement isolates the ENGINE's scaling from the box's own
     oversubscription (ambient tenants compress exactly the leg the
-    efficiency ratio divides by — see BASELINE.md run ledger)."""
+    efficiency ratio divides by — see BASELINE.md run ledger).
+    `--drop-caches` cold-starts the page cache before each leg for a
+    symmetric cold/cold comparison."""
+
+    dropped = True
 
     def run(ncpu: int) -> dict:
+        nonlocal dropped
+        if drop_caches:
+            dropped = _drop_page_cache() and dropped
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
@@ -379,6 +404,7 @@ def scaling(cpu_lo: int = 8, cpu_hi: int = 32) -> None:
                     / ratio,
                     3,
                 ),
+                **({"cold_cache_legs": dropped} if drop_caches else {}),
             }
         )
     )
@@ -386,10 +412,11 @@ def scaling(cpu_lo: int = 8, cpu_hi: int = 32) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
+        drop = "--drop-caches" in sys.argv
         if "--cpus" in sys.argv:
             i = sys.argv.index("--cpus")
-            scaling(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+            scaling(int(sys.argv[i + 1]), int(sys.argv[i + 2]), drop_caches=drop)
         else:
-            scaling()
+            scaling(drop_caches=drop)
     else:
         main()
