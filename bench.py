@@ -369,11 +369,15 @@ def scaling(cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False) -> Non
     symmetric cold/cold comparison."""
 
     dropped = True
+    loadavgs: list[float] = []
 
     def run(ncpu: int) -> dict:
         nonlocal dropped
         if drop_caches:
             dropped = _drop_page_cache() and dropped
+        # ambient-context annotation: 1-min loadavg at leg START, so
+        # every ledger row carries the disturbance evidence with it
+        loadavgs.append(round(os.getloadavg()[0], 2))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
@@ -404,6 +408,7 @@ def scaling(cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False) -> Non
                     / ratio,
                     3,
                 ),
+                "loadavg_at_leg_starts": loadavgs,
                 **({"cold_cache_legs": dropped} if drop_caches else {}),
             }
         )

@@ -83,6 +83,39 @@ def _in_sorted(arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return (idx < len(arr)) & (arr[idx_c] == keys)
 
 
+def _lookup_sorted(
+    keys: np.ndarray, vals: np.ndarray, probe: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized inner-join lookup against a SORTED broadcast key
+    array: returns (hit_mask over probe, vals for the hits). Guards the
+    empty-dimension case (an empty customer/supplier table) that a bare
+    ``np.minimum(searchsorted, len-1)`` clamp would turn into an
+    IndexError."""
+    if len(keys) == 0:
+        return np.zeros(len(probe), dtype=bool), vals[:0]
+    idx = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    hit = keys[idx] == probe
+    return hit, vals[idx[hit]]
+
+
+# expensive per-partition reconciliation asserts run only when set —
+# the hot kernels skip the extra reductions in production runs
+DEBUG_ASSERTS = os.environ.get("GRAFT_DEBUG_ASSERTS", "") == "1"
+
+
+def _require_u32(a: np.ndarray, what: str) -> None:
+    """Assert the int64 values fit an unsigned 32-bit slot before a
+    (hi << 32) | lo key fusion. At 10^10-row scale synthetic keys can
+    outgrow 32 bits, and a silent alias would corrupt counts with no
+    error — so the invariant is CHECKED, not assumed (cheap: one
+    vectorized min/max per batch)."""
+    if len(a) and (int(a.min()) < 0 or int(a.max()) >= 1 << 32):
+        raise ValueError(
+            f"{what}: key outside [0, 2^32) — the fused int64 pair key would "
+            "alias distinct pairs; use a two-column groupby at this key width"
+        )
+
+
 def _combine_partials(partials: rd.Dataset, keys: list[str], sums: list[str]) -> rd.Dataset:
     """Final combine of per-block partial aggregates: one vectorized
     pandas groupby-sum task over all partials.
@@ -480,10 +513,9 @@ def customers_rfm(sf_dir: str, wide_customer_rows: int = 20_000_000):
                     self._m = ray.get(cust_ref)
                 keys, nats = self._m
                 probe = df["c_custkey"].to_numpy(np.int64)
-                idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-                hit = keys[idx] == probe
+                hit, nat_hit = _lookup_sorted(keys, nats, probe)
                 df = df[hit]
-                return df.assign(c_nationkey=nats[idx[hit]])
+                return df.assign(c_nationkey=nat_hit)
 
         tagged = partials.map_batches(_AttachNat(), batch_format="pandas")
 
@@ -602,12 +634,11 @@ def q7_nation_trade(
                     self._m = ray.get(cust_ref)
                 keys, nats = self._m
                 probe = df["o_custkey"].to_numpy(np.int64)
-                idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-                hit = keys[idx] == probe
+                hit, nat_hit = _lookup_sorted(keys, nats, probe)
                 return pd.DataFrame(
                     {
                         "o_orderkey": df["o_orderkey"].to_numpy(np.int64)[hit],
-                        "cust_code": nats[idx[hit]],
+                        "cust_code": nat_hit,
                     }
                 )
 
@@ -632,10 +663,8 @@ def q7_nation_trade(
                     self._m = (ray.get(sup_ref), ray.get(ord_ref))
                 (skeys, snats), (okeys, ocodes) = self._m
                 probe = df["l_suppkey"].to_numpy(np.int64)
-                idx = np.minimum(np.searchsorted(skeys, probe), len(skeys) - 1)
-                hit = skeys[idx] == probe
+                hit, supp_code = _lookup_sorted(skeys, snats, probe)
                 df = df[hit]
-                supp_code = snats[idx[hit]]
                 op = df["l_orderkey"].to_numpy(np.int64)
                 ohit = _in_sorted(okeys, op)
                 df = df[ohit]
@@ -666,14 +695,13 @@ def q7_nation_trade(
                     self._m = ray.get(sup_ref)
                 keys, nats = self._m
                 probe = df["l_suppkey"].to_numpy(np.int64)
-                idx = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-                hit = keys[idx] == probe
+                hit, supp_code = _lookup_sorted(keys, nats, probe)
                 df = df[hit]
                 rev = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
                 part = pd.DataFrame(
                     {
                         "o_orderkey": df["l_orderkey"].astype("int64"),
-                        "supp_code": nats[idx[hit]],
+                        "supp_code": supp_code,
                         "rev": rev,
                     }
                 )
@@ -2664,19 +2692,32 @@ def events_latest_per_user(sf_dir: str):
     """Latest-wins compaction (the CDC-upsert / snapshot shape): keep
     each user's most recent event by (ts, event_id). Associative
     reduce: a per-batch keep-latest partial shrinks the exchange to at
-    most one row per (batch, user) BEFORE the shuffle, then one
-    groupby exchange finishes with the same vectorized kernel — never
-    per-user Python, and the fact table never moves whole."""
+    most one row per (batch, user) BEFORE the shuffle; the finish runs
+    inside a coarse 64-way user-hash partition (every user's surviving
+    rows co-locate) with the same vectorized kernel — never per-user
+    Python, no per-key Aggregate exchange (the q18/q11 discipline: the
+    per-key sort-Aggregate launch constant dwarfs the work at any
+    scale), and the fact table never moves whole."""
+    from ..functions.simdedup import hash_part
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
 
     def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
         g = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return g.groupby("user_id", as_index=False).tail(1)
 
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = keep_latest(df)
+        return g.assign(
+            part=hash_part(g["user_id"].to_numpy(np.int64), 64).astype(np.int64)
+        )
+
     out = (
-        ds.map_batches(keep_latest, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(keep_latest, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: keep_latest(g).drop(columns=["part"]), batch_format="pandas"
+        )
     )
     return out.map_batches(
         lambda df: df.rename(
@@ -3887,10 +3928,13 @@ def q8_market_share(sf_dir: str, wide_order_rows: int = 5_000_000):
     agg = parts.groupby("o_year", as_index=False).agg(
         nation_cents=("nation_cents", "sum"), total_cents=("total_cents", "sum")
     )
-    share = (
-        agg["nation_cents"].to_numpy(np.int64) * 1_000_000
-        // agg["total_cents"].to_numpy(np.int64)
-    )
+    total = agg["total_cents"].to_numpy(np.int64)
+    if (total == 0).any():
+        # mirror the SQL oracle, which errors on integer division by
+        # zero — a silent 0 share would be a divergence, not an answer
+        bad = agg["o_year"].to_numpy(np.int64)[total == 0].tolist()
+        raise ValueError(f"q8_market_share: zero qualifying revenue for years {bad}")
+    share = agg["nation_cents"].to_numpy(np.int64) * 1_000_000 // total
     return pd.DataFrame(
         {
             "o_year": agg["o_year"].to_numpy(np.int64),
@@ -4100,6 +4144,7 @@ def q16_supplier_variety(sf_dir: str):
             suppk = df["l_suppkey"].to_numpy(np.int64)
             keep = _in_sorted(pk_, partk) & (suppk % 7 != 0)
             gid = gid_[np.searchsorted(pk_, partk[keep])]
+            _require_u32(suppk[keep], "q16 suppkey fusion")
             fused = np.unique((gid << np.int64(32)) | suppk[keep])
             return pd.DataFrame(
                 {"gs": fused, "part": hash_part(fused, 64).astype(np.int64)}
@@ -4665,10 +4710,14 @@ def orders_basket_affinity(sf_dir: str, k: int = BASKET_TOPK):
             np.cumsum(left_rep) - left_rep, left_rep
         )
         ri = li + 1 + off
+        _require_u32(p, "orders_basket_affinity partkey fusion")
         pair = (p[li] << np.int64(32)) | p[ri]
         cnt = pd.DataFrame({"pair": pair})
         out = cnt.groupby("pair", as_index=False).agg(n=("pair", "size"))
-        assert int(out["n"].sum()) == int(n_pairs.sum())
+        if DEBUG_ASSERTS:
+            # reconcile expanded pair count against the closed form —
+            # an extra partition-wide reduction, so debug-gated
+            assert int(out["n"].sum()) == int(n_pairs.sum())
         return out
 
     def topk_kernel(g: pd.DataFrame) -> pd.DataFrame:
@@ -4815,11 +4864,23 @@ def events_json_stats(sf_dir: str):
     JSON path probe; rows without the key drop, as SQL's NULL
     json_extract does) and aggregate per event_type. Per-batch
     partials bound the combine at event-type cardinality; all stats
-    exact int64."""
+    exact int64.
+
+    DOCUMENTED ASSUMPTION (regex vs json_extract): the extraction
+    requires ``"k"`` to sit in key position (preceded by ``{`` or
+    ``,``) with a bare INTEGER value (a float like ``"k": 1.5`` is a
+    non-match, never a silent truncation — the oracle's CAST AS BIGINT
+    would error there, and the fixtures carry integers only). It does
+    NOT distinguish a top-level ``k`` from one inside a nested object
+    or an escaped-quote string value; corpora with those shapes need a
+    real per-row JSON parse, which this vectorized hot path
+    deliberately avoids."""
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        k = df["props"].str.extract(
+            r'[{,]\s*"k"\s*:\s*(-?\d+)(?![\d.eE])', expand=False
+        )
         ok = k.notna()
         g = pd.DataFrame(
             {
@@ -6953,21 +7014,140 @@ HAMMING_TOPK_K = 5
 HAMMING_QUERY_MOD = 17  # every 17th image (by id hash) is a query
 
 
-def image_hamming_topk(sf_dir: str, k: int = HAMMING_TOPK_K):
+# shared 16-bit popcount table: popcount(x) = sum of table over 4 shorts
+_POP16 = np.zeros(1 << 16, dtype=np.uint8)
+for _b in range(16):
+    _POP16[(np.arange(1 << 16) >> _b) & 1 == 1] += 1
+
+
+def _hamming_matrix(corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """(len(corpus), len(queries)) XOR-popcount distance matrix over
+    uint64 pHashes — vectorized 16-bit-table popcount, no Python rows."""
+    x = corpus[:, None] ^ queries[None, :]
+    d = np.zeros(x.shape, dtype=np.int64)
+    for s in range(0, 64, 16):
+        d += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return d
+
+
+def _hamming_elementwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-aligned XOR-popcount over two uint64 arrays (the pair-list
+    form the band join needs — no dense matrix ever materializes)."""
+    x = a ^ b
+    d = np.zeros(len(x), dtype=np.int64)
+    for s in range(0, 64, 16):
+        d += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return d
+
+
+_HAMMING_EMPTY_COLS = ("query_id", "rank", "neighbor_id", "hamming")
+
+
+def _hamming_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=object),
+            "rank": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype=object),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+class _HammingExactTopK:
+    """Per-batch exact Hamming top-k partial against a broadcast query
+    set: ONE stable argsort of the whole (batch × queries) distance
+    matrix along the batch axis realizes the (hamming asc, neighbor_id
+    asc) total order for EVERY query simultaneously — no per-query
+    Python loop. Rows are pre-sorted by neighbor_id so the stable sort's
+    tie order IS the id order; self-matches are masked to 65 (> any
+    64-bit distance). neighbor_id is globally unique, so the order is a
+    total order and per-batch top-k partials merge exactly."""
+
+    def __init__(self, ref, k: int):
+        self.ref = ref
+        self.k = k
+        self._b = None
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self._b is None:
+            self._b = ray.get(self.ref)
+        s_ids, s_ph = self._b
+        if len(df) == 0 or len(s_ids) == 0:
+            return _hamming_empty().drop(columns=["rank"])
+        ids = df["image_id"].to_numpy(dtype=object)
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        o = np.argsort(ids, kind="stable")
+        ids, ph = ids[o], ph[o]
+        d = _hamming_matrix(ph, s_ph)
+        pos = np.clip(np.searchsorted(ids, s_ids), 0, len(ids) - 1)
+        selfhit = ids[pos] == s_ids
+        d[pos[selfhit], np.flatnonzero(selfhit)] = 65
+        k_eff = min(self.k, len(ids))
+        ord_ = np.argsort(d, axis=0, kind="stable")[:k_eff]  # (k_eff, nq)
+        dist = np.take_along_axis(d, ord_, axis=0)
+        keep = dist.T.ravel() <= 64  # drop masked self rows
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(s_ids, k_eff)[keep],
+                "neighbor_id": ids[ord_.T.ravel()][keep],
+                "hamming": dist.T.ravel()[keep],
+            }
+        )
+
+
+def _merge_hamming_topk(pairs: rd.Dataset, k: int) -> pd.DataFrame:
+    """Global top-k merge of per-batch Hamming partials: a coarse
+    64-way query-hash partition co-locates each query's rows (never a
+    per-key Aggregate exchange), then one vectorized groupby-head per
+    partition. Driver receives ≤ k rows per query — the final answer,
+    not a pair table."""
+    from ..functions.hashing import xxhash64_array
+    from ..functions.simdedup import hash_part
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(part=pd.Series([], dtype="int64"))
+        h = xxhash64_array(df["query_id"].tolist()).view(np.int64)
+        return df.assign(part=hash_part(h, 64).astype(np.int64))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        g = g.sort_values(["query_id", "hamming", "neighbor_id"], kind="mergesort")
+        g = g.groupby("query_id", as_index=False, sort=False).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.groupby("query_id", sort=False).cumcount().to_numpy(np.int64) + 1
+        return g[["query_id", "rank", "neighbor_id", "hamming"]]
+
+    out = (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _hamming_empty()
+    return out
+
+
+def image_hamming_topk(
+    sf_dir: str, k: int = HAMMING_TOPK_K, query_mod: int = HAMMING_QUERY_MOD
+):
     """Image similarity search: exact Hamming top-k over the stored
     64-bit pHash column — the image-side analog of ann_topk_brute
     (reverse-image / find-similar over a crawled corpus). Query set =
-    every image whose xxhash64(image_id) % 17 == 0 (deterministic,
-    corpus-size-proportional). Metadata-only: bytes never read.
+    every image whose xxhash64(image_id) % query_mod == 0. Metadata-
+    only: bytes never read.
 
-    Distribution: query pHashes broadcast once (ray.put via closure
-    capture of the tiny materialized query table); each batch computes
-    the XOR-popcount distance matrix vectorized (uint8 view + unpackbits
-    lookup-free popcount) and emits only its batch-local top-k per
-    query, so the merge input is ≤ k·n_batches·n_queries rows. The
-    banded pigeonhole path (_image_phash_graph) remains the scale route
-    for RADIUS queries; top-k needs the exact scan. Rows-only driver
-    entry; pytest pins the result against a full brute-force replay."""
+    This is the BROADCAST path by construction (the brute baseline the
+    banded path is parity-pinned against): the query table broadcasts
+    once via ray.put, each batch pays one vectorized distance matrix +
+    one stable argsort (no per-query Python), and only batch-local
+    top-k rows reach the coarse-partition merge. Scale bound = query
+    count × batch size per task heap; image_hamming_topk_banded is the
+    scale route. Rows-only driver entry; pytest pins against a full
+    brute-force replay. Zero queries → empty typed result (not a
+    concat crash)."""
     from ..functions.hashing import xxhash64_array
 
     cdir = _crawl_corpus_dir()
@@ -6975,62 +7155,18 @@ def image_hamming_topk(sf_dir: str, k: int = HAMMING_TOPK_K):
 
     def pick_queries(df: pd.DataFrame) -> pd.DataFrame:
         h = xxhash64_array(df["image_id"].tolist())
-        sel = (h % np.uint64(HAMMING_QUERY_MOD)) == 0
-        return df[sel]
+        return df[(h % np.uint64(query_mod)) == 0]
 
-    qdf = (
-        ds.map_batches(pick_queries, batch_format="pandas")
-        .to_pandas()
-        .sort_values("image_id")
-        .reset_index(drop=True)
-    )
+    qdf = ds.map_batches(pick_queries, batch_format="pandas").to_pandas()
+    if len(qdf) == 0:
+        return _hamming_empty()
+    qdf = qdf.sort_values("image_id").reset_index(drop=True)
     q_ids = qdf["image_id"].to_numpy(dtype=object)
     q_ph = qdf["phash"].to_numpy(np.int64).view(np.uint64)
+    qref = ray.put((q_ids, q_ph))
 
-    # 16-bit popcount table: popcount(x) = sum of table over 4 shorts
-    pop16 = np.zeros(1 << 16, dtype=np.uint8)
-    for b in range(16):
-        pop16[(np.arange(1 << 16) >> b) & 1 == 1] += 1
-
-    def _hamming(corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
-        x = corpus[:, None] ^ queries[None, :]
-        d = np.zeros(x.shape, dtype=np.int64)
-        for s in range(0, 64, 16):
-            d += pop16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
-        return d
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
-        ids = df["image_id"].to_numpy(dtype=object)
-        d = _hamming(ph, q_ph)
-        outs = []
-        for j in range(len(q_ids)):
-            not_self = ids != q_ids[j]
-            cand_ids, cand_d = ids[not_self], d[not_self, j]
-            order = np.lexsort((cand_ids, cand_d))[:k]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(len(order), q_ids[j], dtype=object),
-                        "neighbor_id": cand_ids[order],
-                        "hamming": cand_d[order],
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
-
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["hamming", "neighbor_id"], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id", "hamming"]]
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
-        .to_pandas()
-    )
+    partial = ds.map_batches(_HammingExactTopK(qref, k), batch_format="pandas")
+    out = _merge_hamming_topk(partial, k)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -7045,161 +7181,194 @@ def _phash_bands(ph: np.ndarray) -> np.ndarray:
     return out
 
 
-def image_hamming_topk_banded(sf_dir: str, k: int = HAMMING_TOPK_K):
+def image_hamming_topk_banded(
+    sf_dir: str, k: int = HAMMING_TOPK_K, query_mod: int = HAMMING_QUERY_MOD
+):
     """The bucketed SCALE path for image similarity top-k, completing
     the brute/bucketed pair the embedding side has (ann_topk_brute /
-    ann_topk_ivf). Phase 1: candidates = corpus images sharing a
-    16-bit pHash band with a query (pigeonhole-complete for Hamming
-    ≤ 3, so a 10^10-image corpus scans only band-bucket collisions,
-    not every row); per batch, only candidate rows pay the exact
-    XOR-popcount. Phase 2: a query is RESOLVED by candidates alone iff
-    it has ≥ k candidates at distance ≤ 3 (beyond 3 the bands prove
-    nothing); unresolved queries fall back to one exact scan with the
-    REDUCED query set — same result as image_hamming_topk for every
-    query, pinned by pytest parity. Rows-only driver entry (crawl
-    corpus input; pHash has no SQL form)."""
+    ann_topk_ivf). No query broadcast, no driver pair table, no
+    per-query Python:
+
+    Phase 1 — partitioned band join. Corpus AND query rows explode to
+    (band_key = band_pos·2^16 | band_value) rows (4 per pHash — the
+    pigeonhole decomposition: Hamming ≤ 3 ⟹ ≥ 1 shared 16-bit band),
+    union into ONE dataset, coarse 64-way hash-partition on band_key.
+    Inside each partition a vectorized pandas merge joins query↔corpus
+    on band_key and an ELEMENTWISE XOR-popcount scores only colliding
+    pairs — no dense (corpus × all-queries) matrix anywhere, and the
+    per-task footprint scales with that partition's band collisions,
+    not with the global query count.
+
+    Phase 2 — distributed resolve. One marker row per query (injected
+    distributed, carrying its pHash) unions into the pair stream; a
+    second coarse partition on query_id co-locates each query's
+    candidates + marker, dedups across bands, and decides: ≥ k
+    candidates at distance ≤ 3 → top-k is PROVEN complete (the band
+    join is pigeonhole-complete within 3) and emitted with ranks;
+    fewer → the marker re-emits as an unresolved row. The driver
+    receives only final rows + the unresolved query list (bounded by
+    the query count, the same order as the answer itself).
+
+    Phase 3 — exact fallback for the unresolved subset via the same
+    vectorized stable-argsort kernel as image_hamming_topk (top-k
+    beyond radius 3 inherently needs an exact scan; the reduced query
+    set broadcasts once).
+
+    Partitioning assumption (documented): band-value buckets are
+    roughly uniform — a degenerate corpus where one 16-bit band value
+    dominates (e.g. flat-image pHash=0 floods band 0x0000) skews the
+    merge in its partition; the mitigation at 10^10 scale is salting
+    that band value and chunking its merge, the same hot-key discipline
+    as the crawl frontier's domain split. Same result as
+    image_hamming_topk for every query, pinned by pytest parity incl.
+    a forced query_mod=1 (every image a query) run. Rows-only driver
+    entry (crawl corpus input; pHash has no SQL form)."""
     from ..functions.hashing import xxhash64_array
+    from ..functions.simdedup import hash_part
 
     cdir = _crawl_corpus_dir()
     ds = rd.read_parquet(cdir + "/corpus_images.parquet", columns=["image_id", "phash"])
 
-    def pick_queries(df: pd.DataFrame) -> pd.DataFrame:
-        h = xxhash64_array(df["image_id"].tolist())
-        sel = (h % np.uint64(HAMMING_QUERY_MOD)) == 0
-        return df[sel]
-
-    qdf = (
-        ds.map_batches(pick_queries, batch_format="pandas")
-        .to_pandas()
-        .sort_values("image_id")
-        .reset_index(drop=True)
-    )
-    q_ids = qdf["image_id"].to_numpy(dtype=object)
-    q_ph = qdf["phash"].to_numpy(np.int64).view(np.uint64)
-    q_bands = _phash_bands(q_ph)  # (nq, 4)
-    # band-value → sorted lookup per band position
-    band_sets = [np.unique(q_bands[:, b]) for b in range(4)]
-    bc = ray.put((q_ids, q_ph, band_sets))
-
-    pop16 = np.zeros(1 << 16, dtype=np.uint8)
-    for b in range(16):
-        pop16[(np.arange(1 << 16) >> b) & 1 == 1] += 1
-
-    def _hamming(corpus: np.ndarray, queries: np.ndarray) -> np.ndarray:
-        x = corpus[:, None] ^ queries[None, :]
-        d = np.zeros(x.shape, dtype=np.int64)
-        for s in range(0, 64, 16):
-            d += pop16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
-        return d
-
-    class _BandCandidates:
-        def __init__(self):
-            self._b = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._b is None:
-                self._b = ray.get(bc)
-            q_ids_, q_ph_, band_sets_ = self._b
-            ph = df["phash"].to_numpy(np.int64).view(np.uint64)
-            ids = df["image_id"].to_numpy(dtype=object)
-            bands = _phash_bands(ph)
-            cand = np.zeros(len(df), dtype=bool)
-            for b in range(4):
-                cand |= _in_sorted(band_sets_[b], bands[:, b])
-            if not cand.any():
-                return pd.DataFrame(
-                    {
-                        "query_id": pd.Series([], dtype=object),
-                        "neighbor_id": pd.Series([], dtype=object),
-                        "hamming": pd.Series([], dtype="int64"),
-                    }
-                )
-            ids_c, ph_c = ids[cand], ph[cand]
-            d = _hamming(ph_c, q_ph_)
-            within = d <= 3
-            rows, cols = np.nonzero(within)
-            not_self = ids_c[rows] != q_ids_[cols]
-            rows, cols = rows[not_self], cols[not_self]
-            return pd.DataFrame(
-                {
-                    "query_id": q_ids_[cols],
-                    "neighbor_id": ids_c[rows],
-                    "hamming": d[rows, cols].astype(np.int64),
-                }
-            )
-
-    cand = (
-        ds.map_batches(_BandCandidates(), batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(["query_id", "neighbor_id"])
-    )
-
-    resolved_parts: list[pd.DataFrame] = []
-    unresolved: list[object] = []
-    by_q = {qid: g for qid, g in cand.groupby("query_id")} if len(cand) else {}
-    for qid in q_ids:
-        g = by_q.get(qid)
-        if g is not None and len(g) >= k:
-            g = g.sort_values(["hamming", "neighbor_id"], kind="mergesort").head(k)
-            g = g.reset_index(drop=True)
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            resolved_parts.append(g[["query_id", "rank", "neighbor_id", "hamming"]])
-        else:
-            unresolved.append(qid)
-
-    if unresolved:
-        un = set(unresolved)
-        sub = qdf[qdf["image_id"].isin(un)].reset_index(drop=True)
-        s_ids = sub["image_id"].to_numpy(dtype=object)
-        s_ph = sub["phash"].to_numpy(np.int64).view(np.uint64)
-        s_ref = ray.put((s_ids, s_ph))
-
-        class _ExactFallback:
-            def __init__(self):
-                self._b = None
-
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                if self._b is None:
-                    self._b = ray.get(s_ref)
-                s_ids_, s_ph_ = self._b
-                ph = df["phash"].to_numpy(np.int64).view(np.uint64)
-                ids = df["image_id"].to_numpy(dtype=object)
-                d = _hamming(ph, s_ph_)
-                outs = []
-                for j in range(len(s_ids_)):
-                    not_self = ids != s_ids_[j]
-                    cand_ids, cand_d = ids[not_self], d[not_self, j]
-                    order = np.lexsort((cand_ids, cand_d))[:k]
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.full(len(order), s_ids_[j], dtype=object),
-                                "neighbor_id": cand_ids[order],
-                                "hamming": cand_d[order].astype(np.int64),
-                            }
-                        )
-                    )
-                return pd.concat(outs, ignore_index=True)
-
-        def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["hamming", "neighbor_id"], kind="mergesort").head(k)
-            g = g.reset_index(drop=True)
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            return g[["query_id", "rank", "neighbor_id", "hamming"]]
-
-        fb = (
-            ds.map_batches(_ExactFallback(), batch_format="pandas")
-            .groupby("query_id")
-            .map_groups(merge_topk, batch_format="pandas")
-            .to_pandas()
+    def explode(df: pd.DataFrame, is_q: int) -> pd.DataFrame:
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        ids = df["image_id"].to_numpy(dtype=object)
+        bands = _phash_bands(ph)  # (n, 4)
+        band_key = (np.arange(4, dtype=np.int64)[None, :] << 16) | bands
+        n = len(df)
+        out = pd.DataFrame(
+            {
+                "band_key": band_key.ravel(),
+                "image_id": np.repeat(ids, 4),
+                "phash": np.repeat(ph.view(np.int64), 4),
+                "is_q": np.full(4 * n, is_q, dtype=np.int64),
+            }
         )
-        resolved_parts.append(fb)
+        out["part"] = hash_part(out["band_key"].to_numpy(np.int64), 64).astype(np.int64)
+        return out
 
-    cols = ["query_id", "rank", "neighbor_id", "hamming"]
-    if not resolved_parts:
-        return pd.DataFrame({c: [] for c in cols})
-    out = pd.concat(resolved_parts, ignore_index=True)
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[cols]
+    def explode_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return explode(df, 0)
+
+    def explode_queries(df: pd.DataFrame) -> pd.DataFrame:
+        h = xxhash64_array(df["image_id"].tolist())
+        return explode(df[(h % np.uint64(query_mod)) == 0], 1)
+
+    both = ds.map_batches(explode_corpus, batch_format="pandas").union(
+        ds.map_batches(explode_queries, batch_format="pandas")
+    )
+
+    def collide(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["is_q"] == 1][["band_key", "image_id", "phash"]]
+        c = g[g["is_q"] == 0][["band_key", "image_id", "phash"]]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=object),
+                "neighbor_id": pd.Series([], dtype=object),
+                "hamming": pd.Series([], dtype="int64"),
+                "q_ph": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(q) == 0 or len(c) == 0:
+            return empty
+        m = q.merge(c, on="band_key", suffixes=("_q", "_c"))
+        if len(m) == 0:
+            return empty
+        d = _hamming_elementwise(
+            m["phash_q"].to_numpy(np.int64).view(np.uint64),
+            m["phash_c"].to_numpy(np.int64).view(np.uint64),
+        )
+        keep = d <= 3
+        # self-pairs have d == 0; only there does id equality need a check
+        zero = keep & (d == 0)
+        if zero.any():
+            ids_q = m["image_id_q"].to_numpy(dtype=object)
+            ids_c = m["image_id_c"].to_numpy(dtype=object)
+            zi = np.flatnonzero(zero)
+            keep[zi[ids_q[zi] == ids_c[zi]]] = False
+        m = m[keep]
+        return pd.DataFrame(
+            {
+                "query_id": m["image_id_q"].to_numpy(dtype=object),
+                "neighbor_id": m["image_id_c"].to_numpy(dtype=object),
+                "hamming": d[keep],
+                "q_ph": np.zeros(int(keep.sum()), dtype=np.int64),
+            }
+        ).drop_duplicates(["query_id", "neighbor_id"])
+
+    pairs = both.groupby("part").map_groups(collide, batch_format="pandas")
+
+    def markers(df: pd.DataFrame) -> pd.DataFrame:
+        h = xxhash64_array(df["image_id"].tolist())
+        sel = df[(h % np.uint64(query_mod)) == 0]
+        return pd.DataFrame(
+            {
+                "query_id": sel["image_id"].to_numpy(dtype=object),
+                "neighbor_id": np.full(len(sel), "", dtype=object),
+                "hamming": np.full(len(sel), -1, dtype=np.int64),
+                "q_ph": sel["phash"].to_numpy(np.int64),
+            }
+        )
+
+    stream = pairs.union(ds.map_batches(markers, batch_format="pandas"))
+
+    def add_qpart(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(part=pd.Series([], dtype="int64"))
+        h = xxhash64_array(df["query_id"].tolist()).view(np.int64)
+        return df.assign(part=hash_part(h, 64).astype(np.int64))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        mk = g[g["hamming"] < 0]
+        p = g[g["hamming"] >= 0].drop_duplicates(["query_id", "neighbor_id"])
+        p = p.sort_values(["query_id", "hamming", "neighbor_id"], kind="mergesort")
+        counts = p.groupby("query_id", sort=False)["neighbor_id"].transform("size")
+        done = p[counts.to_numpy(np.int64) >= k]
+        top = done.groupby("query_id", as_index=False, sort=False).head(k)
+        top = top.reset_index(drop=True)
+        rank = top.groupby("query_id", sort=False).cumcount().to_numpy(np.int64) + 1
+        resolved = pd.DataFrame(
+            {
+                "query_id": top["query_id"].to_numpy(dtype=object),
+                "rank": rank,
+                "neighbor_id": top["neighbor_id"].to_numpy(dtype=object),
+                "hamming": top["hamming"].to_numpy(np.int64),
+                "q_ph": np.zeros(len(top), dtype=np.int64),
+            }
+        )
+        resolved_ids = set(top["query_id"].unique())
+        un = mk[~mk["query_id"].isin(resolved_ids)]
+        unresolved = pd.DataFrame(
+            {
+                "query_id": un["query_id"].to_numpy(dtype=object),
+                "rank": np.zeros(len(un), dtype=np.int64),
+                "neighbor_id": np.full(len(un), "", dtype=object),
+                "hamming": np.full(len(un), -1, dtype=np.int64),
+                "q_ph": un["q_ph"].to_numpy(np.int64),
+            }
+        )
+        return pd.concat([resolved, unresolved], ignore_index=True)
+
+    res = (
+        stream.map_batches(add_qpart, batch_format="pandas")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(res) == 0:
+        return _hamming_empty()
+    final = res[res["rank"] >= 1][["query_id", "rank", "neighbor_id", "hamming"]]
+    un = res[res["rank"] == 0].sort_values("query_id")
+    if len(un):
+        s_ids = un["query_id"].to_numpy(dtype=object)
+        s_ph = un["q_ph"].to_numpy(np.int64).view(np.uint64)
+        s_ref = ray.put((s_ids, s_ph))
+        fb_partial = ds.map_batches(_HammingExactTopK(s_ref, k), batch_format="pandas")
+        fb = _merge_hamming_topk(fb_partial, k)
+        final = pd.concat([final, fb], ignore_index=True)
+    return (
+        final.sort_values(["query_id", "rank"])
+        .reset_index(drop=True)[list(_HAMMING_EMPTY_COLS)]
+    )
 
 
 PHASH_PLANT_MOD = 7  # plant a near-dup for 1-in-7 corpus images

@@ -652,6 +652,43 @@ def test_hamming_banded_matches_exact(ray_session, sf_dir):
         assert list(exact[c]) == list(banded[c]), c
 
 
+def test_hamming_banded_forced_every_image_a_query(ray_session, sf_dir):
+    """Forced-wide pin: with query_mod=1 EVERY corpus image is a query,
+    so the band join, the distributed resolve, and the fallback all run
+    at their densest — banded must still equal exact row-for-row, and
+    every image must appear as a query."""
+    import ray.data as rd
+
+    import searchgov_spider_ray.pipelines.queries as q
+
+    exact = _to_df(q.image_hamming_topk(sf_dir, query_mod=1)).reset_index(drop=True)
+    banded = _to_df(
+        q.image_hamming_topk_banded(sf_dir, query_mod=1)
+    ).reset_index(drop=True)
+    n_images = rd.read_parquet(
+        q._crawl_corpus_dir() + "/corpus_images.parquet", columns=["image_id"]
+    ).count()
+    assert exact["query_id"].nunique() == n_images
+    assert len(exact) == len(banded) > 0
+    for c in ["query_id", "rank", "neighbor_id", "hamming"]:
+        assert list(exact[c]) == list(banded[c]), c
+
+
+def test_hamming_topk_zero_queries_is_empty(ray_session, sf_dir):
+    """A query selector that picks nothing must yield an empty typed
+    result, not a concat crash (ADVICE r3: the exact path raised
+    ValueError('No objects to concatenate'))."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    # a modulus far above the fixture corpus size selects zero images
+    # unless a hash lands exactly on 0 — then relax (deterministic)
+    out = _to_df(q.image_hamming_topk(sf_dir, query_mod=1_000_003))
+    assert list(out.columns) == ["query_id", "rank", "neighbor_id", "hamming"]
+    banded = _to_df(q.image_hamming_topk_banded(sf_dir, query_mod=1_000_003))
+    assert list(banded.columns) == ["query_id", "rank", "neighbor_id", "hamming"]
+    assert len(out) == len(banded)
+
+
 def test_phash_band_pigeonhole():
     """Pigeonhole completeness: any two 64-bit hashes within Hamming
     <= 3 share at least one 16-bit band (randomized over 500 cases)."""
