@@ -1200,40 +1200,131 @@ class _KnnSelfJoin:
         )
 
 
+class _KnnChunkScan:
+    """The WIDE exact-kNN kernel: the corpus is pre-split into C
+    id-hash chunks, each broadcast separately (one plasma copy per
+    node); every batch streams through the chunk list, GEMMs against
+    one chunk at a time, and folds that chunk's per-row top-k into a
+    running (B, k) state via a batched ``np.lexsort(axis=1)`` on the
+    (-cosine, neighbor_id) total order. Per-task memory is one chunk +
+    one (B, 2k) merge buffer — never the whole corpus — and each row's
+    top-k is COMPLETE when the chunk loop ends, so there is still no
+    merge shuffle. neighbor ids are unique, so the order is total and
+    the result is EXACT, bit-matching the broadcast path (same
+    per-pair dot products, same tie rule)."""
+
+    def __init__(self, chunk_refs: list, k: int, id_col: str, vec_col: str):
+        self.chunk_refs = chunk_refs
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._chunks = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._chunks is None:
+            self._chunks = [ray.get(r) for r in self.chunk_refs]
+        ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _as_matrix(batch[self.vec_col])
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        B, k = len(ids), self.k
+        best_cos = np.full((B, k), -3.0)
+        best_ids = np.full((B, k), np.iinfo(np.int64).max, dtype=np.int64)
+        for c_ids, c_mat in self._chunks:
+            sims = mat @ c_mat.T  # (B, m)
+            m = sims.shape[1]
+            # mask self: chunk ids are sorted, one searchsorted per chunk
+            pos = np.searchsorted(c_ids, ids)
+            ok = (pos < m) & (c_ids[np.minimum(pos, m - 1)] == ids)
+            sims[np.flatnonzero(ok), pos[ok]] = -2.0
+            kc = min(k, m)
+            # per-row chunk top-k by (-cos, id): stable argsort keeps
+            # column order (= ascending chunk id) for float ties
+            ord_c = np.argsort(-sims, axis=1, kind="stable")[:, :kc]
+            cand_cos = np.take_along_axis(sims, ord_c, axis=1)
+            cand_ids = c_ids[ord_c]
+            all_cos = np.concatenate([best_cos, cand_cos], axis=1)
+            all_ids = np.concatenate([best_ids, cand_ids], axis=1)
+            sel = np.lexsort((all_ids, -all_cos), axis=1)[:, :k]
+            best_cos = np.take_along_axis(all_cos, sel, axis=1)
+            best_ids = np.take_along_axis(all_ids, sel, axis=1)
+        real = best_cos > -1.5  # drop padding and the self sentinel
+        ranks = np.broadcast_to(np.arange(1, k + 1, dtype=np.int64), (B, k))
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(ids, k)[real.ravel()], type=pa.int64()),
+                "neighbor_id": pa.array(best_ids.ravel()[real.ravel()], type=pa.int64()),
+                "nn_rank": pa.array(ranks.ravel()[real.ravel()], type=pa.int64()),
+            }
+        )
+
+
 def knn_self_join(
     ds: rd.Dataset,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_rows: int = 2_000_000,
+    chunk_rows: int | None = None,
 ) -> rd.Dataset:
     """Exact cosine k-NN self-join: every row's top-k neighbors
     (excluding itself), ties by neighbor_id ascending — the primitive
     under semantic dedup / near-dup clustering of an embedding column.
 
-    The corpus matrix is normalized once, sorted by id, and broadcast
-    via ``ray.put`` (one object-store copy per node, zero-copy reads in
-    every task); each ``map_batches`` task then GEMMs its batch against
-    it and emits complete per-row top-k — one pass, no merge shuffle.
-    This is the exact path and is bounded by ``broadcast_rows`` (float64
-    n×d must fit a worker heap: 2 M × 64 dims ≈ 1 GB). Beyond it, exact
-    all-pairs kNN is inherently quadratic; the scale path is the IVF
-    machinery (``ann_ivf_topk``: sample-trained centroids, bucketed
-    scan) run per-partition with n_probe recall documented — same
-    dispatch discipline as WIDE_DOC_ROWS elsewhere."""
-    df = ds.select_columns([id_col, vec_col]).to_pandas()
-    if len(df) > broadcast_rows:
-        raise NotImplementedError(
-            f"exact knn_self_join is broadcast-bounded ({broadcast_rows} rows); "
-            "use ann_ivf_topk per partition for approximate kNN at scale"
+    Below ``broadcast_rows`` the corpus matrix is normalized once,
+    sorted by id, and broadcast via ``ray.put`` (one object-store copy
+    per node, zero-copy reads in every task); each ``map_batches``
+    task GEMMs its batch against it and emits complete per-row top-k —
+    one pass, no merge shuffle. The bound is a worker-heap bound
+    (float64 n×d: 2 M × 64 dims ≈ 1 GB).
+
+    ABOVE it the join DISPATCHES (it no longer refuses): the corpus
+    splits into ceil(n / chunk_rows) id-hash chunks, each materialized
+    and broadcast separately, and ``_KnnChunkScan`` streams every batch
+    through the chunk list with a running vectorized top-k merge —
+    still EXACT (every pair's dot product is computed; same total
+    order), per-task memory bounded by ONE chunk, total GEMM work the
+    inherent O(n²·d / parallelism). Forced-wide parity vs the
+    broadcast path is pinned in tests (``chunk_rows`` exists so tests
+    can force multiple chunks at fixture scale). For sub-quadratic
+    APPROXIMATE kNN at extreme scale, ``ann_ivf_topk`` remains the
+    recall-documented alternative."""
+    from ..functions.simdedup import hash_part
+
+    narrow = ds.select_columns([id_col, vec_col])
+    n = narrow.count()
+    if n <= broadcast_rows:
+        df = narrow.to_pandas()
+        ids = df[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        mat = _as_matrix(df[vec_col])[order]
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        ref = ray.put((ids[order], mat))
+        return ds.map_batches(
+            _KnnSelfJoin(ref, k, id_col, vec_col), batch_format="pyarrow"
         )
-    ids = df[id_col].to_numpy().astype(np.int64)
-    order = np.argsort(ids, kind="mergesort")
-    mat = _as_matrix(df[vec_col])[order]
-    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-    ref = ray.put((ids[order], mat))
+
+    c_rows = chunk_rows or max(broadcast_rows, 1)
+    n_chunks = max(1, -(-n // c_rows))
+    chunk_refs = []
+    for c in range(n_chunks):
+        # one pruned filter-scan per chunk: the driver holds ONE chunk
+        # at a time (≤ ~n/C rows) — the same heap bound as the narrow
+        # path's broadcast, paid C times instead of exceeded once
+        def pick(t: pa.Table, c=c) -> pa.Table:
+            key = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(hash_part(key, n_chunks) == c))
+
+        sub = narrow.map_batches(pick, batch_format="pyarrow").to_pandas()
+        if len(sub) == 0:  # a hash bucket can come up empty at tiny n
+            continue
+        c_ids = sub[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(c_ids, kind="mergesort")
+        c_mat = _as_matrix(sub[vec_col])[order]
+        c_mat = c_mat / np.clip(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12, None)
+        chunk_refs.append(ray.put((c_ids[order], c_mat)))
+
     return ds.map_batches(
-        _KnnSelfJoin(ref, k, id_col, vec_col), batch_format="pyarrow"
+        _KnnChunkScan(chunk_refs, k, id_col, vec_col), batch_format="pyarrow"
     )
 
 

@@ -116,6 +116,28 @@ class TestForcedWideDispatch:
         assert len(wide) == len(theirs) and len(wide) > 0
         assert _value_hash(wide) == _value_hash(theirs)
 
+    def test_embedding_knn_join_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(q.embedding_knn_join(sf_dir, broadcast_rows=0, chunk_rows=401))
+        theirs = oracle_con.execute(e.oracle_sql()["embedding_knn_join"]).fetchdf()
+        assert len(wide) == len(theirs) and len(wide) > 0
+        assert _value_hash(wide) == _value_hash(theirs)
+
+    def test_embedding_knn_classify_wide(self, ray_session, sf_dir, oracle_con):
+        from searchgov_spider_ray.pipelines import queries as q
+        import __ray_entry__ as e
+
+        wide = _to_df(
+            q.embedding_knn_classify(sf_dir, broadcast_rows=0, chunk_rows=401)
+        )
+        theirs = oracle_con.execute(
+            e.oracle_sql()["embedding_knn_classify"]
+        ).fetchdf()
+        assert len(wide) == len(theirs) and len(wide) > 0
+        assert _value_hash(wide) == _value_hash(theirs)
+
     def test_customers_rfm_wide(self, ray_session, sf_dir, oracle_con):
         from searchgov_spider_ray.pipelines import queries as q
         import __ray_entry__ as e

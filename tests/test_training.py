@@ -506,11 +506,42 @@ class TestKnnSelfJoin:
         got = out[out["query_id"] == 7].sort_values("nn_rank")["neighbor_id"].tolist()
         assert got == [3, 9, 5]
 
-    def test_broadcast_bound_raises(self, emb_ds):
-        import pytest as _pytest
+    def test_forced_wide_matches_broadcast(self, emb_ds):
+        """Above broadcast_rows the join must DISPATCH to the chunked
+        scan, not refuse — and the chunked result must be row-identical
+        to the broadcast path (same per-pair dot products, same
+        (-cosine, neighbor_id) tie order)."""
+        narrow = (
+            training.knn_self_join(emb_ds, k=3)
+            .to_pandas()
+            .sort_values(["query_id", "nn_rank"])
+            .reset_index(drop=True)
+        )
+        wide = (
+            training.knn_self_join(emb_ds, k=3, broadcast_rows=10, chunk_rows=37)
+            .to_pandas()
+            .sort_values(["query_id", "nn_rank"])
+            .reset_index(drop=True)
+        )
+        assert len(narrow) == len(wide) == 200 * 3
+        for c in ["query_id", "neighbor_id", "nn_rank"]:
+            assert narrow[c].tolist() == wide[c].tolist(), c
 
-        with _pytest.raises(NotImplementedError):
-            training.knn_self_join(emb_ds, k=3, broadcast_rows=10)
+    def test_forced_wide_tie_break(self, ray_session):
+        # the clone-tie fixture through the chunked path: ties at
+        # cosine 1.0 must still break by neighbor_id across chunks
+        vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 0.0]]
+        df = pd.DataFrame(
+            {
+                "vec_id": np.array([7, 3, 5, 9], dtype=np.int64),
+                "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            }
+        )
+        out = training.knn_self_join(
+            rd.from_pandas(df), k=3, broadcast_rows=0, chunk_rows=2
+        ).to_pandas()
+        got = out[out["query_id"] == 7].sort_values("nn_rank")["neighbor_id"].tolist()
+        assert got == [3, 9, 5]
 
 
 class TestCMS:
