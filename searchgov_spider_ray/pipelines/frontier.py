@@ -142,7 +142,18 @@ class CrawlConfig:
     # Row semantics are identical by construction — the same kernel
     # objects run in both paths; parity is pinned by the e2e simulator
     # tests in BOTH modes (tests/test_frontier_e2e.py).
-    micro_round_rows: int = 8192
+    #
+    # Sizing: the payload-bound stages stay parallel (raw tasks over
+    # ≤ fetch_max_parallelism chunks), so the bound is DRIVER work —
+    # the vectorized cheap kernels plus the fan-out concat/dedup/seq
+    # (≤ ~10× rows_in novel candidates, narrow ~100 B rows). 128 k
+    # rows_in ≈ a ~1 M-row driver fan-out pass ≈ low single-digit
+    # seconds, well under the ~12 executor launches it replaces
+    # (measured r4: a 104 k-row round cost 10.4 s on the Dataset path,
+    # ~3 s micro). On a multi-node cluster this stays a LATENCY floor
+    # optimization: the threshold is absolute rows, not a corpus
+    # fraction, so driver heap is bounded regardless of cluster size.
+    micro_round_rows: int = 131_072
 
 
 @dataclass
@@ -395,6 +406,12 @@ class _EmitKernel:
         return batch.select(["depth", "seq", "url_hash", "image_id"])
 
 
+def _strip_image_id(t: pa.Table) -> pa.Table:
+    """Drop the image_id column from the emitted sink if a user emit
+    step hasn't already removed it (steps may reshape item rows)."""
+    return t.drop_columns(["image_id"]) if "image_id" in t.column_names else t
+
+
 def _write_round(ds: rd.Dataset, base: Path, round_id: int) -> None:
     # "round-" (not hive-style "round=") so readers don't collide the
     # directory partition with the materialized "round" column.
@@ -587,9 +604,20 @@ class CrawlJobRunner:
         corpus_dir: str | Path,
         out_dir: str | Path,
         cfg: CrawlConfig | None = None,
+        emit_steps: list | None = None,
     ):
         self.site = site
         self.cfg = cfg or CrawlConfig()
+        # user-extension surface on the emit path (ITEM_PIPELINES
+        # analog, reference settings.py:105-108): priority-ordered
+        # Table->Table steps applied to emitted item rows on BOTH the
+        # Dataset path (stages.steps.compose) and the micro path
+        # (apply_steps_table; class steps instantiated once per job,
+        # mirroring once-per-actor construction). Steps see item rows
+        # only — the crawl frontier, ordering, and dedup state are
+        # upstream and unaffected.
+        self.emit_steps = list(emit_steps or [])
+        self._emit_step_instances: dict = {}
         self.corpus_dir = Path(corpus_dir)
         self.out_dir = Path(out_dir)
         self.ckpt = CheckpointStore(self.out_dir / "checkpoint")
@@ -915,26 +943,32 @@ class CrawlJobRunner:
         spent = {d: int(c) for d, c in block_grant_counts()(fetched).items()}
         _mark("spent_lineage")
 
-        # 4. emit + image landing (payload gathers as chunked raw tasks)
+        # 4. emit + image landing (payload gathers as chunked raw
+        # tasks) — the decode task FUTURES are submitted here but
+        # gathered AFTER the link chain below, so the two payload-bound
+        # stages overlap on the worker pool instead of paying two
+        # serial ray.get barriers (the micro analog of the Dataset
+        # path's emit/links thread overlap on big rounds)
         emit = _add_round(_EmitKernel(self.site.output_target)(fetched), k)
-        _write_table_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
-        if self.images_ref is not None and len(emit):
-            kern = ray.put(_MicroImageKernel(self.images_ref))
-            chunks = _table_chunks(
-                emit, min(cfg.fetch_max_parallelism, max(1, len(emit) // 16))
-            )
-            parts = [
-                p
-                for p in ray.get([_block_apply.remote(kern, c) for c in chunks])
-                if len(p)
-            ]
-            if parts:
-                _write_table_round(
-                    pa.concat_tables(parts).combine_chunks(), self.out_dir / "corpus", k
-                )
-        _mark("emit_decode_serial")
+        if self.emit_steps:
+            from ..stages.steps import apply_steps_table
 
-        # 5. link chain (body gathers as chunked raw tasks)
+            emit = apply_steps_table(emit, self.emit_steps, self._emit_step_instances)
+        _write_table_round(_strip_image_id(emit), self.out_dir / "emitted", k)
+        img_futs: list = []
+        if self.images_ref is not None and len(emit) and "image_id" in emit.column_names:
+            kern = ray.put(_MicroImageKernel(self.images_ref))
+            # chunk floor 128 rows: each raw task pays a fresh kernel
+            # deserialize + row-group open (~70 ms) — 16-row chunks
+            # made a 400-row round spend seconds on task overhead
+            chunks = _table_chunks(
+                emit, min(cfg.fetch_max_parallelism, max(1, len(emit) // 128))
+            )
+            img_futs = [_block_apply.remote(kern, c) for c in chunks]
+        _mark("emit_submit")
+
+        # 5. link chain (body gathers as chunked raw tasks, running
+        # concurrently with the image decode tasks submitted above)
         if self.site.prevent_follow:
             scoped = None
         else:
@@ -942,8 +976,12 @@ class CrawlJobRunner:
             kern = ray.put(
                 _MicroLinkKernel(self.corpus_ref, fetcher_cls, self.scope, self.robots)
             )
+            # chunk floor 64 rows (same task-overhead reasoning as the
+            # image chunks above; the link chain is ~ms per row, so a
+            # sub-hundred-row task is pure fixed cost, while a single
+            # mega-chunk serializes the payload row-group reads)
             chunks = _table_chunks(
-                granted, min(cfg.fetch_max_parallelism, max(1, len(granted) // 8))
+                granted, min(cfg.fetch_max_parallelism, max(1, len(granted) // 64))
             )
             parts = [
                 p
@@ -952,6 +990,15 @@ class CrawlJobRunner:
             ]
             scoped = pa.concat_tables(parts).combine_chunks() if parts else None
         _mark("links_scope")
+        if img_futs:
+            img_parts = [p for p in ray.get(img_futs) if len(p)]
+            if img_parts:
+                _write_table_round(
+                    pa.concat_tables(img_parts).combine_chunks(),
+                    self.out_dir / "corpus",
+                    k,
+                )
+        _mark("decode_gather")
         if scoped is None or len(scoped) == 0:
             next_tab = pa.concat_tables(
                 [carry.select(FRONTIER_COLUMNS).cast(_FRONTIER_SCHEMA)]
@@ -966,8 +1013,12 @@ class CrawlJobRunner:
         # identical RPC protocol, one driver-side pass
         denied_tab = _DeniedKernel(k, keep_side=False)(scoped)
         cands = _DeniedKernel(k, keep_side=True)(scoped)
+        _mark("denied_split")
         if len(cands):
-            offered = FusedDedupRouter(self.shards, k)(_pack_admission(cands))
+            packed = _pack_admission(cands)
+            _mark("pack_adm")
+            offered = FusedDedupRouter(self.shards, k)(packed)
+            _mark("offer_rpc")
             fixed = CorrectionFix(ray.put(collect_corrections(self.shards, k)))(offered)
             _mark("dedup_fused")
             intra_dups = _IntraDupKernel(k)(fixed)
@@ -1178,9 +1229,26 @@ class CrawlJobRunner:
             emit = fetched.map_batches(
                 _EmitKernel(self.site.output_target), batch_format="pyarrow"
             ).map_batches(_RoundStamp(k), batch_format="pyarrow")
-            # narrow sink: (depth, seq, url_hash, round); url/doc_id/
-            # content columns reconstruct at read time (read_emitted)
-            _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
+            if self.emit_steps:
+                # user emit steps (ITEM_PIPELINES analog) — composed as
+                # map_batches stages in (priority, name) order, same
+                # semantics as the micro path's apply_steps_table
+                from ..stages.steps import compose
+
+                # actor_pools=False: a pinned pool inside this round's
+                # executor contends with the shard/decode stages (can
+                # starve a small-CPU session); task-based steps share
+                # the worker pool with the round
+                emit = compose(emit, self.emit_steps, actor_pools=False)
+                _write_round(
+                    emit.map_batches(_strip_image_id, batch_format="pyarrow"),
+                    self.out_dir / "emitted",
+                    k,
+                )
+            else:
+                # narrow sink: (depth, seq, url_hash, round); url/doc_id/
+                # content columns reconstruct at read time (read_emitted)
+                _write_round(emit.drop_columns(["image_id"]), self.out_dir / "emitted", k)
             # count from the written files' metadata — no extra
             # execution; the image path below re-runs the cheap emit
             # kernels over the MATERIALIZED fetch metadata

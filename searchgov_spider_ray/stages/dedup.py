@@ -28,6 +28,22 @@ from ..functions.hashing import xxhash64
 from ..state.cuckoo import UrlSeenShard
 
 
+def _offer_digest(h: np.ndarray, a: np.ndarray) -> int:
+    """Order-sensitive vectorized digest of an offer batch for the
+    (round, digest) replay memo. Replaces xxhash64-over-tobytes: with
+    no C xxhash in the container that digest is pure Python at ~35 ms/MB
+    — it was the largest driver-side term of the offer RPC fan-out.
+    Position-mixed avalanche + XOR-reduce keeps the memo property
+    (identical batch content+order → identical key; the memo only ever
+    compares batches of the SAME round from task retries)."""
+    from ..functions.simdedup import _avalanche
+
+    idx = np.arange(len(h), dtype=np.uint64)
+    g = np.uint64(0x9E3779B97F4A7C15)
+    x = _avalanche(h * g ^ _avalanche(a + idx * g))
+    return int(np.bitwise_xor.reduce(x) ^ np.uint64(len(h))) if len(x) else 0
+
+
 @ray.remote(num_cpus=0.25)
 class DedupShardActor:
     """One URL-seen shard. Long-lived across rounds within a job.
@@ -213,7 +229,7 @@ class FusedDedupRouter:
             for s in np.unique(shard_of):
                 idx = np.where(shard_of == s)[0]
                 sub_h, sub_a = w_hash[idx], w_adm[idx]
-                digest = int(xxhash64(sub_h.tobytes() + sub_a.tobytes()))
+                digest = _offer_digest(sub_h, sub_a)
                 futures[int(s)] = (
                     idx,
                     self.shards[int(s)].offer.remote(self.round_id, digest, sub_h, sub_a),

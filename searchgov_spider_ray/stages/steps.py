@@ -59,22 +59,64 @@ def steps_from_settings(mapping: dict[Callable | type, int | None]) -> list[Step
     ]
 
 
-def compose(ds: rd.Dataset, steps: list[Step]) -> rd.Dataset:
+def ordered_steps(steps: list[Step]) -> list[Step]:
+    """Enabled steps in (priority, name) order — the single ordering
+    rule shared by the Dataset composition and the micro-round
+    driver-side application, so both crawl paths run user steps
+    identically."""
+    return sorted((s for s in steps if s.enabled), key=lambda s: (s.priority, s.label()))
+
+
+def apply_steps_table(table, steps: list[Step], instances: dict | None = None):
+    """Apply steps to ONE driver-side Arrow table — the micro-round
+    analog of :func:`compose`. Class steps are instantiated once and
+    cached in ``instances`` (keyed by step label), mirroring the
+    once-per-actor construction of the Dataset path; plain functions
+    are called directly. Same (priority, name) order as compose."""
+    for s in ordered_steps(steps):
+        if isinstance(s.fn, type):
+            if instances is None:
+                fn = s.fn()
+            else:
+                fn = instances.setdefault(s.label(), s.fn())
+        else:
+            fn = s.fn
+        table = fn(table)
+    return table
+
+
+def compose(ds: rd.Dataset, steps: list[Step], actor_pools: bool = True) -> rd.Dataset:
     """Apply enabled steps in (priority, name) order. Stateless steps
     become task-based ``map_batches``; class steps become actor pools
     (state built once per actor, reference pipelines hold open files /
-    ES clients the same way — ``pipelines.py:37-44``)."""
-    ordered = sorted(
-        (s for s in steps if s.enabled), key=lambda s: (s.priority, s.label())
-    )
-    for s in ordered:
+    ES clients the same way — ``pipelines.py:37-44``).
+
+    ``actor_pools=False`` runs class steps TASK-based instead: the
+    instance is constructed ONCE on the driver and captured in a task
+    closure (cloudpickle ships it by value, so user-defined step
+    classes from any module work without import on the workers). Use
+    this when the composition runs INSIDE another streaming executor's
+    round (the crawl emit path): a pinned actor pool there contends
+    with the round's own shard/decode stages and can starve a
+    small-CPU session, while tasks share the pool freely. Step state
+    must then be picklable and small (compiled patterns, lookup
+    tables); heavy state (models) belongs on the actor-pool path."""
+    for s in ordered_steps(steps):
         kwargs: dict[str, Any] = {"batch_format": "pyarrow"}
         if s.batch_size is not None:
             kwargs["batch_size"] = s.batch_size
         if isinstance(s.fn, type):
-            kwargs["concurrency"] = s.concurrency or 2
-            kwargs.update(s.ray_remote_args)
-            ds = ds.map_batches(s.fn, **kwargs)
+            if actor_pools:
+                kwargs["concurrency"] = s.concurrency or 2
+                kwargs.update(s.ray_remote_args)
+                ds = ds.map_batches(s.fn, **kwargs)
+            else:
+                inst = s.fn()
+
+                def _run_step(t, _inst=inst):
+                    return _inst(t)
+
+                ds = ds.map_batches(_run_step, **kwargs)
         else:
             ds = ds.map_batches(s.fn, **kwargs)
     return ds

@@ -220,3 +220,100 @@ class TestDatasetPathParity:
         finally:
             rm.close()
             rd_.close()
+
+
+# user emit steps live in arbitrary user modules; this test module is
+# not importable on Ray workers, so ship its objects by value (a real
+# user's __main__ script gets this from cloudpickle automatically)
+import sys as _sys
+
+import ray.cloudpickle as _rcp
+
+_rcp.register_pickle_by_value(_sys.modules[__name__])
+
+
+def _step_add_v(t):
+    """priority-10 step: v = depth + 1 (order-sensitive vs _StepDouble)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return t.append_column("v", pc.add(pc.cast(t["depth"], pa.int64()), 1))
+
+
+def _step_drop_deep(t):
+    """priority-5 step: DROP items deeper than 1 (the Scrapy DropItem
+    analog — fewer rows out than in)."""
+    import pyarrow.compute as pc
+
+    return t.filter(pc.less_equal(t["depth"], 1))
+
+
+class _StepDouble:
+    """priority-20 STATEFUL step (callable class → actor pool on the
+    Dataset path, once-per-job instance on the micro path): v *= 2.
+    Running after _step_add_v gives v == (depth+1)*2; a priority
+    violation would give (depth*2)+1 instead."""
+
+    def __call__(self, t):
+        import pyarrow.compute as pc
+
+        return t.set_column(t.schema.get_field_index("v"), "v", pc.multiply(t["v"], 2))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmitStepsInCrawlLoop:
+    """ITEM_PIPELINES end-to-end: user steps injected into the frontier
+    emit path must run in (priority, name) order on BOTH round paths,
+    may drop and transform item rows, and must leave the crawl itself —
+    fetch order, URL-seen set, denials — untouched."""
+
+    def _steps(self):
+        from searchgov_spider_ray.stages.steps import Step
+
+        return [
+            Step(fn=_StepDouble, priority=20, name="double"),
+            Step(fn=_step_add_v, priority=10, name="add_v"),
+            Step(fn=_step_drop_deep, priority=5, name="drop_deep"),
+        ]
+
+    def _run_with_steps(self, site, corpus_dir, out, **cfg_kwargs):
+        cfg = CrawlConfig(round_seconds=ROUND_SECONDS, num_shards=4, **cfg_kwargs)
+        runner = CrawlJobRunner(site, corpus_dir, out, cfg, emit_steps=self._steps())
+        res = runner.run()
+        return runner, res
+
+    def test_steps_apply_and_preserve_order(self, corpus_dir, sim_env, tmp_path_factory):
+        corpus, robots, sites, captions = sim_env
+        out_m = tmp_path_factory.mktemp("steps_micro_out")
+        out_d = tmp_path_factory.mktemp("steps_dataset_out")
+        rm, _ = self._run_with_steps(sites["plain"], corpus_dir, out_m)
+        rd_, _ = self._run_with_steps(
+            sites["plain"], corpus_dir, out_d, micro_round_rows=0
+        )
+        try:
+            sim = simulate_crawl(
+                sites["plain"], corpus, robots, captions, round_seconds=ROUND_SECONDS
+            )
+            # crawl order parity is UNAFFECTED by emit steps, both modes
+            for out in (out_m, out_d):
+                order = read_order(out)
+                assert order["url"].tolist() == [u for _, u, _ in sim.order]
+            assert read_seen(rm) == {xxhash64(u) for u in sim.seen}
+            assert read_seen(rd_) == {xxhash64(u) for u in sim.seen}
+            # emitted rows reflect the steps: drop first, then v=(d+1)*2
+            em = pq.read_table(str(out_m / "emitted")).to_pandas()
+            ed = pq.read_table(str(out_d / "emitted")).to_pandas()
+            depth_of = {u: d for _, u, d in sim.order}
+            want_emit = [e for e in sim.emitted if depth_of[e["url"]] <= 1]
+            assert len(em) == len(ed) == len(want_emit) > 0
+            for df in (em, ed):
+                assert (df["depth"] <= 1).all()
+                assert df["v"].tolist() == ((df["depth"] + 1) * 2).tolist()
+            key = ["round", "depth", "seq", "v"]
+            assert (
+                em.sort_values(key)[key].values.tolist()
+                == ed.sort_values(key)[key].values.tolist()
+            )
+        finally:
+            rm.close()
+            rd_.close()
