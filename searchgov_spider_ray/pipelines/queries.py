@@ -4906,6 +4906,104 @@ def events_json_stats(sf_dir: str):
     return out.astype({"n": np.int64, "sum_k": np.int64, "min_k": np.int64, "max_k": np.int64})
 
 
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 96
+
+
+def doc_chunk_overlap(
+    sf_dir: str, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+):
+    """RAG-style overlapping context chunking: every document splits
+    into token windows of ``window`` whitespace tokens starting every
+    ``stride`` tokens (window > stride ⇒ adjacent chunks overlap by
+    window−stride — the retrieval-index preparation shape). Emits
+    (doc_id, chunk_id, tok_start, n_toks); the final chunk is short
+    (n − start), zero-token docs emit nothing. One narrow streaming
+    pass; the expansion is the vectorized repeat/arange pattern (no
+    per-doc Python), output rows ≈ n_tokens/stride per doc — never a
+    shuffle. SQL oracle replays via unnest(generate_series)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        n = t.str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.int64)
+        doc = df["doc_id"].to_numpy(np.int64)
+        n_chunks = -(-n // stride)  # ceil(n/stride); 0 for empty docs
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "chunk_id": pd.Series([], dtype="int64"),
+                    "tok_start": pd.Series([], dtype="int64"),
+                    "n_toks": pd.Series([], dtype="int64"),
+                }
+            )
+        starts = np.cumsum(n_chunks) - n_chunks
+        ci = np.arange(total, dtype=np.int64) - np.repeat(starts, n_chunks)
+        tok_start = ci * stride
+        n_rep = np.repeat(n, n_chunks)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc, n_chunks),
+                "chunk_id": ci,
+                "tok_start": tok_start,
+                "n_toks": np.minimum(window, n_rep - tok_start),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN_MICROS = 3_000_000
+GOPHER_MAX_WLEN_MICROS = 10_000_000
+GOPHER_MAX_SYMBOL_MICROS = 100_000
+
+
+def doc_gopher_quality_gates(sf_dir: str):
+    """Gopher-style composite quality gates (the rule-based pretraining
+    filter shape): per document, word count within [50, 100 k], mean
+    word length within [3, 10] (exact integer micros — Σ word chars ·
+    1e6 // words), and symbol-to-word ratio ('#' + '...' occurrences
+    per word) below 0.1; ``passes`` is the conjunction. All counters
+    exact int64 in one narrow streaming pass (zero-word docs fail with
+    sentinel 0 ratios, never a division); per-rule booleans emit as
+    int64 so downstream mixture planning can re-weight by failure
+    mode. SQL oracle replays every rule bit-exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        words = t.str.count(r"[^ \t\n\r\f\v]+").to_numpy(np.int64)
+        wchars = t.str.count(r"[^ \t\n\r\f\v]").to_numpy(np.int64)
+        symbols = (
+            t.str.count(r"#").to_numpy(np.int64)
+            + t.str.count(r"\.\.\.").to_numpy(np.int64)
+        )
+        has = words > 0
+        wlen = np.where(has, wchars * 1_000_000 // np.maximum(words, 1), 0)
+        sym = np.where(has, symbols * 1_000_000 // np.maximum(words, 1), 0)
+        g_words = (words >= GOPHER_MIN_WORDS) & (words <= GOPHER_MAX_WORDS)
+        g_wlen = has & (wlen >= GOPHER_MIN_WLEN_MICROS) & (wlen <= GOPHER_MAX_WLEN_MICROS)
+        g_sym = has & (sym < GOPHER_MAX_SYMBOL_MICROS)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_words": words,
+                "mean_wlen_micros": wlen.astype(np.int64),
+                "symbol_ratio_micros": sym.astype(np.int64),
+                "g_words": g_words.astype(np.int64),
+                "g_wlen": g_wlen.astype(np.int64),
+                "g_symbol": g_sym.astype(np.int64),
+                "passes": (g_words & g_wlen & g_sym).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
 BPE_PACK_CAPACITY = 256
 
 
@@ -8505,6 +8603,8 @@ QUERIES = {
     "multimodal_audio_pipeline": multimodal_audio_pipeline,
     "multimodal_video_pipeline": multimodal_video_pipeline,
     "sitemap_monitor": sitemap_monitor_q,
+    "doc_chunk_overlap": doc_chunk_overlap,
+    "doc_gopher_quality_gates": doc_gopher_quality_gates,
 }
 
 # KNOWN LATENT kernel↔oracle divergences (documented, not reachable by
@@ -11159,4 +11259,56 @@ ORACLES["orders_basket_affinity"] = """
     GROUP BY 1, 2
     ORDER BY support DESC, p1, p2
     LIMIT 50
+"""
+
+ORACLES["doc_chunk_overlap"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(COALESCE(text, ''),
+                    '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, CAST(CEIL(n / 96.0) AS BIGINT) - 1))
+                   AS chunk_id
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 96 AS BIGINT) AS tok_start,
+           CAST(LEAST(128, n - chunk_id * 96) AS BIGINT) AS n_toks
+    FROM c
+"""
+
+ORACLES["doc_gopher_quality_gates"] = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(COALESCE(text, ''),
+                    '[^ \\t\\n\\r\\f\\v]+')) AS BIGINT) AS n_words,
+               CAST(length(regexp_extract_all(COALESCE(text, ''),
+                    '[^ \\t\\n\\r\\f\\v]')) AS BIGINT) AS wchars,
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '#')) AS BIGINT)
+             + CAST(length(regexp_extract_all(COALESCE(text, ''), '\\.\\.\\.')) AS BIGINT)
+                   AS symbols
+        FROM documents
+    ), m AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words = 0 THEN 0
+                    ELSE wchars * 1000000 // n_words END AS mean_wlen_micros,
+               CASE WHEN n_words = 0 THEN 0
+                    ELSE symbols * 1000000 // n_words END AS symbol_ratio_micros
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           CAST(mean_wlen_micros AS BIGINT) AS mean_wlen_micros,
+           CAST(symbol_ratio_micros AS BIGINT) AS symbol_ratio_micros,
+           CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS g_words,
+           CAST(n_words > 0 AND mean_wlen_micros BETWEEN 3000000 AND 10000000
+                AS BIGINT) AS g_wlen,
+           CAST(n_words > 0 AND symbol_ratio_micros < 100000 AS BIGINT) AS g_symbol,
+           CAST((n_words >= 50 AND n_words <= 100000)
+                AND (n_words > 0 AND mean_wlen_micros BETWEEN 3000000 AND 10000000)
+                AND (n_words > 0 AND symbol_ratio_micros < 100000) AS BIGINT)
+               AS passes
+    FROM m
 """
