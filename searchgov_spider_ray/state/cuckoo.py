@@ -247,8 +247,11 @@ class UrlSeenShard:
         hashes = hashes.astype(np.uint64)
         probe = self.filter.contains_batch(hashes)
         out = np.zeros(len(hashes), dtype=bool)
-        for i in np.where(probe)[0]:
-            out[i] = int(hashes[i]) in self.exact
+        hit = np.flatnonzero(probe)
+        if len(hit):
+            exact = self.exact
+            # only filter hits (true members + ~3% FPs) pay a set probe
+            out[hit] = [v in exact for v in hashes[hit].tolist()]
         return out
 
     def __len__(self) -> int:
