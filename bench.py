@@ -267,6 +267,12 @@ def run_query_bench() -> dict[str, float]:
         "doc_curriculum_manifest",
         "events_json_stats",
         "embedding_knn_classify",
+        # round-4 wave: RAG chunk expansion, Gopher gates, latest-wins
+        # compaction (post coarse-partition fix), ANN recall eval
+        "doc_chunk_overlap",
+        "doc_gopher_quality_gates",
+        "events_latest_per_user",
+        "ann_recall_eval",
     ]
     for name in bench_queries:
         t0 = time.time()
