@@ -7411,22 +7411,7 @@ def image_hamming_topk_banded(
         ds.map_batches(explode_queries, batch_format="pandas")
     )
 
-    def collide(g: pd.DataFrame) -> pd.DataFrame:
-        q = g[g["is_q"] == 1][["band_key", "image_id", "phash"]]
-        c = g[g["is_q"] == 0][["band_key", "image_id", "phash"]]
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=object),
-                "neighbor_id": pd.Series([], dtype=object),
-                "hamming": pd.Series([], dtype="int64"),
-                "q_ph": pd.Series([], dtype="int64"),
-            }
-        )
-        if len(q) == 0 or len(c) == 0:
-            return empty
-        m = q.merge(c, on="band_key", suffixes=("_q", "_c"))
-        if len(m) == 0:
-            return empty
+    def score_pairs(m: pd.DataFrame) -> pd.DataFrame:
         d = _hamming_elementwise(
             m["phash_q"].to_numpy(np.int64).view(np.uint64),
             m["phash_c"].to_numpy(np.int64).view(np.uint64),
@@ -7447,7 +7432,84 @@ def image_hamming_topk_banded(
                 "hamming": d[keep],
                 "q_ph": np.zeros(int(keep.sum()), dtype=np.int64),
             }
-        ).drop_duplicates(["query_id", "neighbor_id"])
+        )
+
+    pair_budget = int(os.environ.get("GRAFT_HAMMING_PAIR_BUDGET", 4_000_000))
+
+    def collide(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["is_q"] == 1][["band_key", "image_id", "phash"]]
+        c = g[g["is_q"] == 0][["band_key", "image_id", "phash"]]
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=object),
+                "neighbor_id": pd.Series([], dtype=object),
+                "hamming": pd.Series([], dtype="int64"),
+                "q_ph": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(q) == 0 or len(c) == 0:
+            return empty
+        # HOT-BAND GUARD: a degenerate band value (flat-image pHash
+        # floods) makes the merge's pair count q_n·c_n for that key —
+        # unbounded task memory. Estimate pairs per colliding key and,
+        # when the total exceeds the budget, score in key-slices (and
+        # corpus-row slices within a single over-budget key). Each
+        # slice is the same vectorized merge+popcount; only the
+        # MATERIALIZED pair-frame size is bounded. Pairs beyond radius
+        # 3 drop inside each slice, so survivors stay small.
+        qn = q.groupby("band_key").size()
+        cn = c.groupby("band_key").size()
+        common = qn.index.intersection(cn.index)
+        if len(common) == 0:
+            return empty
+        per_key = (qn[common] * cn[common]).sort_index()
+        if int(per_key.sum()) <= pair_budget:
+            m = q.merge(c, on="band_key", suffixes=("_q", "_c"))
+            out = score_pairs(m) if len(m) else empty
+            return out.drop_duplicates(["query_id", "neighbor_id"])
+        parts: list[pd.DataFrame] = []
+        q = q.sort_values("band_key", kind="mergesort")
+        c = c.sort_values("band_key", kind="mergesort")
+        slice_keys: list = []
+        slice_pairs = 0
+        keys = per_key.index.to_numpy()
+        counts = per_key.to_numpy(np.int64)
+
+        def flush_keys():
+            nonlocal slice_keys, slice_pairs
+            if not slice_keys:
+                return
+            qs = q[q["band_key"].isin(slice_keys)]
+            cs = c[c["band_key"].isin(slice_keys)]
+            m = qs.merge(cs, on="band_key", suffixes=("_q", "_c"))
+            if len(m):
+                parts.append(score_pairs(m))
+            slice_keys, slice_pairs = [], 0
+
+        for kkey, cnt in zip(keys, counts):
+            if cnt > pair_budget:
+                flush_keys()
+                # one key alone over budget: chunk its corpus side
+                qs = q[q["band_key"] == kkey]
+                cs = c[c["band_key"] == kkey]
+                step = max(1, pair_budget // max(len(qs), 1))
+                for lo in range(0, len(cs), step):
+                    m = qs.merge(
+                        cs.iloc[lo : lo + step], on="band_key", suffixes=("_q", "_c")
+                    )
+                    if len(m):
+                        parts.append(score_pairs(m))
+                continue
+            if slice_pairs + cnt > pair_budget:
+                flush_keys()
+            slice_keys.append(kkey)
+            slice_pairs += int(cnt)
+        flush_keys()
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True).drop_duplicates(
+            ["query_id", "neighbor_id"]
+        )
 
     pairs = both.groupby("part").map_groups(collide, batch_format="pandas")
 

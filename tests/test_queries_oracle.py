@@ -696,6 +696,23 @@ def test_hamming_banded_forced_every_image_a_query(ray_session, sf_dir):
         assert list(exact[c]) == list(banded[c]), c
 
 
+def test_hamming_banded_hot_band_chunked(ray_session, sf_dir, monkeypatch):
+    """Hot-band guard: with a tiny pair budget every collide merge runs
+    through the key-slice / corpus-chunk paths — the result must still
+    equal the exact scan row-for-row (the guard bounds memory, never
+    changes semantics)."""
+    import searchgov_spider_ray.pipelines.queries as q
+
+    monkeypatch.setenv("GRAFT_HAMMING_PAIR_BUDGET", "8")
+    exact = _to_df(q.image_hamming_topk(sf_dir, query_mod=1)).reset_index(drop=True)
+    banded = _to_df(
+        q.image_hamming_topk_banded(sf_dir, query_mod=1)
+    ).reset_index(drop=True)
+    assert len(exact) == len(banded) > 0
+    for c in ["query_id", "rank", "neighbor_id", "hamming"]:
+        assert list(exact[c]) == list(banded[c]), c
+
+
 def test_hamming_topk_zero_queries_is_empty(ray_session, sf_dir):
     """A query selector that picks nothing must yield an empty typed
     result, not a concat crash (ADVICE r3: the exact path raised
