@@ -1238,13 +1238,24 @@ class CrawlJobRunner:
                 # actor_pools=False: a pinned pool inside this round's
                 # executor contends with the shard/decode stages (can
                 # starve a small-CPU session); task-based steps share
-                # the worker pool with the round
-                emit = compose(emit, self.emit_steps, actor_pools=False)
+                # the worker pool with the round.
+                # MATERIALIZED once: the image branch below consumes
+                # the same lineage, and re-executing arbitrary user
+                # steps would run their side effects twice per round
+                # (the cheap built-in emit kernels tolerate the re-run;
+                # user code must not have to). Emit rows are narrow.
+                emit = compose(emit, self.emit_steps, actor_pools=False).materialize()
                 _write_round(
                     emit.map_batches(_strip_image_id, batch_format="pyarrow"),
                     self.out_dir / "emitted",
                     k,
                 )
+                sch = emit.schema()
+                if sch is None or "image_id" not in sch.names:
+                    # a step reshaped item rows past the image contract
+                    # (or dropped every row — schema() is None then):
+                    # skip image landing, same as the micro path's guard
+                    return
             else:
                 # narrow sink: (depth, seq, url_hash, round); url/doc_id/
                 # content columns reconstruct at read time (read_emitted)

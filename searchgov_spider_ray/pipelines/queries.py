@@ -7208,6 +7208,19 @@ def _hamming_empty() -> pd.DataFrame:
     )
 
 
+def _add_query_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Coarse 64-way partition key on the string query_id — the ONE
+    partitioning rule shared by the banded resolve and the top-k merge
+    (a salt/width change must stay co-partitioned across both)."""
+    from ..functions.hashing import xxhash64_array
+    from ..functions.simdedup import hash_part
+
+    if len(df) == 0:
+        return df.assign(part=pd.Series([], dtype="int64"))
+    h = xxhash64_array(df["query_id"].tolist()).view(np.int64)
+    return df.assign(part=hash_part(h, 64).astype(np.int64))
+
+
 class _HammingExactTopK:
     """Per-batch exact Hamming top-k partial against a broadcast query
     set: ONE stable argsort of the whole (batch × queries) distance
@@ -7256,15 +7269,6 @@ def _merge_hamming_topk(pairs: rd.Dataset, k: int) -> pd.DataFrame:
     per-key Aggregate exchange), then one vectorized groupby-head per
     partition. Driver receives ≤ k rows per query — the final answer,
     not a pair table."""
-    from ..functions.hashing import xxhash64_array
-    from ..functions.simdedup import hash_part
-
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(part=pd.Series([], dtype="int64"))
-        h = xxhash64_array(df["query_id"].tolist()).view(np.int64)
-        return df.assign(part=hash_part(h, 64).astype(np.int64))
-
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["query_id", "neighbor_id"])
         g = g.sort_values(["query_id", "hamming", "neighbor_id"], kind="mergesort")
@@ -7274,7 +7278,7 @@ def _merge_hamming_topk(pairs: rd.Dataset, k: int) -> pd.DataFrame:
         return g[["query_id", "rank", "neighbor_id", "hamming"]]
 
     out = (
-        pairs.map_batches(add_part, batch_format="pandas")
+        pairs.map_batches(_add_query_part, batch_format="pandas")
         .groupby("part")
         .map_groups(topk, batch_format="pandas")
         .to_pandas()
@@ -7527,12 +7531,6 @@ def image_hamming_topk_banded(
 
     stream = pairs.union(ds.map_batches(markers, batch_format="pandas"))
 
-    def add_qpart(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(part=pd.Series([], dtype="int64"))
-        h = xxhash64_array(df["query_id"].tolist()).view(np.int64)
-        return df.assign(part=hash_part(h, 64).astype(np.int64))
-
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         mk = g[g["hamming"] < 0]
         p = g[g["hamming"] >= 0].drop_duplicates(["query_id", "neighbor_id"])
@@ -7565,7 +7563,7 @@ def image_hamming_topk_banded(
         return pd.concat([resolved, unresolved], ignore_index=True)
 
     res = (
-        stream.map_batches(add_qpart, batch_format="pandas")
+        stream.map_batches(_add_query_part, batch_format="pandas")
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
         .to_pandas()

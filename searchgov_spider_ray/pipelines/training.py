@@ -1291,7 +1291,11 @@ def knn_self_join(
     from ..functions.simdedup import hash_part
 
     narrow = ds.select_columns([id_col, vec_col])
-    n = narrow.count()
+    # count the UNPROJECTED input: for a plain parquet read Ray answers
+    # from footer metadata (no execution); counting the projected view
+    # would execute the plan once just to pick a dispatch path, then
+    # again to materialize it
+    n = ds.count()
     if n <= broadcast_rows:
         df = narrow.to_pandas()
         ids = df[id_col].to_numpy().astype(np.int64)

@@ -62,8 +62,16 @@ def steps_from_settings(mapping: dict[Callable | type, int | None]) -> list[Step
 def ordered_steps(steps: list[Step]) -> list[Step]:
     """Enabled steps in (priority, name) order — the single ordering
     rule shared by the Dataset composition and the micro-round
-    driver-side application, so both crawl paths run user steps
-    identically."""
+    driver-side application, so both crawl paths run user steps in the
+    same order on the same rows.
+
+    STATEFULNESS CONTRACT: a class step's state must be read-only after
+    construction (compiled patterns, lookup tables, clients). Batches
+    run in parallel on every path (actor pools have N instances; task
+    mode deserializes per task; the micro path reuses one instance per
+    job), so cross-batch mutable accumulation was never well-defined —
+    a step that mutates state per batch produces path-dependent output
+    and is unsupported."""
     return sorted((s for s in steps if s.enabled), key=lambda s: (s.priority, s.label()))
 
 
@@ -78,7 +86,12 @@ def apply_steps_table(table, steps: list[Step], instances: dict | None = None):
             if instances is None:
                 fn = s.fn()
             else:
-                fn = instances.setdefault(s.label(), s.fn())
+                # explicit check — setdefault would eagerly construct
+                # (and discard) a fresh instance every call, re-paying
+                # __init__ (open files, model loads) once per round
+                if s.label() not in instances:
+                    instances[s.label()] = s.fn()
+                fn = instances[s.label()]
         else:
             fn = s.fn
         table = fn(table)
