@@ -6485,6 +6485,7 @@ _TMP_CACHE_PREFIXES = (
     "searchgov_ray_query_sitemap_monitor",
     "searchgov_ray_bench_corpus",
     "smoke_corpus",
+    "knn_chunks_",  # knn_self_join wide-path chunk spill (training.py)
 )
 _TMP_CACHE_AGE_SECONDS = 48 * 3600
 

@@ -1206,30 +1206,33 @@ class _KnnChunkScan:
     node); every batch streams through the chunk list, GEMMs against
     one chunk at a time, and folds that chunk's per-row top-k into a
     running (B, k) state via a batched ``np.lexsort(axis=1)`` on the
-    (-cosine, neighbor_id) total order. Per-task memory is one chunk +
-    one (B, 2k) merge buffer — never the whole corpus — and each row's
-    top-k is COMPLETE when the chunk loop ends, so there is still no
-    merge shuffle. neighbor ids are unique, so the order is total and
-    the result is EXACT, bit-matching the broadcast path (same
-    per-pair dot products, same tie rule)."""
+    (-cosine, neighbor_id) total order. PINNED per-task memory is one
+    chunk + one (B, 2k) merge buffer: each chunk is ``ray.get``-ed
+    fresh per loop iteration and its zero-copy view dropped before the
+    next, so the worker never pins the whole corpus in plasma at once
+    (the full chunk SET still lives in the cluster-wide object store,
+    which is spillable and shared — the bound here is what one task
+    holds un-evictable, traded for a cheap local re-get per batch).
+    Each row's top-k is COMPLETE when the chunk loop ends, so there is
+    still no merge shuffle. neighbor ids are unique, so the order is
+    total and the result is EXACT, bit-matching the broadcast path
+    (same per-pair dot products, same tie rule)."""
 
     def __init__(self, chunk_refs: list, k: int, id_col: str, vec_col: str):
         self.chunk_refs = chunk_refs
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
-        self._chunks = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._chunks is None:
-            self._chunks = [ray.get(r) for r in self.chunk_refs]
         ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
         mat = _as_matrix(batch[self.vec_col])
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         B, k = len(ids), self.k
         best_cos = np.full((B, k), -3.0)
         best_ids = np.full((B, k), np.iinfo(np.int64).max, dtype=np.int64)
-        for c_ids, c_mat in self._chunks:
+        for _ref in self.chunk_refs:
+            c_ids, c_mat = ray.get(_ref)  # one chunk pinned at a time
             sims = mat @ c_mat.T  # (B, m)
             m = sims.shape[1]
             # mask self: chunk ids are sorted, one searchsorted per chunk
@@ -1288,8 +1291,6 @@ def knn_self_join(
     can force multiple chunks at fixture scale). For sub-quadratic
     APPROXIMATE kNN at extreme scale, ``ann_ivf_topk`` remains the
     recall-documented alternative."""
-    from ..functions.simdedup import hash_part
-
     narrow = ds.select_columns([id_col, vec_col])
     # count the UNPROJECTED input: for a plain parquet read Ray answers
     # from footer metadata (no execution); counting the projected view
@@ -1309,24 +1310,43 @@ def knn_self_join(
 
     c_rows = chunk_rows or max(broadcast_rows, 1)
     n_chunks = max(1, -(-n // c_rows))
-    chunk_refs = []
-    for c in range(n_chunks):
-        # one pruned filter-scan per chunk: the driver holds ONE chunk
-        # at a time (≤ ~n/C rows) — the same heap bound as the narrow
-        # path's broadcast, paid C times instead of exceeded once
-        def pick(t: pa.Table, c=c) -> pa.Table:
-            key = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(hash_part(key, n_chunks) == c))
+    # ONE pass builds every chunk (the old build paid one full
+    # filter-scan + driver to_pandas PER chunk — O(C·n) read
+    # amplification with a serial driver loop): the narrow projection
+    # streams through the resumable hash-partitioned sink (each bucket
+    # = one id-hash chunk, written id-SORTED by exactly one task),
+    # then a remote prep task per bucket normalizes that chunk and
+    # leaves it in the object store as the task's return — the driver
+    # never touches vector bytes and chunk prep parallelizes. The
+    # spill dir uses a gc_tmp_caches-swept prefix and stays on disk so
+    # Ray lineage can re-run a prep task if a chunk object is lost
+    # (multi-node deployments point it at shared storage, the sink's
+    # existing contract).
+    import tempfile
 
-        sub = narrow.map_batches(pick, batch_format="pyarrow").to_pandas()
-        if len(sub) == 0:  # a hash bucket can come up empty at tiny n
-            continue
-        c_ids = sub[id_col].to_numpy().astype(np.int64)
+    from ..sinks.writers import write_partitioned_resumable
+
+    spill = tempfile.mkdtemp(prefix="knn_chunks_", dir="/tmp")
+    receipts = write_partitioned_resumable(
+        narrow, spill, key_col=id_col, n_buckets=n_chunks
+    )
+
+    @ray.remote
+    def _prep_chunk(path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=[id_col, vec_col])
+        c_ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        c_mat = _as_matrix(t[vec_col])
+        # bucket files are written id-sorted; keep a defensive sort so
+        # the searchsorted self-mask never depends on file layout
         order = np.argsort(c_ids, kind="mergesort")
-        c_mat = _as_matrix(sub[vec_col])[order]
+        c_ids, c_mat = c_ids[order], c_mat[order]
         c_mat = c_mat / np.clip(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12, None)
-        chunk_refs.append(ray.put((c_ids[order], c_mat)))
+        return c_ids, c_mat
 
+    # empty hash buckets simply never appear in the receipts
+    chunk_refs = [_prep_chunk.remote(p) for p in receipts["path"].tolist()]
     return ds.map_batches(
         _KnnChunkScan(chunk_refs, k, id_col, vec_col), batch_format="pyarrow"
     )

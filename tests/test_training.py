@@ -543,6 +543,45 @@ class TestKnnSelfJoin:
         got = out[out["query_id"] == 7].sort_values("nn_rank")["neighbor_id"].tolist()
         assert got == [3, 9, 5]
 
+    def test_tiny_corpus_n_below_k_both_paths(self, ray_session):
+        """ADVICE r4: a corpus with fewer than k rows must degrade to
+        k_eff = n-1 neighbors per query on BOTH paths (no shape crash,
+        no self-sentinel rows leaking), and the paths must match."""
+        vecs = [[1.0, 0.0], [0.8, 0.6], [0.0, 1.0]]
+        df = pd.DataFrame(
+            {
+                "vec_id": np.array([2, 5, 9], dtype=np.int64),
+                "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            }
+        )
+        cols = ["query_id", "neighbor_id", "nn_rank"]
+        narrow = (
+            training.knn_self_join(rd.from_pandas(df), k=5)
+            .to_pandas()
+            .sort_values(["query_id", "nn_rank"])
+            .reset_index(drop=True)
+        )
+        wide = (
+            training.knn_self_join(
+                rd.from_pandas(df), k=5, broadcast_rows=0, chunk_rows=2
+            )
+            .to_pandas()
+            .sort_values(["query_id", "nn_rank"])
+            .reset_index(drop=True)
+        )
+        assert len(narrow) == len(wide) == 3 * 2  # n-1 = 2 neighbors each
+        assert (narrow["query_id"] != narrow["neighbor_id"]).all()
+        for c in cols:
+            assert narrow[c].tolist() == wide[c].tolist(), c
+
+        # single-row corpus: no neighbors at all, empty on both paths
+        one = df.iloc[:1]
+        for kw in ({}, {"broadcast_rows": 0, "chunk_rows": 1}):
+            out = training.knn_self_join(
+                rd.from_pandas(one), k=3, **kw
+            ).to_pandas()
+            assert len(out) == 0
+
 
 class TestCMS:
     def test_one_sided_and_exact_when_sparse(self):
