@@ -16,6 +16,7 @@ per input row.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from pathlib import Path
 
@@ -4864,29 +4865,78 @@ def embedding_cluster_purity(sf_dir: str):
     )
 
 
+def _json_k_bigint(s) -> "int | None":
+    """The oracle's ``CAST(json_extract_string(props, '$.k') AS
+    BIGINT)`` replayed with a REAL JSON parse (semantics pinned
+    empirically against DuckDB in tests/test_queries_oracle.py):
+
+    - top-level ``k`` only — a nested object's ``k`` or a ``"k":``
+      inside a string value never matches (the old regex kernel got
+      both wrong);
+    - duplicate top-level keys: FIRST wins (yyjson rule; Python's
+      json keeps last, so parse with an object_pairs_hook);
+    - numbers and numeric strings cast like DuckDB VARCHAR→BIGINT:
+      integers pass through (int64 range-checked to NULL on
+      overflow), decimal/exponent forms round half AWAY from zero
+      ('1.5'→2, '-2.5'→-3, '1e5'→100000, non-finite→NULL);
+    - bool / array / object / null / non-numeric strings → NULL
+      (TRY_CAST semantics; see the KNOWN LATENT note on hard CAST).
+    """
+    import math
+
+    try:
+        obj = json.loads(s, object_pairs_hook=_json_first_key_wins)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(obj, dict) or "k" not in obj:
+        return None
+    v = obj["k"]
+    if v is None or isinstance(v, (list, dict)) or isinstance(v, bool):
+        return None
+    if isinstance(v, str):
+        t = v.strip()
+        try:
+            v = int(t)
+        except ValueError:
+            try:
+                v = float(t)
+            except ValueError:
+                return None
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            return None
+        r = math.floor(abs(v) + 0.5)
+        v = r if v >= 0 else -r
+    return v if -(1 << 63) <= v < (1 << 63) else None
+
+
+def _json_first_key_wins(pairs):
+    d = {}
+    for key, val in pairs:
+        if key not in d:
+            d[key] = val
+    return d
+
+
 def events_json_stats(sf_dir: str):
     """Semi-structured extraction — schema-on-read over the JSON
     ``props`` column: pull the integer ``k`` field out of every event
-    (vectorized regex extraction, the Arrow-native equivalent of a
-    JSON path probe; rows without the key drop, as SQL's NULL
-    json_extract does) and aggregate per event_type. Per-batch
-    partials bound the combine at event-type cardinality; all stats
-    exact int64.
+    and aggregate per event_type. Per-batch partials bound the combine
+    at event-type cardinality; all stats exact int64.
 
-    DOCUMENTED ASSUMPTION (regex vs json_extract): the extraction
-    requires ``"k"`` to sit in key position (preceded by ``{`` or
-    ``,``) with a bare INTEGER value (a float like ``"k": 1.5`` is a
-    non-match, never a silent truncation — the oracle's CAST AS BIGINT
-    would error there, and the fixtures carry integers only). It does
-    NOT distinguish a top-level ``k`` from one inside a nested object
-    or an escaped-quote string value; corpora with those shapes need a
-    real per-row JSON parse, which this vectorized hot path
-    deliberately avoids."""
+    Extraction is a REAL per-row JSON parse (``_json_k_bigint`` —
+    one ``json.loads`` per bounded-size props string; the r4 verdict
+    retired the vectorized-regex shortcut, whose key matching diverged
+    from ``json_extract`` on nested objects, escaped strings, floats
+    and exponent forms). Rows whose extraction is NULL drop, as the
+    oracle's ``WHERE k IS NOT NULL`` does."""
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(
-            r'[{,]\s*"k"\s*:\s*(-?\d+)(?![\d.eE])', expand=False
+        k = pd.Series(
+            [_json_k_bigint(s) for s in df["props"].to_numpy()],
+            index=df.index,
+            dtype=object,
         )
         ok = k.notna()
         g = pd.DataFrame(
@@ -8738,6 +8788,15 @@ QUERIES = {
 #    downstream components, but non-hub direct pairs are not rows.
 #    Reachable only on 201+ hashes sharing one 16-bit band (identical
 #    logos / boilerplate at production scale, never in the fixtures).
+# 4. events_json_stats error semantics: the oracle's hard CAST raises
+#    on a non-castable extracted value ("k":"xyz", "k":[1]) and
+#    json_extract raises on malformed JSON; the kernel drops those
+#    rows (TRY_CAST semantics) — an engine operator cannot fail the
+#    whole job on one bad row. Value/shape semantics otherwise match
+#    json_extract_string+CAST exactly (nested/string/float/exponent
+#    shapes pinned against DuckDB in test_events_json_stats_
+#    adversarial_props); fixtures carry flat integer props, where
+#    CAST == TRY_CAST and nothing raises.
 ORACLES = {
     "doc_passage_dedup": """
         WITH w AS (
