@@ -35,13 +35,29 @@ def _offer_digest(h: np.ndarray, a: np.ndarray) -> int:
     — it was the largest driver-side term of the offer RPC fan-out.
     Position-mixed avalanche + XOR-reduce keeps the memo property
     (identical batch content+order → identical key; the memo only ever
-    compares batches of the SAME round from task retries)."""
+    compares batches of the SAME round from task retries). The linear
+    XOR-fold alone is structurally weaker than a sequential hash
+    (compensating element changes could cancel), so SEQUENTIAL anchors
+    — batch length and the first/last (hash, adm) elements — are
+    avalanched into the fold (ADVICE r4): an accidental collision now
+    needs matching length, endpoints AND fold, effectively impossible
+    for non-adversarial url hashes."""
     from ..functions.simdedup import _avalanche
 
+    if len(h) == 0:
+        return 0
     idx = np.arange(len(h), dtype=np.uint64)
     g = np.uint64(0x9E3779B97F4A7C15)
     x = _avalanche(h * g ^ _avalanche(a + idx * g))
-    return int(np.bitwise_xor.reduce(x) ^ np.uint64(len(h))) if len(x) else 0
+    fold = np.bitwise_xor.reduce(x)
+    ends = np.asarray(
+        [np.uint64(len(h)), h[0], a[0], h[-1], a[-1]], dtype=np.uint64
+    )
+    # position-mix the anchors too, so swapped endpoints can't cancel
+    anchor = np.bitwise_xor.reduce(
+        _avalanche(ends + np.arange(5, dtype=np.uint64) * g)
+    )
+    return int(_avalanche(np.asarray([fold ^ anchor], dtype=np.uint64))[0])
 
 
 @ray.remote(num_cpus=0.25)

@@ -268,3 +268,31 @@ class TestTinyBatchE2E:
             assert read_denied(out) == sim.denied
         finally:
             runner.close()
+
+
+class TestOfferDigest:
+    """ADVICE r4: the replay-memo digest must not be a bare linear
+    XOR-fold — sequential anchors (length, endpoints) have to break
+    reorder/compensation collisions."""
+
+    def test_anchor_properties(self):
+        import numpy as np
+
+        from searchgov_spider_ray.stages.dedup import _offer_digest
+
+        h = np.arange(1, 101, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        a = np.arange(1, 101, dtype=np.uint64)
+        d = _offer_digest(h, a)
+        # deterministic on identical content+order
+        assert d == _offer_digest(h.copy(), a.copy())
+        # order-sensitive
+        assert d != _offer_digest(h[::-1].copy(), a[::-1].copy())
+        # endpoint swap (first<->last) must not cancel
+        h2, a2 = h.copy(), a.copy()
+        h2[0], h2[-1] = h[-1], h[0]
+        a2[0], a2[-1] = a[-1], a[0]
+        assert d != _offer_digest(h2, a2)
+        # length-sensitive (prefix of the same stream)
+        assert d != _offer_digest(h[:-1].copy(), a[:-1].copy())
+        # empty batch has the reserved key
+        assert _offer_digest(h[:0], a[:0]) == 0
