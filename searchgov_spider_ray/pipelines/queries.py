@@ -7390,6 +7390,30 @@ def _phash_bands(ph: np.ndarray) -> np.ndarray:
     return out
 
 
+_HOT_BAND_SALT_CAP = 256  # key2 = band_key | (salt+1)<<18 stays < 2^27
+
+
+def _hot_band_salts(counts: pd.DataFrame, pair_budget: int) -> dict[int, int]:
+    """Salt plan for the banded Hamming join's HOT band keys: given
+    per-band_key corpus/query row counts, every key whose estimated
+    merge pair count (q_cnt·c_cnt, computed in float — at 10^10 rows
+    the product overflows int64) exceeds the budget gets
+    ceil(est/budget) salts (≥2, capped), so its work spreads across
+    ~est/budget partitions instead of serializing inside one task's
+    slice loop. Keys within budget return no entry — the part
+    assignment is then bit-identical to the unsalted layout."""
+    est = counts["c_cnt"].to_numpy(np.float64) * counts["q_cnt"].to_numpy(np.float64)
+    hotm = est > float(pair_budget)
+    if not hotm.any():
+        return {}
+    ns = np.minimum(
+        np.ceil(est[hotm] / float(pair_budget)), _HOT_BAND_SALT_CAP
+    ).astype(np.int64)
+    ns = np.maximum(ns, 2)
+    keys = counts["band_key"].to_numpy(np.int64)[hotm]
+    return dict(zip(keys.tolist(), ns.tolist()))
+
+
 def image_hamming_topk_banded(
     sf_dir: str, k: int = HAMMING_TOPK_K, query_mod: int = HAMMING_QUERY_MOD
 ):
@@ -7423,33 +7447,97 @@ def image_hamming_topk_banded(
     beyond radius 3 inherently needs an exact scan; the reduced query
     set broadcasts once).
 
-    Partitioning assumption (documented): band-value buckets are
-    roughly uniform — a degenerate corpus where one 16-bit band value
-    dominates (e.g. flat-image pHash=0 floods band 0x0000) skews the
-    merge in its partition; the mitigation at 10^10 scale is salting
-    that band value and chunking its merge, the same hot-key discipline
-    as the crawl frontier's domain split. Same result as
-    image_hamming_topk for every query, pinned by pytest parity incl.
-    a forced query_mod=1 (every image a query) run. Rows-only driver
-    entry (crawl corpus input; pHash has no SQL form)."""
+    Hot-band SALTING (the skew discipline, r4 verdict #3): a bounded
+    count pre-pass (one narrow scan; per-batch partials over the
+    ≤ 4·2^16-key band space combine on the driver) estimates each band
+    key's merge pair count. Keys over the pair budget are SALTED —
+    their corpus rows spread across ceil(est/budget) sub-keys by
+    image-id hash, their query rows REPLICATE to every sub-key (the
+    relational skew-salting pattern), so a degenerate band value
+    (flat-image pHash floods 0x0000) parallelizes across partitions
+    instead of serializing inside one task's slice loop. Pigeonhole
+    completeness is preserved: a (q, c) pair sharing band b meets in
+    exactly the sub-key carrying c's salt, which q's replicas cover.
+    With no hot keys the layout is bit-identical to the unsalted one.
+    Same result as image_hamming_topk for every query, pinned by
+    pytest parity incl. a forced query_mod=1 (every image a query) run
+    and a forced-degenerate-corpus salting run. Rows-only driver entry
+    (crawl corpus input; pHash has no SQL form)."""
     from ..functions.hashing import xxhash64_array
     from ..functions.simdedup import hash_part
 
     cdir = _crawl_corpus_dir()
     ds = rd.read_parquet(cdir + "/corpus_images.parquet", columns=["image_id", "phash"])
 
+    pair_budget = int(os.environ.get("GRAFT_HAMMING_PAIR_BUDGET", 4_000_000))
+
+    def band_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ph = df["phash"].to_numpy(np.int64).view(np.uint64)
+        bk = (
+            (np.arange(4, dtype=np.int64)[None, :] << 16) | _phash_bands(ph)
+        ).ravel()
+        isq = np.repeat(
+            (xxhash64_array(df["image_id"].tolist()) % np.uint64(query_mod)) == 0, 4
+        )
+        cu, cc = np.unique(bk, return_counts=True)
+        qu, qc = np.unique(bk[isq], return_counts=True)
+        qa = np.zeros(len(cu), dtype=np.int64)
+        qa[np.searchsorted(cu, qu)] = qc  # queries ⊆ corpus rows
+        return pd.DataFrame({"band_key": cu, "c_cnt": cc, "q_cnt": qa})
+
+    counts = ds.map_batches(band_counts, batch_format="pandas").to_pandas()
+    # all-empty to_pandas loses columns — guard before groupby
+    hot = (
+        _hot_band_salts(
+            counts.groupby("band_key", as_index=False).sum(), pair_budget
+        )
+        if len(counts)
+        else {}
+    )
+    if hot:
+        hk = np.array(sorted(hot), dtype=np.int64)
+        hv = np.array([hot[int(x)] for x in hk], dtype=np.int64)
+    else:
+        hk = hv = None
+
+    def _salts_for(bk: np.ndarray) -> np.ndarray:
+        """Per-row salt count (1 = unsalted) via the broadcast plan."""
+        if hk is None:
+            return np.ones(len(bk), dtype=np.int64)
+        idx = np.searchsorted(hk, bk)
+        idxc = np.minimum(idx, len(hk) - 1)
+        ish = (idx < len(hk)) & (hk[idxc] == bk)
+        return np.where(ish, hv[idxc], 1)
+
     def explode(df: pd.DataFrame, is_q: int) -> pd.DataFrame:
         ph = df["phash"].to_numpy(np.int64).view(np.uint64)
         ids = df["image_id"].to_numpy(dtype=object)
         bands = _phash_bands(ph)  # (n, 4)
-        band_key = (np.arange(4, dtype=np.int64)[None, :] << 16) | bands
-        n = len(df)
+        bk = ((np.arange(4, dtype=np.int64)[None, :] << 16) | bands).ravel()
+        ids4 = np.repeat(ids, 4)
+        ph4 = np.repeat(ph.view(np.int64), 4)
+        ns = _salts_for(bk)
+        if is_q:
+            # replicate hot-key query rows across every sub-key
+            if hk is not None and (ns > 1).any():
+                total = int(ns.sum())
+                starts = np.cumsum(ns) - ns
+                salt = np.arange(total, dtype=np.int64) - np.repeat(starts, ns)
+                ns_r = np.repeat(ns, ns)
+                bk = np.repeat(bk, ns)
+                ids4, ph4 = np.repeat(ids4, ns), np.repeat(ph4, ns)
+                bk = np.where(ns_r > 1, bk | ((salt + 1) << 18), bk)
+        elif hk is not None:
+            # corpus rows: one sub-key by image-id hash
+            rh = np.repeat(xxhash64_array(df["image_id"].tolist()), 4)
+            salt = (rh % ns.astype(np.uint64)).astype(np.int64)
+            bk = np.where(ns > 1, bk | ((salt + 1) << 18), bk)
         out = pd.DataFrame(
             {
-                "band_key": band_key.ravel(),
-                "image_id": np.repeat(ids, 4),
-                "phash": np.repeat(ph.view(np.int64), 4),
-                "is_q": np.full(4 * n, is_q, dtype=np.int64),
+                "band_key": bk,
+                "image_id": ids4,
+                "phash": ph4,
+                "is_q": np.full(len(bk), is_q, dtype=np.int64),
             }
         )
         out["part"] = hash_part(out["band_key"].to_numpy(np.int64), 64).astype(np.int64)
@@ -7488,8 +7576,6 @@ def image_hamming_topk_banded(
                 "q_ph": np.zeros(int(keep.sum()), dtype=np.int64),
             }
         )
-
-    pair_budget = int(os.environ.get("GRAFT_HAMMING_PAIR_BUDGET", 4_000_000))
 
     def collide(g: pd.DataFrame) -> pd.DataFrame:
         q = g[g["is_q"] == 1][["band_key", "image_id", "phash"]]
@@ -7624,12 +7710,26 @@ def image_hamming_topk_banded(
     final = res[res["rank"] >= 1][["query_id", "rank", "neighbor_id", "hamming"]]
     un = res[res["rank"] == 0].sort_values("query_id")
     if len(un):
-        s_ids = un["query_id"].to_numpy(dtype=object)
-        s_ph = un["q_ph"].to_numpy(np.int64).view(np.uint64)
-        s_ref = ray.put((s_ids, s_ph))
-        fb_partial = ds.map_batches(_HammingExactTopK(s_ref, k), batch_format="pandas")
-        fb = _merge_hamming_topk(fb_partial, k)
-        final = pd.concat([final, fb], ignore_index=True)
+        # the exact fallback broadcasts the unresolved query set and
+        # pays a (batch × queries) distance matrix per task — the same
+        # pair-budget discipline as the band merge bounds it (r4
+        # verdict #8): a pathological corpus that leaves MOST queries
+        # unresolved falls back in waves of ≤ budget/batch_rows
+        # queries (one extra corpus scan per wave — the guard path,
+        # never the common one) instead of one near-full broadcast
+        fb_batch_rows = 1024  # map_batches default batch size
+        step = max(1, pair_budget // fb_batch_rows)
+        waves = []
+        for lo in range(0, len(un), step):
+            sub = un.iloc[lo : lo + step]
+            s_ids = sub["query_id"].to_numpy(dtype=object)
+            s_ph = sub["q_ph"].to_numpy(np.int64).view(np.uint64)
+            s_ref = ray.put((s_ids, s_ph))
+            fb_partial = ds.map_batches(
+                _HammingExactTopK(s_ref, k), batch_format="pandas"
+            )
+            waves.append(_merge_hamming_topk(fb_partial, k))
+        final = pd.concat([final, *waves], ignore_index=True)
     return (
         final.sort_values(["query_id", "rank"])
         .reset_index(drop=True)[list(_HAMMING_EMPTY_COLS)]

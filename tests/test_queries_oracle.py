@@ -831,3 +831,81 @@ def test_q7_forced_wide_orders_parity(ray_session, sf_dir):
     assert len(narrow) == len(wide) > 0
     for c in ["supp_nation", "cust_nation", "revenue_cents"]:
         assert list(narrow[c]) == list(wide[c]), c
+
+
+def test_hamming_banded_hot_band_salted_degenerate_corpus(
+    ray_session, tmp_path, monkeypatch
+):
+    """r4 verdict #3: a degenerate corpus (many identical pHashes — the
+    flat-image flood) must SALT the hot band keys across >1 partition
+    and still match the exact scan row-for-row. The salt plan is
+    asserted structurally with the operator's own helpers: the flooded
+    band keys get n_salts > 1 and their salted sub-keys hash to more
+    than one of the 64 coarse partitions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import searchgov_spider_ray.pipelines.queries as q
+    from searchgov_spider_ray.functions.simdedup import hash_part
+
+    # 30 flat images share pHash 0 (all four 16-bit bands collide);
+    # 10 distinct ones keep the non-degenerate path alive alongside
+    ids = [f"img{i:03d}" for i in range(40)]
+    ph = np.zeros(40, dtype=np.int64)
+    rng = np.random.RandomState(7)
+    ph[30:] = rng.randint(1, 1 << 62, size=10).astype(np.int64)
+    df = pd.DataFrame({"image_id": ids, "phash": ph})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "corpus_images.parquet")
+    monkeypatch.setattr(q, "_crawl_corpus_dir", lambda: str(tmp_path))
+    monkeypatch.setenv("GRAFT_HAMMING_PAIR_BUDGET", "100")
+
+    # the salt plan the operator derives: band keys flooded by the 30
+    # flat images are hot (est 30*30=900 > 100) and spread over >1 part
+    bands = q._phash_bands(ph.view(np.uint64))
+    bk = ((np.arange(4, dtype=np.int64)[None, :] << 16) | bands).ravel()
+    cu, cc = np.unique(bk, return_counts=True)
+    counts = pd.DataFrame({"band_key": cu, "c_cnt": cc, "q_cnt": cc})  # query_mod=1
+    hot = q._hot_band_salts(counts, 100)
+    flooded = [int(p) << 16 for p in range(4)]  # band value 0 in all 4 positions
+    for key in flooded:
+        assert hot.get(key, 1) > 1, key
+        subkeys = np.array(
+            [key | ((s + 1) << 18) for s in range(hot[key])], dtype=np.int64
+        )
+        assert len(np.unique(hash_part(subkeys, 64))) > 1, key
+
+    exact = _to_df(q.image_hamming_topk(str(tmp_path), k=5, query_mod=1)).reset_index(
+        drop=True
+    )
+    banded = _to_df(
+        q.image_hamming_topk_banded(str(tmp_path), k=5, query_mod=1)
+    ).reset_index(drop=True)
+    assert len(exact) == len(banded) > 0
+    for c in ["query_id", "rank", "neighbor_id", "hamming"]:
+        assert list(exact[c]) == list(banded[c]), c
+
+
+def test_hot_band_salts_plan():
+    """Unit pin of the salt-plan math: within-budget keys get no entry
+    (layout unchanged), over-budget keys get ceil(est/budget) salts
+    (>=2, capped), and the estimate is float-safe at 10^10-row scale."""
+    import pandas as pd
+
+    import searchgov_spider_ray.pipelines.queries as q
+
+    counts = pd.DataFrame(
+        {
+            "band_key": [1, 2, 3, 4],
+            "c_cnt": [100, 100_000, 10_000_000_000, 50],
+            "q_cnt": [100, 1_000, 10_000_000_000, 0],
+        }
+    )
+    plan = q._hot_band_salts(counts, 4_000_000)
+    assert 1 not in plan                       # 10_000 pairs: within budget
+    assert plan[2] == 25                       # ceil(1e8 / 4e6)
+    assert plan[3] == q._HOT_BAND_SALT_CAP     # 1e20 pairs: float-safe, capped
+    assert 4 not in plan                       # zero queries -> zero est
+    assert q._hot_band_salts(counts, 10**21) == {}
