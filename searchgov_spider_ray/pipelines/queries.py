@@ -8865,6 +8865,73 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
 }
 
+# Round-5 driver-window rotation (r4 verdict #5): the external driver
+# samples the FIRST 50 keys, and ~87 oracle-backed entries had never
+# received a driver receipt. Positions 1–30 keep the parity-critical
+# head exactly as in round 4; position 31 keeps events_json_stats,
+# whose kernel changed this round; positions 32–50 rotate in 19
+# never-receipted entries — the TPC-H wave, the sketch family, two
+# window-function shapes, and the approximate-IVF recall eval. Every
+# entry (in or out of the window) stays pinned by the pytest oracle
+# suite on every run.
+_DRIVER_WINDOW = [
+    "docparse_html",
+    "sitemap_diff",
+    "doc_lang_id",
+    "doc_minhash_near_dup",
+    "doc_minhash_eval",
+    "doc_dup_clusters",
+    "doc_curation_pipeline",
+    "doc_dedup_first",
+    "doc_dedup_summary",
+    "doc_simhash_near_dup",
+    "doc_containment_near_dup",
+    "doc_passage_dedup",
+    "doc_decontaminate",
+    "doc_bow_dedup",
+    "doc_ngram_jaccard",
+    "embedding_near_dups",
+    "ann_topk_brute",
+    "ann_topk_ivf",
+    "embedding_knn_join",
+    "embedding_knn_classify",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
+    "doc_curriculum_manifest",
+    "doc_bpe_pair_counts",
+    "doc_global_shuffle",
+    "doc_pack_windows",
+    "doc_shuffled_pack",
+    "doc_sample_stratified",
+    "doc_quota_sample",
+    "doc_weighted_sample",
+    "events_json_stats",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_blame_supplier",
+    "q22_sales_opportunity",
+    "events_user_cms",
+    "customers_in_events_bloom",
+    "events_value_p99_sketch",
+    "events_retention_cohorts",
+    "ann_recall_eval",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _DRIVER_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in frozenset(_DRIVER_WINDOW)},
+}
+assert list(QUERIES)[: len(_DRIVER_WINDOW)] == _DRIVER_WINDOW
+
 # KNOWN LATENT kernel↔oracle divergences (documented, not reachable by
 # the driver's synthetic fixtures; every other pair has been audited
 # side-by-side):
