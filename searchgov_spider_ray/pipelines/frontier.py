@@ -618,6 +618,9 @@ class CrawlJobRunner:
         # upstream and unaffected.
         self.emit_steps = list(emit_steps or [])
         self._emit_step_instances: dict = {}
+        # micro-path kernel broadcast refs, put lazily once per job
+        self._micro_link_kern = None
+        self._micro_image_kern = None
         self.corpus_dir = Path(corpus_dir)
         self.out_dir = Path(out_dir)
         self.ckpt = CheckpointStore(self.out_dir / "checkpoint")
@@ -825,8 +828,17 @@ class CrawlJobRunner:
             fetched_count = self._run_round(k)
             per_round.append(fetched_count)
             total_fetched += fetched_count
-            ray.get([s.end_round.remote(k) for s in self.shards])
+            # fire-and-forget: end_round is a purge of ≤k state (memo,
+            # offer log; self._round is write-only), so nothing this
+            # side of the final size() fence reads its effect — the
+            # per-round all-shard ray.get barrier bought only latency.
+            # Actor mailbox order keeps it ahead of this driver's next
+            # submissions, and a late purge relative to round k+1
+            # worker offers is harmless (it never touches >k state).
+            for s in self.shards:
+                s.end_round.remote(k)
             k += 1
+        # size() doubles as the fence behind every queued end_round
         seen_total = int(sum(ray.get([s.size.remote() for s in self.shards])))
         return CrawlRunResult(
             job_id=self.site.job_id,
@@ -925,7 +937,9 @@ class CrawlJobRunner:
                 )(frontier_tab)
             ],
         )
-        marked = TagGrant(ray.put((all_doms, thr_all)))(frontier_tab)
+        # raw tuple, not ray.put: the micro path applies the tag on the
+        # driver table directly — no broadcast, no plasma copy
+        marked = TagGrant((all_doms, thr_all))(frontier_tab)
         granted = marked.filter(marked["granted"]).drop_columns(["granted"])
         carry = marked.filter(pc.invert(marked["granted"])).drop_columns(["granted"])
         _mark("politeness")
@@ -957,7 +971,13 @@ class CrawlJobRunner:
         _write_table_round(_strip_image_id(emit), self.out_dir / "emitted", k)
         img_futs: list = []
         if self.images_ref is not None and len(emit) and "image_id" in emit.column_names:
-            kern = ray.put(_MicroImageKernel(self.images_ref))
+            # round-independent kernel: put once per job, reuse the ref
+            # every micro round (serialize + plasma copy paid once)
+            kern = self._micro_image_kern
+            if kern is None:
+                kern = self._micro_image_kern = ray.put(
+                    _MicroImageKernel(self.images_ref)
+                )
             # chunk floor 128 rows: each raw task pays a fresh kernel
             # deserialize + row-group open (~70 ms) — 16-row chunks
             # made a 400-row round spend seconds on task overhead
@@ -973,9 +993,11 @@ class CrawlJobRunner:
             scoped = None
         else:
             fetcher_cls = JsFetcher if self.site.handle_javascript else CorpusFetcher
-            kern = ray.put(
-                _MicroLinkKernel(self.corpus_ref, fetcher_cls, self.scope, self.robots)
-            )
+            kern = self._micro_link_kern  # round-independent, put once
+            if kern is None:
+                kern = self._micro_link_kern = ray.put(
+                    _MicroLinkKernel(self.corpus_ref, fetcher_cls, self.scope, self.robots)
+                )
             # chunk floor 64 rows (same task-overhead reasoning as the
             # image chunks above; the link chain is ~ms per row, so a
             # sub-hundred-row task is pure fixed cost, while a single
@@ -1017,9 +1039,13 @@ class CrawlJobRunner:
         if len(cands):
             packed = _pack_admission(cands)
             _mark("pack_adm")
-            offered = FusedDedupRouter(self.shards, k)(packed)
+            # single-block mode: the whole round is ONE router call, so
+            # local first-wins already made every offered hash unique —
+            # corrections are empty by construction; skip both the
+            # offer log (log=False) and the collect_corrections
+            # all-shard barrier (one RPC round-trip saved per round)
+            fixed = FusedDedupRouter(self.shards, k, log=False)(packed)
             _mark("offer_rpc")
-            fixed = CorrectionFix(ray.put(collect_corrections(self.shards, k)))(offered)
             _mark("dedup_fused")
             intra_dups = _IntraDupKernel(k)(fixed)
             marked2 = fixed.filter(fixed["intra_first"])

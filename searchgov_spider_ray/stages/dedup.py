@@ -219,12 +219,21 @@ class FusedDedupRouter:
     resolved by the shards' :meth:`DedupShardActor.corrections` and
     applied by :class:`CorrectionFix`). MUTATES shard state — the
     dataset containing this stage must be materialized exactly once;
-    the (round, batch-digest) memo covers task-level replays."""
+    the (round, batch-digest) memo covers task-level replays.
 
-    def __init__(self, shard_handles: list, round_id: int):
+    ``log=False`` is the SINGLE-BLOCK mode (the micro path): when the
+    round's whole candidate set goes through one call, local first-wins
+    already makes every offered hash unique across the round, so no
+    hash can be multiply-offered — corrections are empty by
+    construction and the shards skip the offer log entirely. The
+    caller then skips the collect_corrections barrier too (one fewer
+    all-shard RPC round-trip per micro round)."""
+
+    def __init__(self, shard_handles: list, round_id: int, log: bool = True):
         self.shards = shard_handles
         self.num_shards = len(shard_handles)
         self.round_id = round_id
+        self.log = log
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -248,7 +257,9 @@ class FusedDedupRouter:
                 digest = _offer_digest(sub_h, sub_a)
                 futures[int(s)] = (
                     idx,
-                    self.shards[int(s)].offer.remote(self.round_id, digest, sub_h, sub_a),
+                    self.shards[int(s)].offer.remote(
+                        self.round_id, digest, sub_h, sub_a, log=self.log
+                    ),
                 )
             w_novel = np.zeros(len(winners), dtype=bool)
             for s, (idx, fut) in futures.items():

@@ -230,6 +230,8 @@ class TagGrant:
     silently reading a neighbouring domain's threshold."""
 
     def __init__(self, thr_ref):
+        # an ObjectRef broadcast (Dataset path) or the raw (domains,
+        # thresholds) tuple (micro path: driver-local, no plasma copy)
         self.thr_ref = thr_ref
         self._tab = None
 
@@ -238,7 +240,8 @@ class TagGrant:
         import ray
 
         if self._tab is None:
-            self._tab = ray.get(self.thr_ref)
+            r = self.thr_ref
+            self._tab = ray.get(r) if isinstance(r, ray.ObjectRef) else r
         dom_sorted, thr = self._tab
         if len(t) == 0:
             return t.append_column("granted", pa.array([], type=pa.bool_()))
