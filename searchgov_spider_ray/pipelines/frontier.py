@@ -621,6 +621,13 @@ class CrawlJobRunner:
         # micro-path kernel broadcast refs, put lazily once per job
         self._micro_link_kern = None
         self._micro_image_kern = None
+        # in-memory frontier handoff between consecutive micro rounds:
+        # (round, table) of the LAST checkpoint written from a driver
+        # table — the next round reads this instead of re-parsing the
+        # parquet it just wrote (the write itself always happens, so
+        # resume still reads from disk; the stash is a pure read-back
+        # skip and is byte-equivalent to the file)
+        self._frontier_stash: tuple[int, pa.Table] | None = None
         self.corpus_dir = Path(corpus_dir)
         self.out_dir = Path(out_dir)
         self.ckpt = CheckpointStore(self.out_dir / "checkpoint")
@@ -724,6 +731,7 @@ class CrawlJobRunner:
         if isinstance(frontier, pa.Table):
             pq.write_table(frontier, fdir / "frontier_0000.parquet")
             n_rows = frontier.num_rows
+            self._frontier_stash = (k, frontier)
         else:
             frontier.write_parquet(str(fdir))
             # row count from the written files' footers — a count() on
@@ -925,7 +933,11 @@ class CrawlJobRunner:
             block_grant_counts,
         )
 
-        frontier_tab = pq.read_table(str(self.ckpt.frontier_dir(k)))
+        stash = self._frontier_stash
+        if stash is not None and stash[0] == k:
+            frontier_tab = stash[1]  # byte-equivalent to the file
+        else:
+            frontier_tab = pq.read_table(str(self.ckpt.frontier_dir(k)))
 
         # 1. politeness — the shared two-phase narrow merge, one block
         totals = block_grant_counts()(frontier_tab)
