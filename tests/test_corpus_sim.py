@@ -116,6 +116,25 @@ class TestCorpusGen:
         names = {s.name for s in sites.sites}
         assert "plain" in names and "path scoped" in names
 
+    def test_parallel_generation_matches_sequential(self, corpus_dir, tmp_path):
+        """The sharded process-pool generator (the bench-scale path) must
+        produce row-for-row identical table CONTENTS to the sequential
+        path — shards are written in submission order, so only parquet
+        row-group boundaries may differ. Covers js domains and the
+        hot-domain skew so every shard kind crosses the pool."""
+        spec = CorpusSpec(
+            seed=42, n_domains=3, pages_per_domain=40, js_domains=1, hot_domain_factor=2
+        )
+        seq_dir, par_dir = tmp_path / "seq", tmp_path / "par"
+        s_seq = generate_corpus(seq_dir, spec, workers=0)
+        s_par = generate_corpus(par_dir, spec, workers=4)
+        assert s_seq == s_par
+        for fname in ("corpus_pages.parquet", "corpus_images.parquet", "robots.parquet"):
+            t_seq = pq.read_table(seq_dir / fname)
+            t_par = pq.read_table(par_dir / fname)
+            assert t_seq.equals(t_par), fname
+        assert (seq_dir / "seeds.json").read_text() == (par_dir / "seeds.json").read_text()
+
 
 class TestSimulator:
     @pytest.fixture(scope="class")
