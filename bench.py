@@ -55,6 +55,10 @@ BENCH_SPEC = dict(
     # small image row groups bound sparse-round payload-gather read
     # amplification (was ~500 rows ≈ 12 MB per 25 KB image hit)
     image_rg_rows=64,
+    # same lesson for page bodies: ramp rounds hit a few leading pages
+    # of all 400 domains, each hit decompressing its whole zstd group —
+    # 256-row groups cut that ~4× while dense rounds still stream
+    pages_rg_rows=256,
 )
 
 # corpus cache dir is keyed by the spec so a spec change regenerates
@@ -367,6 +371,29 @@ def _drop_page_cache() -> bool:
 SCALING_BAR = 0.8  # BASELINE.json: >=0.8 throughput efficiency N -> 4N
 IDLE_LOADAVG = 0.5  # a leg that starts above this is a polluted window
 IDLE_WAIT_MAX = 420.0  # bounded wait; then annotate-and-proceed
+# legs whose cold-disk probes differ by more than this are an
+# asymmetric-window flag (one leg ran against a measurably different
+# disk than the other — the #r5-1 pollution mode)
+DISK_SYMMETRY_MIN = 0.7
+
+
+def _disk_probe(path: str, budget_bytes: int = 256 << 20) -> float:
+    """Sequential read bandwidth (MB/s) over the corpus input file.
+    Called right after a cache drop and followed by ANOTHER drop, so
+    the probe measures the window's actual cold-disk speed without
+    leaving warm pages behind for the leg. Annotating this per leg
+    makes the #r4-12/#r5-1 pollution mode (high-leg compression under
+    a degraded disk) measurable in the receipt itself instead of
+    inferred post-hoc from family walls."""
+    t0 = time.time()
+    n = 0
+    with open(path, "rb") as fh:
+        while n < budget_bytes:
+            b = fh.read(1 << 24)
+            if not b:
+                break
+            n += len(b)
+    return round(n / max(time.time() - t0, 1e-6) / 1e6, 1)
 
 
 def _wait_for_idle(
@@ -389,38 +416,28 @@ def _wait_for_idle(
         time.sleep(5.0)
 
 
-def scaling(cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False) -> None:
-    """Default pair 8→32 (the driver's invocation). A supplementary
-    pair can be requested as `--scaling --cpus 4 16`: same 4× ratio,
-    but the high leg leaves headroom on the shared 32-vCPU box so the
-    measurement isolates the ENGINE's scaling from the box's own
-    oversubscription (ambient tenants compress exactly the leg the
-    efficiency ratio divides by — see BASELINE.md run ledger).
-    `--drop-caches` cold-starts the page cache before each leg for a
-    symmetric cold/cold comparison.
-
-    Each leg is IDLE-GATED (bounded wait for loadavg < 0.5, then
-    annotate-and-proceed), and the output carries a machine-readable
-    verdict row against the 0.8 bar with the probe efficiency and both
-    legs' ambient context inline — an unattended invocation is a
-    complete ledger entry by itself."""
-
+def _scaling_attempt(cpu_lo: int, cpu_hi: int, drop_caches: bool, cdir: str) -> dict:
+    """One full 2-leg pair: idle-gate → (drop caches → disk probe →
+    re-drop) → leg, for each CPU count, then the efficiency arithmetic
+    and a machine-readable verdict row."""
     dropped = True
     legs: list[dict] = []
 
     def run(ncpu: int) -> dict:
         nonlocal dropped
         gate = _wait_for_idle()
+        leg = {"cpus": ncpu, **gate}
         if drop_caches:
             dropped = _drop_page_cache() and dropped
-        legs.append({"cpus": ncpu, **gate})
+            leg["disk_mb_s"] = _disk_probe(os.path.join(cdir, "corpus_images.parquet"))
+            dropped = _drop_page_cache() and dropped
+        legs.append(leg)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    ensure_bench_corpus()  # build once, outside timing
     lo, hi = run(cpu_lo), run(cpu_hi)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (cpu_hi / cpu_lo)
@@ -431,42 +448,90 @@ def scaling(cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False) -> Non
     probe_eff = (
         hi["compute_probe_pages_per_sec"] / lo["compute_probe_pages_per_sec"]
     ) / ratio
-    print(
-        json.dumps(
-            {
-                f"sec_{cpu_lo}": t_lo,
-                f"sec_{cpu_hi}": t_hi,
-                "scaling_efficiency": round(eff, 3),
-                f"crawl_urls_per_sec_{cpu_lo}": lo["crawl_urls_per_sec"],
-                f"crawl_urls_per_sec_{cpu_hi}": hi["crawl_urls_per_sec"],
-                "crawl_scaling_efficiency": round(crawl_eff, 3),
-                f"compute_probe_pages_per_sec_{cpu_lo}": lo["compute_probe_pages_per_sec"],
-                f"compute_probe_pages_per_sec_{cpu_hi}": hi["compute_probe_pages_per_sec"],
-                "compute_probe_scaling_efficiency": round(probe_eff, 3),
-                "legs": legs,
-                **({"cold_cache_legs": dropped} if drop_caches else {}),
-                "verdict": {
-                    "bar": SCALING_BAR,
-                    "crawl_scaling_efficiency": round(crawl_eff, 3),
-                    "pass": bool(crawl_eff >= SCALING_BAR),
-                    "probe_scaling_efficiency": round(probe_eff, 3),
-                    # crawl/probe coupling: <1 means the crawl lost
-                    # MORE than the box's own per-window compression
-                    "coupling": round(crawl_eff / probe_eff, 2) if probe_eff else None,
-                    "idle_gated_legs": all(l["idle"] for l in legs),
-                },
-            }
-        )
+    disk = [l["disk_mb_s"] for l in legs if "disk_mb_s" in l]
+    disk_symmetric = (
+        (min(disk) / max(disk) >= DISK_SYMMETRY_MIN) if disk and max(disk) > 0 else True
     )
+    window_clean = all(l["idle"] for l in legs) and disk_symmetric
+    return {
+        f"sec_{cpu_lo}": t_lo,
+        f"sec_{cpu_hi}": t_hi,
+        "scaling_efficiency": round(eff, 3),
+        f"crawl_urls_per_sec_{cpu_lo}": lo["crawl_urls_per_sec"],
+        f"crawl_urls_per_sec_{cpu_hi}": hi["crawl_urls_per_sec"],
+        "crawl_scaling_efficiency": round(crawl_eff, 3),
+        f"compute_probe_pages_per_sec_{cpu_lo}": lo["compute_probe_pages_per_sec"],
+        f"compute_probe_pages_per_sec_{cpu_hi}": hi["compute_probe_pages_per_sec"],
+        "compute_probe_scaling_efficiency": round(probe_eff, 3),
+        "legs": legs,
+        **({"cold_cache_legs": dropped} if drop_caches else {}),
+        "verdict": {
+            "bar": SCALING_BAR,
+            "crawl_scaling_efficiency": round(crawl_eff, 3),
+            "pass": bool(crawl_eff >= SCALING_BAR),
+            "probe_scaling_efficiency": round(probe_eff, 3),
+            # crawl/probe coupling: <1 means the crawl lost
+            # MORE than the box's own per-window compression
+            "coupling": round(crawl_eff / probe_eff, 2) if probe_eff else None,
+            "idle_gated_legs": all(l["idle"] for l in legs),
+            "disk_symmetric": disk_symmetric,
+            "window_clean": window_clean,
+        },
+    }
+
+
+def scaling(
+    cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False, retries: int = 1
+) -> None:
+    """Default pair 8→32 (the driver's invocation). A supplementary
+    pair can be requested as `--scaling --cpus 4 16`: same 4× ratio,
+    but the high leg leaves headroom on the shared 32-vCPU box so the
+    measurement isolates the ENGINE's scaling from the box's own
+    oversubscription (ambient tenants compress exactly the leg the
+    efficiency ratio divides by — see BASELINE.md run ledger).
+    `--drop-caches` cold-starts the page cache before each leg for a
+    symmetric cold/cold comparison.
+
+    Each leg is IDLE-GATED (bounded wait for loadavg < 0.5, then
+    annotate-and-proceed) and DISK-PROBED (cold sequential MB/s,
+    re-dropped after), and the output carries a machine-readable
+    verdict row against the 0.8 bar with the probe efficiency and both
+    legs' ambient context inline — an unattended invocation is a
+    complete ledger entry by itself.
+
+    Window-clean retry, DIRECTION-NEUTRAL: if a pair's window was NOT
+    clean (a non-idle leg, or cold-disk probes asymmetric beyond 30%),
+    the pair reruns up to ``retries`` times — regardless of whether the
+    polluted attempt passed or failed, so pollution can neither
+    manufacture a pass nor stand as a fail. ALL attempts are printed;
+    the last attempt (the first clean window, if one materialized) is
+    the verdict. A clean-window fail is a fail — symmetric box-wide
+    slowness is never retried away."""
+    cdir = ensure_bench_corpus()  # build once, outside timing
+    attempts = [_scaling_attempt(cpu_lo, cpu_hi, drop_caches, cdir)]
+    while not attempts[-1]["verdict"]["window_clean"] and len(attempts) <= retries:
+        attempts.append(_scaling_attempt(cpu_lo, cpu_hi, drop_caches, cdir))
+    final = dict(attempts[-1])
+    if len(attempts) > 1:
+        final["retried_attempts"] = attempts[:-1]
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         drop = "--drop-caches" in sys.argv
+        retries = (
+            int(sys.argv[sys.argv.index("--retries") + 1])
+            if "--retries" in sys.argv
+            else 1
+        )
         if "--cpus" in sys.argv:
             i = sys.argv.index("--cpus")
-            scaling(int(sys.argv[i + 1]), int(sys.argv[i + 2]), drop_caches=drop)
+            scaling(
+                int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                drop_caches=drop, retries=retries,
+            )
         else:
-            scaling(drop_caches=drop)
+            scaling(drop_caches=drop, retries=retries)
     else:
         main()

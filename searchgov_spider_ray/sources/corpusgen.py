@@ -68,6 +68,13 @@ class CorpusSpec:
     # 400×25 KB of images (measured ~6 s flat). Small groups bound the
     # amplification; dense rounds still stream the file sequentially.
     image_rg_rows: int = 64
+    # Page-file parquet row-group rows — the SAME sparse-gather lesson
+    # applied to bodies: the crawl's ramp rounds touch a few leading
+    # pages of every domain, and each hit decompresses its whole zstd
+    # row group (at 1,024-row groups a 7 k-URL ramp round decompressed
+    # ~400 full groups ≈ 2.4 GB of body bytes for 43 MB of hits).
+    # Default keeps the historical layout; the bench spec shrinks it.
+    pages_rg_rows: int = 1_024
 
     def domains(self) -> list[str]:
         return [f"site{i}.example.gov" for i in range(self.n_domains)]
@@ -386,7 +393,7 @@ def generate_corpus(
     )
     try:
         for tab in _ordered_map(ex, _pages_shard, page_jobs, window=(workers or 1) + 2):
-            writer.write_table(tab, row_group_size=chunk)
+            writer.write_table(tab, row_group_size=min(chunk, spec.pages_rg_rows))
             n_pages += tab.num_rows
             image_ids.extend(pc.drop_null(tab["image_id"]).to_pylist())
     finally:

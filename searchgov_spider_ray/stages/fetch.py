@@ -54,7 +54,7 @@ class _RowGroupGather:
     frontier rows by domain — so a handful of cached groups covers a
     batch."""
 
-    def __init__(self, path: str, column: str, cache_groups: int = 8):
+    def __init__(self, path: str, column: str, cache_groups: int = 16):
         self.path = path
         self.column = column
         self.cache_groups = cache_groups
@@ -71,6 +71,35 @@ class _RowGroupGather:
             ]
             self._starts = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
 
+    def _load_missing(self, gids: list[int]) -> dict[int, pa.Array]:
+        """Read the missing groups with CONSECUTIVE RUNS COALESCED into
+        single ``read_row_groups`` calls, then slice (zero-copy) back to
+        per-group arrays. Dense rounds touch nearly every group in
+        order, so small row groups (bounding SPARSE-round decompress
+        amplification) would otherwise multiply per-call reader
+        overhead ~rows/rg_rows-fold; one call per run keeps the dense
+        path at ~one reader open per batch."""
+        out: dict[int, pa.Array] = {}
+        i = 0
+        while i < len(gids):
+            j = i
+            while j + 1 < len(gids) and gids[j + 1] == gids[j] + 1:
+                j += 1
+            run = gids[i : j + 1]
+            col = (
+                self._pf.read_row_groups(run, columns=[self.column])
+                .column(0)
+                .cast(pa.large_binary())
+                .combine_chunks()
+            )
+            off = 0
+            for g in run:
+                n = int(self._starts[g + 1] - self._starts[g])
+                out[g] = col.slice(off, n)
+                off += n
+            i = j + 1
+        return out
+
     def gather(self, idx: np.ndarray) -> pa.Array:
         """Arrow array of ``column`` values at global row indices ``idx``
         (same order) — no per-value Python, only arrow takes/concat."""
@@ -78,18 +107,19 @@ class _RowGroupGather:
         if len(idx) == 0:
             return pa.array([], type=pa.large_binary())
         gids = np.searchsorted(self._starts, idx, side="right") - 1
+        uniq = [int(g) for g in np.unique(gids)]
+        loaded = self._load_missing([g for g in uniq if g not in self._cache])
         parts: list[pa.Array] = []
         positions: list[np.ndarray] = []
-        for g in np.unique(gids):
-            g = int(g)
+        for g in uniq:
             col = self._cache.pop(g, None)
             if col is None:
-                col = (
-                    self._pf.read_row_group(g, columns=[self.column])
-                    .column(0)
-                    .cast(pa.large_binary())
-                    .combine_chunks()
-                )
+                # not pre-loaded AND not in cache: it was cached when
+                # the missing set was computed but evicted by the LRU
+                # bound mid-batch — re-read the single group
+                col = loaded.get(g)
+            if col is None:
+                col = self._load_missing([g])[g]
             self._cache[g] = col  # most-recently-used at the end
             while len(self._cache) > self.cache_groups:
                 self._cache.popitem(last=False)
