@@ -187,8 +187,18 @@ def run_compute_probe() -> float:
 
     cdir = ensure_bench_corpus()
     pf = pq.ParquetFile(cdir + "/corpus_pages.parquet")
-    pages = pf.read_row_group(
-        0, columns=["url", "status", "content_type", "body"]
+    # a fixed PAGE COUNT, not "row group 0": the probe's workload must
+    # be independent of the corpus's parquet layout (pages_rg_rows
+    # shrank 1,024→256 in round 5, and a 256-page rep quadruples the
+    # per-task fixed-cost share — probe pages/s halved spuriously)
+    probe_rows = 1_024
+    n_groups = 0
+    rows = 0
+    while rows < probe_rows and n_groups < pf.metadata.num_row_groups:
+        rows += pf.metadata.row_group(n_groups).num_rows
+        n_groups += 1
+    pages = pf.read_row_groups(
+        list(range(n_groups)), columns=["url", "status", "content_type", "body"]
     ).replace_schema_metadata(None)
     pages = pages.filter(pc.equal(pages["status"], 200))
     pages = pages.add_column(
