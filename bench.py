@@ -339,7 +339,11 @@ def main() -> None:
 
     crawl_wall, crawl_fetched = run_crawl_bench()
     compute_pages_per_sec = run_compute_probe()
-    timings = run_query_bench()
+    # --scaling --reps N: repetitions 2..N re-measure only the verdict
+    # quantities (crawl throughput + compute probe) — the query suite
+    # wall comes from repetition 1's full run
+    crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
+    timings = {} if crawl_only else run_query_bench()
     timings["crawl_frontier"] = round(crawl_wall, 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -426,35 +430,90 @@ def _wait_for_idle(
         time.sleep(5.0)
 
 
-def _scaling_attempt(cpu_lo: int, cpu_hi: int, drop_caches: bool, cdir: str) -> dict:
+def _scaling_attempt(
+    cpu_lo: int, cpu_hi: int, drop_caches: bool, cdir: str, reps: int = 1
+) -> dict:
     """One full 2-leg pair: idle-gate → (drop caches → disk probe →
     re-drop) → leg, for each CPU count, then the efficiency arithmetic
-    and a machine-readable verdict row."""
+    and a machine-readable verdict row.
+
+    ``reps > 1`` is the DIRECTION-NEUTRAL variance reducer for the
+    documented ambient volatility (the ledger's #r5-6/#r5-7 evidence:
+    the box's cold-disk probe swings 69–2,400 MB/s and the @16 crawl
+    ±30% between attempts minutes apart, in BOTH directions): each
+    leg's crawl is measured ``reps`` times — every repetition its own
+    fresh process with its own idle gate, cache drop and disk probe —
+    and the verdict uses the per-leg MEDIAN crawl throughput (and
+    median probe), so a single compressed OR inflated window on either
+    leg cannot decide the ratio either way. Every repetition's numbers
+    and ambient context are printed in the receipt. Repetition 1 runs
+    the full bench (suite wall for the ledger); repetitions 2..N
+    re-measure only crawl + probe (GRAFT_BENCH_CRAWL_ONLY=1)."""
+    import statistics
+
     dropped = True
     legs: list[dict] = []
 
     def run(ncpu: int) -> dict:
+        """One leg = ``reps`` measured repetitions; returns the leg's
+        median verdict quantities + repetition-1's full-bench wall."""
         nonlocal dropped
-        gate = _wait_for_idle()
-        leg = {"cpus": ncpu, **gate}
-        if drop_caches:
-            dropped = _drop_page_cache() and dropped
-            leg["disk_mb_s"] = _disk_probe(os.path.join(cdir, "corpus_images.parquet"))
-            dropped = _drop_page_cache() and dropped
+        ctxs: list[dict] = []
+        outs: list[dict] = []
+        for rep in range(reps):
+            gate = _wait_for_idle()
+            ctx = {"rep": rep + 1, **gate}
+            if drop_caches:
+                dropped = _drop_page_cache() and dropped
+                ctx["disk_mb_s"] = _disk_probe(
+                    os.path.join(cdir, "corpus_images.parquet")
+                )
+                dropped = _drop_page_cache() and dropped
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            if rep > 0:
+                env["GRAFT_BENCH_CRAWL_ONLY"] = "1"
+            out = subprocess.run(
+                [sys.executable, __file__],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            o = json.loads(out.strip().splitlines()[-1])
+            ctx["crawl_urls_per_sec"] = o["crawl_urls_per_sec"]
+            ctx["compute_probe_pages_per_sec"] = o["compute_probe_pages_per_sec"]
+            ctxs.append(ctx)
+            outs.append(o)
+        disk = [c["disk_mb_s"] for c in ctxs if "disk_mb_s" in c]
+        leg = {
+            "cpus": ncpu,
+            # leg-level ambient summary = the MEDIAN repetition's view
+            "loadavg": round(statistics.median(c["loadavg"] for c in ctxs), 2),
+            "idle_wait_sec": round(sum(c["idle_wait_sec"] for c in ctxs), 1),
+            # the median absorbs a minority of polluted repetitions, so
+            # the leg counts as idle-gated when most repetitions were
+            "idle": sum(c["idle"] for c in ctxs) * 2 > len(ctxs),
+        }
+        if disk:
+            leg["disk_mb_s"] = round(statistics.median(disk), 1)
+        if reps > 1:
+            leg["repetitions"] = ctxs
         legs.append(leg)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return {
+            "value": outs[0]["value"],
+            "crawl_urls_per_sec": round(
+                statistics.median(o["crawl_urls_per_sec"] for o in outs), 1
+            ),
+            "compute_probe_pages_per_sec": round(
+                statistics.median(o["compute_probe_pages_per_sec"] for o in outs), 1
+            ),
+            "crawl_frontier_sec": round(
+                statistics.median(o["queries"]["crawl_frontier"] for o in outs), 3
+            ),
+        }
 
     lo, hi = run(cpu_lo), run(cpu_hi)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (cpu_hi / cpu_lo)
     ratio = cpu_hi / cpu_lo
-    crawl_eff = (
-        lo["queries"]["crawl_frontier"] / hi["queries"]["crawl_frontier"]
-    ) / ratio
+    crawl_eff = (hi["crawl_urls_per_sec"] / lo["crawl_urls_per_sec"]) / ratio
     probe_eff = (
         hi["compute_probe_pages_per_sec"] / lo["compute_probe_pages_per_sec"]
     ) / ratio
@@ -474,6 +533,7 @@ def _scaling_attempt(cpu_lo: int, cpu_hi: int, drop_caches: bool, cdir: str) -> 
         f"compute_probe_pages_per_sec_{cpu_hi}": hi["compute_probe_pages_per_sec"],
         "compute_probe_scaling_efficiency": round(probe_eff, 3),
         "legs": legs,
+        **({"reps_per_leg": reps, "leg_stat": "median"} if reps > 1 else {}),
         **({"cold_cache_legs": dropped} if drop_caches else {}),
         "verdict": {
             "bar": SCALING_BAR,
@@ -491,7 +551,11 @@ def _scaling_attempt(cpu_lo: int, cpu_hi: int, drop_caches: bool, cdir: str) -> 
 
 
 def scaling(
-    cpu_lo: int = 8, cpu_hi: int = 32, drop_caches: bool = False, retries: int = 1
+    cpu_lo: int = 8,
+    cpu_hi: int = 32,
+    drop_caches: bool = False,
+    retries: int = 1,
+    reps: int = 1,
 ) -> None:
     """Default pair 8→32 (the driver's invocation). A supplementary
     pair can be requested as `--scaling --cpus 4 16`: same 4× ratio,
@@ -516,11 +580,15 @@ def scaling(
     manufacture a pass nor stand as a fail. ALL attempts are printed;
     the last attempt (the first clean window, if one materialized) is
     the verdict. A clean-window fail is a fail — symmetric box-wide
-    slowness is never retried away."""
+    slowness is never retried away.
+
+    `--reps N` measures each leg's crawl N times (median decides; see
+    _scaling_attempt) — the statistical answer to ambient volatility,
+    complementing the retry policy's categorical one."""
     cdir = ensure_bench_corpus()  # build once, outside timing
-    attempts = [_scaling_attempt(cpu_lo, cpu_hi, drop_caches, cdir)]
+    attempts = [_scaling_attempt(cpu_lo, cpu_hi, drop_caches, cdir, reps)]
     while not attempts[-1]["verdict"]["window_clean"] and len(attempts) <= retries:
-        attempts.append(_scaling_attempt(cpu_lo, cpu_hi, drop_caches, cdir))
+        attempts.append(_scaling_attempt(cpu_lo, cpu_hi, drop_caches, cdir, reps))
     final = dict(attempts[-1])
     if len(attempts) > 1:
         final["retried_attempts"] = attempts[:-1]
@@ -535,13 +603,18 @@ if __name__ == "__main__":
             if "--retries" in sys.argv
             else 1
         )
+        reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv
+            else 1
+        )
         if "--cpus" in sys.argv:
             i = sys.argv.index("--cpus")
             scaling(
                 int(sys.argv[i + 1]), int(sys.argv[i + 2]),
-                drop_caches=drop, retries=retries,
+                drop_caches=drop, retries=retries, reps=reps,
             )
         else:
-            scaling(drop_caches=drop, retries=retries)
+            scaling(drop_caches=drop, retries=retries, reps=reps)
     else:
         main()
